@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named operator query: the Spark implementation plus (where the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same parquet tables. Names are keyed to the operator inventory
+  * in SURVEY.md §2 so coverage is auditable line by line.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+/** A group of related operator queries (one per SURVEY.md §2 family). */
+trait OpModule { def qs: Seq[Q] }
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read it as a nanosecond Long and convert to a
+      // microsecond TimestampType column. `div` keeps the arithmetic in
+      // exact integer space (a double division would lose precision at
+      // ~1.7e18 ns epoch values).
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** Exact decimal-accumulated aggregation helpers.
+  *
+  * Spark sums doubles in shuffle-arrival order, which is nondeterministic
+  * across runs and never matches a sequential single-threaded oracle
+  * bit-for-bit. Accumulating in DecimalType is exact and order-free, so the
+  * final `cast(double)` is reproducible on both engines. Rounding a binary
+  * double to a decimal scale can never hit an exact .5 tie (binary
+  * fractions have no factor-5 denominators), so the decimal cast itself is
+  * also engine-agnostic.
+  */
+object Dec {
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  def davg(c: Column): Column = dsum(c) / count(c)
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def sqlSum(col: String): String =
+    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DOUBLE)"
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.{Dec, OpModule, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregations (SURVEY.md §2.5 A1–A7) and voxelization binning
+  * (§2.9 V1–V3). All are single-shuffle hash aggregations with map-side
+  * partial aggregation — the shape that scales to 100 TB.
+  *
+  * Majority-vote/mode uses an explicit count+row_number plan instead of the
+  * built-in `mode` so the tie-break (highest count, then lowest label —
+  * np.argmax(np.bincount(...)) semantics,
+  * /root/reference/voxel_to_instance_data.py:63) is pinned and
+  * oracle-reproducible.
+  */
+object AggOps extends OpModule {
+
+  val qs: Seq[Q] = Seq(
+    // A1 — group-by majority vote with deterministic tie-break.
+    Q("a1_mode_majority", Some(
+      """SELECT lang, source AS mode_source, cnt FROM (
+        |  SELECT lang, source, cnt,
+        |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source ASC) AS rn
+        |  FROM (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source)
+        |) WHERE rn = 1 ORDER BY lang""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("source").asc)))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("cnt"))
+        .orderBy("lang")),
+
+    // A2 — distinct values (np.unique, voxel_to_instance_data.py:40).
+    Q("a2_distinct", Some(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A3 — duplicate-key audit (the reference's duplicate-voxel invariant,
+    // larvoxel_dataset.py:101-110): groupBy count > 1.
+    Q("a3_dup_audit", Some(
+      """SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem
+        |GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+        |ORDER BY l_partkey, l_suppkey""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("l_partkey", "l_suppkey")),
+
+    // A4 — counts per group.
+    Q("a4_count", Some(
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // A5 — min/max sanity aggregates (make_larmatch_parquet_data.py:94-97).
+    Q("a5_minmax", Some(
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
+          min("l_shipdate").as("first_ship"), max("l_shipdate").as("last_ship"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // A6 — mean for normalization (jam_larennet.py:58-60).
+    Q("a6_avg", Some(
+      s"""SELECT c_mktsegment, ${Dec.sqlSum("c_acctbal")} / count(*) AS avg_bal, count(*) AS n
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, dir) => Tables(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(Dec.davg(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // A7 — histogram / bincount (voxel_to_instance_data.py:63).
+    Q("a7_histogram", Some(
+      """SELECT CAST(floor(value/50) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 50).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // V1 — voxelization: floor-binning groupBy (VoxelizeTriplets analog,
+    // dlmerged2parquet.py:71-77). Pure hash aggregation — no shuffle
+    // beyond the single agg exchange, partial-aggregated map-side.
+    Q("v1_voxelize", Some(
+      s"""SELECT CAST(floor(l_extendedprice/500) AS BIGINT) AS ix,
+         |  CAST(floor(l_quantity/10) AS BIGINT) AS iy,
+         |  count(*) AS n, ${Dec.sqlSum("l_discount")} AS sum_disc
+         |FROM lineitem GROUP BY ix, iy ORDER BY ix, iy""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(
+          floor(col("l_extendedprice") / 500).as("ix"),
+          floor(col("l_quantity") / 10).as("iy"))
+        .agg(count(lit(1)).as("n"), Dec.dsum(col("l_discount")).as("sum_disc"))
+        .orderBy("ix", "iy")),
+
+    // V2 — voxel label dictionaries: one pass computing occupancy, summed
+    // charge and the majority-vote label per voxel
+    // (make_voxeldata_dict/make_ssnet_dict_labels analog,
+    // dlmerged2parquet.py:237-265).
+    Q("v2_voxel_labels", Some(
+      """WITH g AS (
+        |  SELECT CAST(floor(value/100) AS BIGINT) AS voxel, event_type,
+        |         count(*) AS cnt, sum(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY voxel, event_type),
+        |w AS (
+        |  SELECT voxel, event_type, cnt,
+        |         row_number() OVER (PARTITION BY voxel ORDER BY cnt DESC, event_type ASC) AS rn,
+        |         CAST(sum(cnt) OVER (PARTITION BY voxel) AS BIGINT) AS n,
+        |         CAST(sum(sv) OVER (PARTITION BY voxel) AS DOUBLE) AS charge
+        |  FROM g)
+        |SELECT voxel, n, event_type AS label, charge FROM w WHERE rn = 1 ORDER BY voxel""".stripMargin),
+      (s, dir) => {
+        val g = Tables(s, dir, "events")
+          .groupBy(floor(col("value") / 100).as("voxel"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+        val byVox = Window.partitionBy("voxel")
+        g.withColumn("rn", row_number().over(byVox.orderBy(col("cnt").desc, col("event_type").asc)))
+          .withColumn("n", sum(col("cnt")).over(byVox))
+          .withColumn("charge", sum(col("sv")).over(byVox).cast("double"))
+          .filter(col("rn") === 1)
+          .select(col("voxel"), col("n"), col("event_type").as("label"), col("charge"))
+          .orderBy("voxel")
+      }),
+
+    // V3 — sparsity threshold filter (ADC > 10.0, dlmerged2parquet.py:211).
+    Q("v3_threshold", Some(
+      "SELECT event_id, value FROM events WHERE value > 10.0 ORDER BY event_id"),
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("value") > 10.0)
+        .select("event_id", "value")
+        .orderBy("event_id"))
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Dec, OpModule, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Time-series / event-stream operators over the `events` table:
+  * tumbling-window aggregation (the batch form of SURVEY.md §2.11's
+  * Structured Streaming mapping — the streaming twin lives in
+  * [[graft.streaming.EventStream]]), JSON extraction, pivot (§2.8 T4) and
+  * the grid-bucketed radius self-join (§2.4 J5, radius_graph analog,
+  * /root/reference/larennet/larennet.py:53-57).
+  */
+object EventOps extends OpModule {
+
+  val qs: Seq[Q] = Seq(
+    // Tumbling-window aggregation (window($"ts","1 hour") batch analog).
+    Q("st1_window_agg", Some(
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+         |  count(*) AS n, ${Dec.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        // timestamp_ntz output: the oracle's timestamps are wall-clock
+        // naive; session TZ is UTC so the cast is the identity instant.
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
+        .orderBy("hour_ts", "event_type")),
+
+    // JSON scalar extraction from the props column.
+    Q("e1_json_extract", Some(
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k FROM (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // T4 — sparse→dense pivot (COO scatter analog,
+    // view_spacepoint_data.ipynb cell-11..13): day × event_type counts.
+    Q("t4_pivot", Some(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables(s, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .groupBy("day")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        // pivot yields null for absent (day, type) combos; the oracle's
+        // FILTER form yields 0 — align on 0.
+        p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      }),
+
+    // J5 — radius self-join via grid bucketing: pairs of events from the
+    // same user within 600 s. Each left row is exploded to its own and the
+    // two neighboring time buckets, so every qualifying pair is matched by
+    // exactly one equi-join key — the standard Spark spatial-join shape
+    // (no O(n²) cross product; shuffle keyed on (user, bucket)).
+    Q("j5_radius_join", Some(
+      """SELECT e1.event_id AS a, e2.event_id AS b
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+        | AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 600000000
+        |ORDER BY a, b""".stripMargin),
+      (s, dir) => {
+        val r = 600000000L // 600 s in µs
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val left = e
+          .withColumn("bk0", expr(s"us div $r"))
+          .withColumn("bk", explode(array(col("bk0") - 1, col("bk0"), col("bk0") + 1)))
+          .select(col("event_id").as("a"), col("user_id").as("u"),
+            col("us").as("us1"), col("bk"))
+        val right = e
+          .select(col("event_id").as("b"), col("user_id").as("u"),
+            col("us").as("us2"), expr(s"us div $r").as("bk"))
+        // equi-join on (user, bucket) — co-partitioned shuffle, residual
+        // distance predicate applied post-join.
+        left.join(right, Seq("u", "bk"))
+          .filter(col("a") < col("b") && abs(col("us1") - col("us2")) <= r)
+          .select("a", "b")
+          .orderBy("a", "b")
+      })
+  )
+}

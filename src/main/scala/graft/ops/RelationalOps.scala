@@ -1,0 +1,264 @@
+package graft.ops
+
+import graft.{Dec, OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Projections, filters, joins and set operations.
+  *
+  * Covers SURVEY.md §2.3 (P1–P7), §2.4 (J1, J3, plus semi/anti joins the
+  * reference performs implicitly via dict membership), §2.9 V4 (the
+  * three-plane triplet join re-expressed as the flagship multi-way
+  * equi-join) and V6 (broadcast-LUT scalar transform, the SCE analog:
+  * /root/reference/dlmerged2parquet.py:83-85).
+  *
+  * Scale notes: dimension sides (customer, nation, region) are broadcast
+  * explicitly so the fact-table joins are map-side at any scale; every
+  * aggregate over doubles uses exact decimal accumulation (see [[graft.Dec]]).
+  */
+object RelationalOps extends OpModule {
+
+  /** Flagship: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region revenue
+    * rollup — the Spark-first re-expression of the reference's 3-plane
+    * triplet coincidence join (V4, /root/reference/dlmerged2parquet.py:211-212).
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val flagshipSql =
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // P1 — explicit column projection (larmatch_dataset.py:62-98).
+    Q("p1_project", Some(
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey"),
+      (s, dir) => Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // P3 — boolean-mask row filter (ghost removal analog,
+    // view_spacepoint_data.ipynb cell-7).
+    Q("p3_mask_filter", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P4 — conjunctive range predicates (fiducial box cuts,
+    // larennet/jam_larennet.py:47-55).
+    Q("p4_range_filter", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity >= 5 AND l_quantity <= 15 AND l_discount > 0.02 AND l_extendedprice < 5000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 5 && col("l_quantity") <= 15 &&
+          col("l_discount") > 0.02 && col("l_extendedprice") < 5000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P5 — equality key lookup (run/subrun/event lookup,
+    // larmatch_dataset.py:137-142); parquet min/max stats prune row groups.
+    Q("p5_key_lookup", Some(
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 7 ORDER BY o_orderkey"),
+      (s, dir) => Tables(s, dir, "orders")
+        .filter(col("o_orderkey") === 7)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // P6 — entry-index random access (readparquet.py:14-34) via a global
+    // row_number over a stable key.
+    Q("p6_entry_index", Some(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 41"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+          .filter(col("rn") === 42)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      }),
+
+    // P7 — origin/category filter during ETL (dlmerged2parquet.py:156-164).
+    Q("p7_category_filter", Some(
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // J1 — build+probe hash equi-join (view_voxel_data.ipynb cell-5);
+    // the dim side is broadcast, as the reference's dict build implies.
+    Q("j1_hash_join", Some(
+      s"""SELECT c_custkey, c_name, count(*) AS n_orders, ${Dec.sqlSum("o_totalprice")} AS total_spend
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin),
+      (s, dir) => Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"), Dec.dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy("c_custkey")),
+
+    // J3 — literal dictionary lookup join (larcvpid2class LUT,
+    // view_spacepoint_data.ipynb cell-1): a typedLit map + element_at.
+    Q("j3_map_lookup", Some(
+      """SELECT n_nationkey, n_name,
+        |  CASE n_regionkey WHEN 0 THEN 'ZONE_A' WHEN 1 THEN 'ZONE_B' WHEN 2 THEN 'ZONE_C'
+        |                   WHEN 3 THEN 'ZONE_D' ELSE 'ZONE_E' END AS zone
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        val lut = typedLit(Map(0 -> "ZONE_A", 1 -> "ZONE_B", 2 -> "ZONE_C", 3 -> "ZONE_D", 4 -> "ZONE_E"))
+        Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"),
+            coalesce(element_at(lut, col("n_regionkey")), lit("ZONE_E")).as("zone"))
+          .orderBy("n_nationkey")
+      }),
+
+    // Semi-join: key membership probe (the reference's `trackid in dict`
+    // pattern) — never materializes the probe side.
+    Q("j6_semi_join", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        Tables(s, dir, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      }),
+
+    // Anti-join: negative membership (customers with no 'P'-status order).
+    Q("j7_anti_join", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val p = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        Tables(s, dir, "customer")
+          .join(p, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      }),
+
+    // V4 — flagship multi-way equi-join (triplet formation analog).
+    Q("v4_triplet_join", Some(flagshipSql), (s, dir) => flagship(s, dir)),
+
+    // V6 — broadcast-LUT scalar transform (SCE coordinate correction
+    // analog, dlmerged2parquet.py:83-85): a deterministic per-bin offset
+    // applied through a broadcast lookup table.
+    Q("v6_sce_lut", Some(
+      """SELECT o_orderkey,
+        |  o_totalprice + CAST((CAST(floor(o_totalprice/500) AS BIGINT)*37 % 11) - 5 AS DOUBLE) AS corrected
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val lut: Array[Double] = Array.tabulate(1100)(i => ((i.toLong * 37 % 11) - 5).toDouble)
+        val blut = s.sparkContext.broadcast(lut)
+        val sce = udf((x: Double) => x + blut.value(math.floor(x / 500).toInt))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), sce(col("o_totalprice")).as("corrected"))
+          .orderBy("o_orderkey")
+      }),
+
+    // T6 — clip/clamp (np.clip, larvoxel_dataset.py:144).
+    Q("t6_clip", Some(
+      """SELECT l_orderkey, l_linenumber, least(greatest(l_extendedprice, 500), 5000) AS clipped
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          least(greatest(col("l_extendedprice"), lit(500)), lit(5000)).as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // T11 — dense-index color LUT (label → palette, notebooks cell-7..10).
+    Q("t11_lut_color", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_returnflag WHEN 'R' THEN 'red' WHEN 'A' THEN 'amber' ELSE 'green' END AS color
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "R", "red")
+            .when(col("l_returnflag") === "A", "amber")
+            .otherwise("green").as("color"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // T12 — type casts (readparquet.py:28). NB: l_quantity is integral in
+    // the data, so Spark's truncating double→long cast and DuckDB's
+    // rounding one agree.
+    Q("t12_cast", Some(
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty_int"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Set ops (free via Catalyst; the reference unions file shards, S5/S7).
+    Q("set1_union", Some(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .distinct()
+          .orderBy("c_custkey")
+      }),
+
+    Q("set2_except", Some(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      }),
+
+    // Rollup (free via Catalyst, SURVEY §2.5 note).
+    Q("a10_rollup", Some(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n, ${Dec.sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Dec.dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"))
+  )
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window / ranking / top-k / running-total operators (SURVEY.md §2.6
+  * W1–W4, A9) plus sessionization — the analytic surface the reference gets
+  * only imperatively (set_partition row-range sharding, running offsets in
+  * the collate loop, larvoxel_dataset.py:196-286).
+  *
+  * All windows partition by a key before ordering, so at scale each
+  * partition's state stays bounded; the only global-ordering window (w2
+  * top-k) runs after an aggregation has already collapsed the data.
+  */
+object WindowOps extends OpModule {
+
+  val qs: Seq[Q] = Seq(
+    // W1/W2 — top-k (limit after ordering; root2parquet.py:55).
+    Q("w2_topk", Some(
+      """SELECT rn, o_orderkey, o_totalprice FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
+        |         o_orderkey, o_totalprice
+        |  FROM orders) WHERE rn <= 10 ORDER BY rn""".stripMargin),
+      (s, dir) => Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).cast("long"))
+        .filter(col("rn") <= 10)
+        .select("rn", "o_orderkey", "o_totalprice")
+        .orderBy("rn")),
+
+    // W3 — partition-range slicing (set_partition, larvoxel_dataset.py:196-201)
+    // as ntile.
+    Q("w3_ntile", Some(
+      """SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS tile
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, dir) => Tables(s, dir, "customer")
+        .withColumn("tile", ntile(4).over(
+          Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)).cast("long"))
+        .select("c_custkey", "tile")
+        .orderBy("c_custkey")),
+
+    // W4 — argmax per group (np.argmax, voxel_to_instance_data.py:63):
+    // richest customer per nation, ties broken by lowest key.
+    Q("w4_argmax", Some(
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) WHERE rn = 1 ORDER BY c_nationkey""".stripMargin),
+      (s, dir) => Tables(s, dir, "customer")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+        .filter(col("rn") === 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey")),
+
+    // Rank/dense_rank per partition: top-5 parts by price within brand.
+    Q("w5_rank", Some(
+      """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk,
+        |         CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS drnk
+        |  FROM part) WHERE rnk <= 5 ORDER BY p_brand, rnk, p_partkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+        Tables(s, dir, "part")
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("p_brand", "p_partkey", "p_retailprice", "rnk", "drnk")
+          .orderBy("p_brand", "rnk", "p_partkey")
+      }),
+
+    // Lag/lead deltas per user (epoch-iteration order analog, R3).
+    Q("w6_lag_delta", Some(
+      """SELECT user_id, event_id, value,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables(s, dir, "events")
+          .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+          .select("user_id", "event_id", "value", "delta")
+          .orderBy("user_id", "event_id")
+      }),
+
+    // A9 — running totals (running offsets in the collate loop,
+    // larvoxel_dataset.py:263-278), exact-decimal accumulated.
+    Q("a9_running_sum", Some(
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .withColumn("running", sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+          .select("user_id", "event_id", "running")
+          .orderBy("user_id", "event_id")
+      }),
+
+    // Sessionization: gap > 30 min starts a new session; one row per user
+    // with session and event counts. (Streaming analog lives in
+    // graft.streaming; this is the batch window form.)
+    Q("st2_sessionize", Some(
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_s",
+            when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg((sum("new_s") + 1).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      })
+  )
+}

@@ -1,0 +1,109 @@
+package graft.quality
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at scale: MinHash + banded LSH and SimHash
+  * over the `documents` table. These are the unbounded-scale complements
+  * to the bounded-block exact Jaccard in [[TextOps]] (dd4).
+  *
+  * Both signatures are computed in ONE aggregation pass using 32 (resp.
+  * 64) parallel aggregate expressions over the exploded token stream — no
+  * per-hash-function re-shuffle, fully map-side partial-aggregated, which
+  * is what makes the pattern viable at 100 TB. Hashing uses the codegen'd
+  * `xxhash64`, which no external SQL engine reproduces, so these two are
+  * oracle-free (driver rows-only check) and their semantics are pinned by
+  * DedupSpec: planted near-duplicates are found and the MinHash Jaccard
+  * estimate tracks the exact token-set Jaccard of dd4.
+  */
+object DedupOps extends OpModule {
+
+  private val NumHashes = 32
+  private val BandSize = 4 // 8 bands of 4 — tuned for jaccard ≥ ~0.7
+
+  /** (doc_id, m0..m31) MinHash signature table — one shuffle. The hash
+    * family is seeded xxhash64 (`xxhash64(tok, i)`): independent per
+    * seed, codegen'd, and free of the ANSI overflow a wrap-around affine
+    * family would trip.
+    */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val minCols: Seq[Column] =
+      (0 until NumHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"m$i"))
+    toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Candidate pairs via banded LSH over the MinHash signatures, with the
+    * per-band Jaccard estimate (fraction of agreeing minhashes).
+    */
+  def minhashPairs(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
+    val sigs = minhashSignatures(s, dir).cache()
+    val bandKeys: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey")).as(s"bk$b")
+    }
+    val exploded = sigs
+      .withColumn("bk", explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Skew guard: an LSH bucket holding k docs yields k²/2 candidate pairs;
+    // cap bucket size so one degenerate key can't blow up the join (at
+    // 100 TB a boilerplate-text bucket otherwise dominates the stage).
+    val bounded = exploded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bsz") <= 1000)
+    val l = bounded.select(col("band"), col("bkey"), col("doc_id").as("a"))
+    val r = bounded.select(col("band"), col("bkey"), col("doc_id").as("b"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val estCols = (0 until NumHashes)
+      .map(i => when(col(s"la.m$i") === col(s"lb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("la"), col("a") === col("la.doc_id"))
+      .join(sigs.as("lb"), col("b") === col("lb.doc_id"))
+      .withColumn("est_jaccard", estCols.cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("a", "b", "est_jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** (doc_id, simhash) — 64-bit SimHash from token xxhash64 bits, computed
+    * as 64 parallel ±1 sums in one aggregation pass.
+    */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"s$i")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hash: Column = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("dd2_minhash_lsh", None, (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.5)),
+
+    Q("dd3_simhash", None, (s, dir) => {
+      val sh = simhashes(s, dir)
+      // Near-dup pairs in a bounded block by hamming distance ≤ 16; the
+      // signature table itself is the scale artifact.
+      val l = sh.filter(col("doc_id") < 200).select(col("doc_id").as("a"), col("simhash").as("ha"))
+      val r = sh.filter(col("doc_id") < 200).select(col("doc_id").as("b"), col("simhash").as("hb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 16)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    })
+  )
+}

@@ -1,0 +1,66 @@
+package graft.quality
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payload columns with typed
+  * metadata, decoded partition-wise. The real decode (image/audio codecs)
+  * is STUBBED with a deterministic fake — no media libraries exist in this
+  * environment — but the Spark-side contract is real: binary column
+  * ingestion, per-partition batched decode (the Scala analog of
+  * `mapInPandas`), explicit output schema, and chunk accounting.
+  */
+object Multimodal extends OpModule {
+
+  /** Output schema of the (stubbed) decoder. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)))
+
+  /** Partition-wise batched decode of a binary payload column.
+    *
+    * STUB: a real implementation would hand each batch to an image/audio
+    * codec; here the "decode" derives deterministic fake metadata from the
+    * bytes so the plumbing (schema, batching, partitioning) is testable.
+    */
+  def decodeBinary(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        // batch the partition like an Arrow-batched decoder would
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val w = (bytes.headOption.getOrElse(0: Byte) & 0xff) + 1
+            val h = (bytes.lift(1).getOrElse(0: Byte) & 0xff) + 1
+            val mean =
+              if (bytes.isEmpty) 0.0
+              else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+            Row(id, bytes.length.toLong, w, h, mean)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Binary-column ingestion + chunk accounting (the SQL-checkable part;
+    // the decode stub is covered by MultimodalSpec).
+    Q("mm1_binary_ingest", Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("payload_bytes"),
+          ceil(length(col("payload")) / lit(256.0)).cast("long").as("n_chunks"))
+        .orderBy("doc_id"))
+  )
+}

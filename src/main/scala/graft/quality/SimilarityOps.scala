@@ -1,0 +1,183 @@
+package graft.quality
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`Array[Float]` cells):
+  * brute-force cosine top-k as the exactness baseline, ranked most-similar
+  * pairs, the keypoint radial-score operator (SURVEY.md §2.9 V5), and an
+  * LSH-bucketed ANN variant as the 100 TB scale path.
+  *
+  * Dot products / norms fold inside codegen'd higher-order functions with
+  * DecimalType accumulators, so scores hash-match the relational DuckDB
+  * oracle exactly (see [[graft.Dec]]). The brute-force paths broadcast the
+  * (small) query side — a broadcast nested-loop with no shuffle of the
+  * candidate table.
+  */
+object SimilarityOps extends OpModule {
+
+  /** Exact-decimal dot product of two float-array columns, as double.
+    * The fold accumulator is re-cast every step: Spark's decimal `+`
+    * widens (38,12)+(38,12) → (38,11), which would break the HOF's
+    * fixed-accumulator-type contract. Values (|Σ| < 1e17 here) are exact
+    * at (30,12), and scale-12 rounding of a binary double is identical in
+    * DuckDB, so oracle parity is bit-exact.
+    */
+  def dot(a: Column, b: Column): Column = {
+    val prods = zip_with(a, b, (x, y) =>
+      (x.cast("double") * y.cast("double")).cast("decimal(30,12)"))
+    aggregate(prods, lit(0).cast("decimal(30,12)"),
+      (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double")
+  }
+
+  /** Exact-decimal L2 norm of a float-array column, as double. */
+  def l2norm(a: Column): Column = {
+    val sq = transform(a, x => (x.cast("double") * x.cast("double")).cast("decimal(30,12)"))
+    sqrt(aggregate(sq, lit(0).cast("decimal(30,12)"),
+      (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double"))
+  }
+
+  /** Brute-force cosine top-k: query rows broadcast against all candidates. */
+  def knnBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qn"))
+    base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", dot(col("qemb"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sign-random-projection LSH ANN: 8 hyperplanes → 256 buckets; queries
+    * multi-probe their own bucket plus all hamming-1 neighbors. Candidates
+    * meet queries through an equi-join on the bucket id — no cross
+    * product, shuffle keyed on a 1-byte signature. Planes are seeded
+    * literals, so the query is deterministic (no SQL oracle — verified
+    * against [[knnBrute]] recall in SimilaritySpec).
+    */
+  def knnLsh(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val nPlanes = 8
+    val rng = new scala.util.Random(7)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(nPlanes)(Array.fill(64)(rng.nextGaussian()))
+    def sig(emb: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        val pc = array(p.map(lit): _*)
+        when(dot(emb, pc) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+        sig(col("embedding")).as("sig"))
+    val probes = (0 until nPlanes).map(p => col("sig").bitwiseXOR(lit(1 << p))) :+ col("sig")
+    val q = base.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(array(probes: _*)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qn"), col("probe").as("sig"))
+    base.join(q, Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", dot(col("qemb"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Brute-force cosine top-3 for the first 10 query vectors.
+    Q("nn1_knn_brute", Some(
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |      FROM x GROUP BY vec_id),
+        |d AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |        CAST(sum(CAST(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |      FROM x q JOIN x c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |      GROUP BY q.vec_id, c.vec_id),
+        |sc AS (SELECT qid, cid, d.dot / (nq.nrm * nc.nrm) AS cos_sim
+        |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+        |SELECT qid, cid, rnk, cos_sim FROM (
+        |  SELECT qid, cid, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS BIGINT) AS rnk
+        |  FROM sc) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, dir) => knnBrute(s, dir, nQueries = 10, k = 3)),
+
+    // Ranked most-similar pairs within a bounded id block (near-dup audit
+    // by embedding cosine): top-50 pairs, always non-empty, no threshold
+    // sensitivity to the scale factor.
+    Q("dd5_embedding_neardup", Some(
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        |           FROM embeddings WHERE vec_id < 300),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |      FROM x GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |        CAST(sum(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY a.vec_id, b.vec_id),
+        |sc AS (SELECT a, b, d.dot / (na.nrm * nb.nrm) AS cos_sim
+        |       FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b)
+        |SELECT a, b, rnk, cos_sim FROM (
+        |  SELECT a, b, cos_sim,
+        |         CAST(row_number() OVER (ORDER BY cos_sim DESC, a ASC, b ASC) AS BIGINT) AS rnk
+        |  FROM sc) WHERE rnk <= 50 ORDER BY rnk""".stripMargin),
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+        val l = base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val r = base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        l.join(broadcast(r), col("a") < col("b"))
+          .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)).cast("long"))
+          .filter(col("rnk") <= 50)
+          .select("a", "b", "rnk", "cos_sim")
+          .orderBy("rnk")
+      }),
+
+    // V5 — keypoint radial score (PrepKeypointData analog,
+    // /root/reference/dlmerged2parquet.py:215-216): every point scored
+    // against a small broadcast keypoint set, max score + argmax keypoint
+    // kept. Radial kernel 1/(1+d²) on the leading 4 dims.
+    Q("v5_keypoint_score", Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0, CAST(embedding[2] AS DOUBLE) AS e1,
+        |                  CAST(embedding[3] AS DOUBLE) AS e2, CAST(embedding[4] AS DOUBLE) AS e3
+        |           FROM embeddings),
+        |k AS (SELECT vec_id AS kp_id, e0 AS k0, e1 AS k1, e2 AS k2, e3 AS k3 FROM e WHERE vec_id < 5),
+        |sc AS (SELECT e.vec_id, k.kp_id,
+        |         1.0 / (1.0 + ((e0-k0)*(e0-k0) + (e1-k1)*(e1-k1) + (e2-k2)*(e2-k2) + (e3-k3)*(e3-k3))) AS score
+        |       FROM e, k)
+        |SELECT vec_id, kp_id, score FROM (
+        |  SELECT vec_id, kp_id, score,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, kp_id ASC) AS rn
+        |  FROM sc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        def dims(df: DataFrame, pre: String): DataFrame =
+          df.select(col("vec_id") +:
+            (0 until 4).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"$pre$i")): _*)
+        val e = dims(Tables(s, dir, "embeddings"), "e")
+        val k = dims(Tables(s, dir, "embeddings").filter(col("vec_id") < 5), "k")
+          .withColumnRenamed("vec_id", "kp_id")
+        val d2 = (col("e0") - col("k0")) * (col("e0") - col("k0")) +
+          (col("e1") - col("k1")) * (col("e1") - col("k1")) +
+          (col("e2") - col("k2")) * (col("e2") - col("k2")) +
+          (col("e3") - col("k3")) * (col("e3") - col("k3"))
+        e.crossJoin(broadcast(k))
+          .withColumn("score", lit(1.0) / (lit(1.0) + d2))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("score").desc, col("kp_id").asc)))
+          .filter(col("rn") === 1)
+          .select("vec_id", "kp_id", "score")
+          .orderBy("vec_id")
+      }),
+
+    // LSH-bucketed ANN (scale path; oracle-free — recall asserted vs the
+    // brute-force baseline in SimilaritySpec).
+    Q("nn2_lsh_ann", None, (s, dir) => knnLsh(s, dir, nQueries = 10, k = 3))
+  )
+}

@@ -1,0 +1,140 @@
+package graft.quality
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting, exact dedup and n-gram(token)-set
+  * Jaccard near-dup scoring.
+  *
+  * All scalar work is `functions._` built-ins (codegen'd, no UDFs); the
+  * pair-generation step restricts to a bounded id-range block so the
+  * quadratic candidate join stays bounded no matter the table's scale —
+  * the unbounded-scale path is dd2_minhash_lsh in [[DedupOps]].
+  */
+object TextOps extends OpModule {
+
+  private val tok = "array_distinct(split(trim(text), '\\\\s+'))"
+
+  val qs: Seq[Q] = Seq(
+    // Token counting (whitespace tokenizer).
+    Q("x1_token_count", Some(
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: alphabetic ratio + average token length, combined.
+    Q("x2_quality_score", Some(
+      """SELECT doc_id, n_chars_calc, n_tokens, alpha_ratio,
+        |  0.5 * alpha_ratio + 0.5 * least(avg_tok_len / 10.0, 1.0) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS avg_tok_len
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_ratio"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(split(trim(col("text")), "\\s+"))).as("avg_tok_len"))
+        .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"), col("alpha_ratio"),
+          (lit(0.5) * col("alpha_ratio") +
+            lit(0.5) * least(col("avg_tok_len") / 10.0, lit(1.0))).as("quality"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic: stopword-list hit scoring with a pinned
+    // argmax tie-break (en ≥ es ≥ fr, then 'unknown').
+    Q("x3_langid", Some(
+      s"""SELECT doc_id, he, hs, hf,
+         |  CASE WHEN he >= hs AND he >= hf AND he > 0 THEN 'en'
+         |       WHEN hs >= hf AND hs > 0 THEN 'es'
+         |       WHEN hf > 0 THEN 'fr' ELSE 'unknown' END AS lang_guess
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_intersect(tok, ['the','a','of','and','to'])) AS BIGINT) AS he,
+         |    CAST(len(list_intersect(tok, ['el','la','de','y','que'])) AS BIGINT) AS hs,
+         |    CAST(len(list_intersect(tok, ['le','un','de','et','les'])) AS BIGINT) AS hf
+         |  FROM (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val en = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+        val es = array(Seq("el", "la", "de", "y", "que").map(lit): _*)
+        val fr = array(Seq("le", "un", "de", "et", "les").map(lit): _*)
+        Tables(s, dir, "documents")
+          .withColumn("tok", array_distinct(split(trim(col("text")), "\\s+")))
+          .select(col("doc_id"),
+            size(array_intersect(col("tok"), en)).cast("long").as("he"),
+            size(array_intersect(col("tok"), es)).cast("long").as("hs"),
+            size(array_intersect(col("tok"), fr)).cast("long").as("hf"))
+          .withColumn("lang_guess",
+            when(col("he") >= col("hs") && col("he") >= col("hf") && col("he") > 0, "en")
+              .when(col("hs") >= col("hf") && col("hs") > 0, "es")
+              .when(col("hf") > 0, "fr")
+              .otherwise("unknown"))
+          .orderBy("doc_id")
+      }),
+
+    // Document fingerprinting: md5 over whitespace-normalized text.
+    Q("x4_fingerprint", Some(
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"),
+          length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")),
+
+    // Exact dedup: one survivor (lowest doc_id) per distinct text.
+    Q("dd1_exact_dedup", Some(
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("text")).as("text_md5"), col("keep_id"), col("n_copies"))
+        .orderBy("text_md5")),
+
+    // Token-set Jaccard near-dup pairs over a bounded id block. The block
+    // bound (not the pair join) is what caps the quadratic term; at open
+    // scale the LSH path replaces it.
+    Q("dd4_ngram_jaccard", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a, b, jac FROM (
+        |  SELECT t1.doc_id AS a, t2.doc_id AS b,
+        |    CAST(len(list_intersect(t1.tok, t2.tok)) AS DOUBLE)
+        |      / (len(t1.tok) + len(t2.tok) - len(list_intersect(t1.tok, t2.tok))) AS jac
+        |  FROM t t1 JOIN t t2 ON t1.doc_id < t2.doc_id)
+        |WHERE jac >= 0.85 ORDER BY a, b""".stripMargin),
+      (s, dir) => {
+        val t = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("tok"))
+        val a = t.select(col("doc_id").as("a"), col("tok").as("ta"))
+        val b = t.select(col("doc_id").as("b"), col("tok").as("tb"))
+        a.join(b, col("a") < col("b"))
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("ta")) + size(col("tb")) - col("inter")))
+          .filter(col("jac") >= 0.85)
+          .select("a", "b", "jac")
+          .orderBy("a", "b")
+      })
+  )
+}
