@@ -1,0 +1,113 @@
+package graft.etl
+
+import graft.tensor.TensorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expressions of the reference's ETL/derived-table
+  * pipelines over the family-A event tables. Each pipeline is one
+  * declarative Catalyst plan: the reference's per-entry Python loops
+  * (/root/reference/dlmerged2parquet.py:122-282,
+  * voxel_to_instance_data.py:23-65) become partition-parallel dataflows
+  * with a single shuffle per aggregation.
+  */
+object EventPipelines {
+
+  /** Long-form view of the spacepoint table: one row per point, via the
+    * tensor_explode generator, keeping parallel label columns positionally
+    * aligned by a single shared explode (SURVEY.md §7.4: never explode
+    * parallel arrays independently).
+    */
+  def spacepointsLong(spark: SparkSession, events: DataFrame): DataFrame = {
+    TensorFunctions.register(spark)
+    events.createOrReplaceTempView("sp_events")
+    spark.sql(
+      """SELECT run, subrun, event, t.idx AS pt,
+        |  element_at(t.slice, 1) AS x, element_at(t.slice, 2) AS y,
+        |  element_at(t.slice, 3) AS z, element_at(t.slice, 4) AS charge,
+        |  element_at(truetriplet_t, t.idx + 1) AS truetriplet,
+        |  element_at(segment_t, t.idx + 1) AS segment,
+        |  element_at(instance_t, t.idx + 1) AS instance
+        |FROM sp_events
+        |LATERAL VIEW tensor_explode(spacepoint_t, spacepoint_t_shape) t AS idx, slice
+        |""".stripMargin)
+  }
+
+  /** V1 voxelization: bin spacepoints to integer voxel coords at
+    * `voxelSizeCm`, keep only true (non-ghost) points, aggregate charge
+    * and the majority-vote ssnet label per voxel with argmax-bincount
+    * tie-breaking (lowest label wins on count ties,
+    * voxel_to_instance_data.py:63).
+    */
+  def voxelize(spark: SparkSession, events: DataFrame, voxelSizeCm: Double): DataFrame = {
+    val long = spacepointsLong(spark, events)
+      .filter(col("truetriplet") === 1)
+      .withColumn("vx", floor(col("x") / voxelSizeCm))
+      .withColumn("vy", floor((col("y") + 117.0) / voxelSizeCm))
+      .withColumn("vz", floor(col("z") / voxelSizeCm))
+    val counts = long.groupBy("run", "subrun", "event", "vx", "vy", "vz", "segment")
+      .agg(count(lit(1)).as("cnt"), sum(col("charge").cast("double")).as("q"))
+    val w = Window.partitionBy("run", "subrun", "event", "vx", "vy", "vz")
+    counts
+      .withColumn("rn", row_number().over(w.orderBy(col("cnt").desc, col("segment").asc)))
+      .withColumn("npts", sum(col("cnt")).over(w))
+      .withColumn("charge", sum(col("q")).over(w))
+      .filter(col("rn") === 1)
+      .select(col("run"), col("subrun"), col("event"),
+        col("vx"), col("vy"), col("vz"),
+        col("npts"), col("charge"), col("segment").as("ssnet"))
+  }
+
+  /** §3.3 derived-table pipeline (voxel_to_instance_data.py): voxel event
+    * table → instance-cluster table. Ghost filter, y −117 shift, group by
+    * (event, instance), majority-vote ssnet label (ties → lowest), member
+    * coords re-encoded in the flatten+shape convention, canonically
+    * sorted so output is deterministic under shuffle.
+    */
+  def instanceTable(spark: SparkSession, voxels: DataFrame): DataFrame = {
+    TensorFunctions.register(spark)
+    voxels.createOrReplaceTempView("vox_events")
+    val long = spark.sql(
+      """SELECT run, subrun, event, t.idx AS i,
+        |  CAST(element_at(t.slice, 1) AS DOUBLE) AS x,
+        |  CAST(element_at(t.slice, 2) AS DOUBLE) - 117.0 AS y,
+        |  CAST(element_at(t.slice, 3) AS DOUBLE) AS z,
+        |  element_at(voxlabel, t.idx + 1) AS voxlabel,
+        |  element_at(voxssnet, t.idx + 1) AS ssnet,
+        |  element_at(voxinstance, t.idx + 1) AS instance
+        |FROM vox_events
+        |LATERAL VIEW tensor_explode(voxcoord, voxcoord_shape) t AS idx, slice
+        |""".stripMargin)
+      .filter(col("voxlabel") === 1)
+    val labelW = Window.partitionBy("run", "subrun", "event", "instance")
+    val labels = long.groupBy("run", "subrun", "event", "instance", "ssnet")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(labelW.orderBy(col("cnt").desc, col("ssnet").asc)))
+      .filter(col("rn") === 1)
+      .select(col("run"), col("subrun"), col("event"), col("instance"),
+        col("ssnet").as("label"))
+    val clusters = long
+      .groupBy("run", "subrun", "event", "instance")
+      .agg(array_sort(collect_list(struct(col("i"), col("x"), col("y"), col("z")))).as("pts"))
+      .select(col("run"), col("subrun"), col("event"), col("instance"),
+        flatten(transform(col("pts"),
+          p => array(p.getField("x"), p.getField("y"), p.getField("z")))).as("instvoxcoord"),
+        array(size(col("pts")).cast("long"), lit(3L)).as("instvoxcoord_shape"))
+    clusters.join(labels, Seq("run", "subrun", "event", "instance"))
+  }
+
+  /** V4 triplet formation analog: three per-plane hit tables joined on
+    * the shared time tick — a three-way equi-join producing candidate
+    * 3-D points (PrepMatchTriplets, dlmerged2parquet.py:211-212).
+    */
+  def tripletJoin(plane0: DataFrame, plane1: DataFrame, plane2: DataFrame): DataFrame = {
+    val p0 = plane0.select(col("tick"), col("wire").as("u"), col("adc").as("adc_u"))
+    val p1 = plane1.select(col("tick"), col("wire").as("v"), col("adc").as("adc_v"))
+    val p2 = plane2.select(col("tick"), col("wire").as("y"), col("adc").as("adc_y"))
+    p0.join(p1, "tick").join(p2, "tick")
+      .filter(col("adc_u") > 10.0 && col("adc_v") > 10.0 && col("adc_y") > 10.0)
+      .select(col("tick"), col("u"), col("v"), col("y"),
+        (col("adc_u") + col("adc_v") + col("adc_y")).as("adc_sum"))
+  }
+}

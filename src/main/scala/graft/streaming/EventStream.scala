@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.Dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.11): the reference has no
+  * streaming semantics of its own — its nearest analogs are the epoch
+  * iterators (R2/R3) and multi-file ingestion (S5/S7) — so this module
+  * provides the canonical Spark mapping for the driver's `events` table:
+  * file-source stream → watermarked tumbling-window aggregate.
+  *
+  * The batch twin is EventOps.st1_window_agg; StreamingSpec asserts the
+  * streamed result equals the batch result on the same input (exactly the
+  * property a 100 TB backfill-vs-live pipeline needs).
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as ns-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling-window aggregate over a directory of events
+    * parquet files. 10-minute watermark bounds state; output matches
+    * st1_window_agg's hourly grain.
+    */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Run the streaming aggregate to completion over the (bounded) files
+    * and return the final result as a batch DataFrame (memory sink, used
+    * by StreamingSpec; `complete` mode so late-window rows are present
+    * without waiting for watermark expiry).
+    */
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = hourlyAgg(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

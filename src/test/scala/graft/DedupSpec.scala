@@ -1,0 +1,71 @@
+package graft
+
+import graft.quality.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the oracle-free sketch operators: planted near-duplicates
+  * must surface, estimates must track exact Jaccard, identical docs must
+  * collide exactly.
+  */
+class DedupSpec extends AnyFunSuite with SparkSuite {
+
+  /** Write a tiny documents table with planted near/exact duplicates. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      val rng = new scala.util.Random(i)
+      val words = Seq.fill(60)(s"w${rng.nextInt(500)}")
+      (i.toLong, words.mkString(" "), "en", s"src$i", 0L)
+    }
+    // 100: exact copy of 0; 101: near-copy of 1 (3 words changed)
+    val near = {
+      val w1 = base(1)._2.split(" ").toVector
+        .updated(0, "zzz0").updated(10, "zzz1").updated(20, "zzz2")
+      Seq((100L, base(0)._2, "en", "srcA", 0L), (101L, w1.mkString(" "), "en", "srcB", 0L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("planted").toString
+    (base ++ near).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash LSH finds planted exact and near duplicates") {
+    val pairs = DedupOps.minhashPairs(spark, plantedDir, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.contains((0L, 100L)), s"exact dup not found in ${pairs.toSeq}")
+    assert(m((0L, 100L)) == 1.0)
+    assert(m.contains((1L, 101L)), s"near dup not found in ${pairs.toSeq}")
+    // near-dup true token-set jaccard ≈ (60-3)/(60+3) ≈ 0.90; estimate
+    // from 32 minhashes should land within ±0.25
+    assert(math.abs(m((1L, 101L)) - 0.90) < 0.25)
+    // unrelated docs (disjoint-ish random vocab) must not flood the output
+    assert(pairs.length < 40)
+  }
+
+  test("minhash estimate tracks exact token-set jaccard on real docs") {
+    val exact = quality.TextOps.qs.find(_.name == "dd4_ngram_jaccard").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = DedupOps.minhashPairs(spark, sf, minEstJaccard = 0.7)
+      .filter(col("a") < 200 && col("b") < 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.nonEmpty)
+    val errs = common.toSeq.map(k => math.abs(exact(k) - est(k)))
+    assert(errs.sum / errs.size < 0.15, f"mean |exact-est| = ${errs.sum / errs.size}%.3f")
+  }
+
+  test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
+    val sh = DedupOps.simhashes(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(100L))
+    val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(101L))
+    assert(hammingNear <= 12, s"near-dup hamming $hammingNear")
+    // unrelated docs should be far: median pairwise hamming over a sample
+    val ids = sh.keys.filter(_ < 40).toSeq.sorted.take(10)
+    val far = for (a <- ids; b <- ids if a < b) yield java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(far.sum.toDouble / far.size > 12.0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.quality.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  test("brute-force kNN: ranks dense, cosines in [-1,1], self excluded") {
+    val knn = SimilarityOps.knnBrute(spark, sf, nQueries = 10, k = 3).collect()
+    assert(knn.length == 30)
+    val byQ = knn.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L))
+      rows.foreach { r =>
+        assert(r.getLong(1) != q)
+        val c = r.getDouble(3)
+        assert(c >= -1.0001 && c <= 1.0001)
+      }
+      // descending by cosine
+      val cs = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("LSH ANN returns true cosines and overlaps the brute-force top-k") {
+    val brute = SimilarityOps.knnBrute(spark, sf, nQueries = 10, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.knnLsh(spark, sf, nQueries = 10, k = 3).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine must equal the exact cosine (same arithmetic)
+    val bruteCos = SimilarityOps.knnBrute(spark, sf, nQueries = 10, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+    // recall is approximate by design; require non-trivial overlap
+    val hit = lsh.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    assert(hit >= 3, s"LSH recalled only $hit of ${brute.size} brute-force pairs")
+  }
+}
