@@ -17,15 +17,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ArrayOps extends OpModule {
 
-  /** Exact sum fold over a decimal(30,12) array expression. The running
-    * sum is re-cast each step (Spark decimal `+` widens the type, which
-    * the HOF's fixed accumulator type rejects); values here are far below
-    * the (30,12) range so the cast is exact.
-    */
-  private def decFold(arrExpr: String): String =
-    s"CAST(aggregate($arrExpr, CAST(0 AS DECIMAL(30,12)), " +
-      "(acc, x) -> CAST(acc + x AS DECIMAL(30,12))) AS DOUBLE)"
-
   val qs: Seq[Q] = Seq(
     // P2 — column-slice projection on a tensor cell (spacepoint [:, :3],
     // view_spacepoint_data.ipynb cell-7).
@@ -59,19 +50,20 @@ object ArrayOps extends OpModule {
           transform(col("embedding"), x => x.cast("double") * 2 + 1).as("scaled"))
         .orderBy("vec_id")),
 
-    // T7 — vector norm via a no-shuffle higher-order fold. The oracle
-    // computes the same value relationally (unnest + group-by); the decimal
-    // accumulator makes the two bit-identical.
+    // T7 — vector norm via a no-shuffle higher-order fold. Both engines
+    // run the same left-to-right double fold over the array (DuckDB's
+    // list_sum is sequential — verified bit-exact), so no decimal
+    // accumulator is needed: the fold never crosses a shuffle.
     Q("t7_vector_norm", Some(
       """SELECT vec_id,
-        |  sqrt(CAST(sum(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS norm
-        |FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
       (s, dir) => Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-          sqrt(expr(decFold(
-            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12)))"
-          ))).as("norm"))
+          sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)).as("norm"))
         .orderBy("vec_id")),
 
     // A8 — vector-valued scatter-sum by key (torch_scatter analog,

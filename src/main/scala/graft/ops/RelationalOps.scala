@@ -98,7 +98,11 @@ object RelationalOps extends OpModule {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 41"),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // sort-limit prunes to 42 rows before the (tiny) window ranks them
         Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+          .limit(42)
           .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
           .filter(col("rn") === 42)
           .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -24,9 +24,12 @@ object WindowOps extends OpModule {
         |         o_orderkey, o_totalprice
         |  FROM orders) WHERE rn <= 10 ORDER BY rn""".stripMargin),
       (s, dir) => Tables(s, dir, "orders")
+        // sort-limit first (TakeOrderedAndProject — no global window over
+        // the full table), then rank the surviving 10 rows.
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).cast("long"))
-        .filter(col("rn") <= 10)
         .select("rn", "o_orderkey", "o_totalprice")
         .orderBy("rn")),
 

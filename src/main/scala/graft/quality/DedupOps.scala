@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
 object DedupOps extends OpModule {
 
   private val NumHashes = 32
-  private val BandSize = 4 // 8 bands of 4 — tuned for jaccard ≥ ~0.7
+  // 4 bands of 8: tuned for jaccard ≥ ~0.85. Wide bands matter on
+  // corpora with high ambient similarity (shared boilerplate/vocab):
+  // narrow bands admit nearly every pair as a candidate and the
+  // candidate join degenerates toward all-pairs.
+  private val BandSize = 8
 
   /** (doc_id, m0..m31) MinHash signature table — one shuffle. The hash
     * family is seeded xxhash64 (`xxhash64(tok, i)`): independent per
@@ -48,18 +52,19 @@ object DedupOps extends OpModule {
     val exploded = sigs
       .withColumn("bk", explode(array(bandKeys: _*)))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Skew guard: an LSH bucket holding k docs yields k²/2 candidate pairs;
-    // cap bucket size so one degenerate key can't blow up the join (at
-    // 100 TB a boilerplate-text bucket otherwise dominates the stage).
-    val bounded = exploded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bsz") <= 1000)
-    val l = bounded.select(col("band"), col("bkey"), col("doc_id").as("a"))
-    val r = bounded.select(col("band"), col("bkey"), col("doc_id").as("b"))
-    val cand = l.join(r, Seq("band", "bkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // One shuffle: gather each LSH bucket's members, then expand candidate
+    // pairs in-expression. The size cap is the skew guard — a degenerate
+    // boilerplate bucket of k docs would otherwise contribute k²/2 pairs
+    // and dominate the stage at scale.
+    val buckets = exploded
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    val cand = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
     val estCols = (0 until NumHashes)
       .map(i => when(col(s"la.m$i") === col(s"lb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -91,7 +96,7 @@ object DedupOps extends OpModule {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("dd2_minhash_lsh", None, (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.5)),
+    Q("dd2_minhash_lsh", None, (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
 
     Q("dd3_simhash", None, (s, dir) => {
       val sh = simhashes(s, dir)

@@ -18,26 +18,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps extends OpModule {
 
-  /** Exact-decimal dot product of two float-array columns, as double.
-    * The fold accumulator is re-cast every step: Spark's decimal `+`
-    * widens (38,12)+(38,12) → (38,11), which would break the HOF's
-    * fixed-accumulator-type contract. Values (|Σ| < 1e17 here) are exact
-    * at (30,12), and scale-12 rounding of a binary double is identical in
-    * DuckDB, so oracle parity is bit-exact.
+  /** Dot product of two float-array columns as a sequential double fold.
+    * Deterministic: the fold order is the array order on a single row (no
+    * shuffle is involved), and DuckDB's `list_sum(list_transform(...))`
+    * is the same left-to-right double fold — verified bit-exact over the
+    * test vectors — so oracle parity holds without decimal overhead.
     */
-  def dot(a: Column, b: Column): Column = {
-    val prods = zip_with(a, b, (x, y) =>
-      (x.cast("double") * y.cast("double")).cast("decimal(30,12)"))
-    aggregate(prods, lit(0).cast("decimal(30,12)"),
-      (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double")
-  }
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
-  /** Exact-decimal L2 norm of a float-array column, as double. */
-  def l2norm(a: Column): Column = {
-    val sq = transform(a, x => (x.cast("double") * x.cast("double")).cast("decimal(30,12)"))
-    sqrt(aggregate(sq, lit(0).cast("decimal(30,12)"),
-      (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double"))
-  }
+  /** L2 norm of a float-array column (same sequential-fold contract). */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
 
   /** Brute-force cosine top-k: query rows broadcast against all candidates. */
   def knnBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
@@ -91,15 +85,15 @@ object SimilarityOps extends OpModule {
   }
 
   val qs: Seq[Q] = Seq(
-    // Brute-force cosine top-3 for the first 10 query vectors.
+    // Brute-force cosine top-3 for the first 10 query vectors. The oracle
+    // mirrors the engine's sequential-fold arithmetic via list lambdas.
     Q("nn1_knn_brute", Some(
-      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
-        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-        |      FROM x GROUP BY vec_id),
+      """WITH n AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
         |d AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |        CAST(sum(CAST(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-        |      FROM x q JOIN x c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
-        |      GROUP BY q.vec_id, c.vec_id),
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot
+        |      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
         |sc AS (SELECT qid, cid, d.dot / (nq.nrm * nc.nrm) AS cos_sim
         |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
         |SELECT qid, cid, rnk, cos_sim FROM (
@@ -112,16 +106,14 @@ object SimilarityOps extends OpModule {
     // by embedding cosine): top-50 pairs, always non-empty, no threshold
     // sensitivity to the scale factor.
     Q("dd5_embedding_neardup", Some(
-      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+      """WITH e AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |           FROM embeddings WHERE vec_id < 300),
-        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-        |      FROM x GROUP BY vec_id),
-        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
-        |        CAST(sum(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
-        |      GROUP BY a.vec_id, b.vec_id),
-        |sc AS (SELECT a, b, d.dot / (na.nrm * nb.nrm) AS cos_sim
-        |       FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b)
+        |sc AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos_sim
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT a, b, rnk, cos_sim FROM (
         |  SELECT a, b, cos_sim,
         |         CAST(row_number() OVER (ORDER BY cos_sim DESC, a ASC, b ASC) AS BIGINT) AS rnk
@@ -131,11 +123,14 @@ object SimilarityOps extends OpModule {
           .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
         val l = base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
         val r = base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        // sort-limit (TakeOrderedAndProject) instead of a global window:
+        // only 50 rows ever reach the driver-side rank attachment.
         l.join(broadcast(r), col("a") < col("b"))
           .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)
+          .limit(50)
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)).cast("long"))
-          .filter(col("rnk") <= 50)
           .select("a", "b", "rnk", "cos_sim")
           .orderBy("rnk")
       }),
