@@ -23,6 +23,14 @@ object SamplingOps extends OpModule {
       (s, dir) => Tables(s, dir, "lineitem")
         .orderBy(rand(42L), col("l_orderkey"), col("l_linenumber"))
         .select("l_orderkey", "l_linenumber")
-        .limit(100))
+        .limit(100)),
+
+    // R5 — stratified sampling (kploader.sample_data with truth strata,
+    // root2parquet.py:58-60): per-stratum Bernoulli fractions.
+    Q("r5_stratified_sample", None,
+      (s, dir) => Tables(s, dir, "lineitem")
+        .stat.sampleBy("l_returnflag",
+          Map("A" -> 0.02, "N" -> 0.05, "R" -> 0.1), seed = 42L)
+        .select("l_orderkey", "l_linenumber", "l_returnflag"))
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.etl.{EventPipelines, EventTables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scan/sink operators that don't fit the oracle harness (SURVEY.md §2.1
+  * S5/S7, §2.2 K1/K2, §2.8 T10, §2.7 R3): schema-merged multi-file scans,
+  * manifest-driven file lists, partitioned writes with pruning, batch
+  * concat with batch-index prepend, and wrap-around local iteration.
+  */
+class SourcesSpec extends AnyFunSuite with SparkSuite {
+
+  test("S7: mergeSchema multi-file scan unions schemas across files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge").toString
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/part1")
+    Seq((2L, 3.5)).toDF("id", "b").write.parquet(s"$dir/part2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/part1", s"$dir/part2")
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    assert(merged.count() == 2)
+    val r1 = merged.filter(col("id") === 1).collect()(0)
+    assert(r1.getAs[String]("a") == "x" && r1.isNullAt(r1.fieldIndex("b")))
+  }
+
+  test("S5: manifest file-list source resolution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    Seq(1, 2).toDF("v").write.parquet(s"$dir/f1")
+    Seq(3).toDF("v").write.parquet(s"$dir/f2")
+    Seq(99).toDF("v").write.parquet(s"$dir/excluded")
+    val manifest = s"$dir/files.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifest), s"$dir/f1\n$dir/f2\n")
+    val paths = scala.io.Source.fromFile(manifest).getLines().filter(_.nonEmpty).toSeq
+    val df = spark.read.parquet(paths: _*)
+    assert(df.agg(sum("v")).collect()(0).getLong(0) == 6L)
+  }
+
+  test("K1/K2 + partition pruning: partitionBy write, pruned read") {
+    val out = java.nio.file.Files.createTempDirectory("pwrite").toString
+    val ev = EventTables.spacepoints(spark, nEvents = 4, nPoints = 100)
+    val vox = EventPipelines.voxelize(spark, ev, voxelSizeCm = 10.0)
+    vox.write.mode("overwrite").partitionBy("event")
+      .option("compression", "snappy").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == vox.count())
+    // partition filter must prune at the source, not post-scan
+    val one = back.filter(col("event") === 2L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event"), plan)
+    assert(one.count() == vox.filter(col("event") === 2L).count())
+  }
+
+  test("T10: batch concat with batch-index prepend (collate analog)") {
+    import spark.implicits._
+    val batches = (0 until 3).map { ib =>
+      Seq.fill(5)(ib * 10).toDF("v").withColumn("batch", lit(ib.toLong))
+    }
+    val collated = batches.reduce(_ union _)
+    assert(collated.count() == 15)
+    val perBatch = collated.groupBy("batch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+  }
+
+  test("R3: sequential wrap-around iteration via toLocalIterator") {
+    val df = Tables(spark, sf, "orders").select("o_orderkey").orderBy("o_orderkey").limit(10)
+    val n = df.count().toInt
+    val it = Iterator.continually(df.toLocalIterator().asScala).flatten
+    val twoEpochs = it.take(2 * n).map(_.getLong(0)).toSeq
+    assert(twoEpochs.take(n) == twoEpochs.drop(n)) // wraps deterministically
+  }
+
+  private implicit class RichJIterator[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}
