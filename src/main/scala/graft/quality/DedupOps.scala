@@ -35,6 +35,10 @@ object DedupOps extends OpModule {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    // 32 seeded hashes inline per (doc, token) row, reduced by 32 `min`
+    // aggregates in one map-side-partial pass. (A distinct-vocabulary
+    // broadcast-join variant benched slower: the extra exchange costs
+    // more than the redundant hashing saves.)
     val minCols: Seq[Column] =
       (0 until NumHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"m$i"))
     toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)

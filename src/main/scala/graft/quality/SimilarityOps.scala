@@ -18,23 +18,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps extends OpModule {
 
-  /** Dot product of two float-array columns as a sequential double fold.
-    * Deterministic: the fold order is the array order on a single row (no
-    * shuffle is involved), and DuckDB's `list_sum(list_transform(...))`
-    * is the same left-to-right double fold — verified bit-exact over the
-    * test vectors — so oracle parity holds without decimal overhead.
+  /** Dot product of two float-array columns — the codegen'd
+    * [[graft.tensor.FloatDot]] kernel. Deterministic: a left-to-right
+    * double fold over the array order of a single row (no shuffle), the
+    * same arithmetic as DuckDB's `list_sum(list_transform(...))` —
+    * verified bit-exact — so oracle parity holds without decimal
+    * accumulators. The caller's query fn must have called
+    * [[graft.tensor.VectorFunctions.register]] on the session.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+
+  /** L2 norm (same fold contract, codegen'd). */
+  def l2norm(a: Column): Column = call_function("float_norm", a)
+
+  /** Interpreted HOF twins, kept as the cross-check reference for
+    * VectorKernelSpec (must stay bit-identical to the codegen kernels).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-
-  /** L2 norm of a float-array column (same sequential-fold contract). */
-  def l2norm(a: Column): Column =
+  def l2normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
   /** Brute-force cosine top-k: query rows broadcast against all candidates. */
   def knnBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val q = base.filter(col("vec_id") < nQueries)
@@ -56,13 +65,15 @@ object SimilarityOps extends OpModule {
     * against [[knnBrute]] recall in SimilaritySpec).
     */
   def knnLsh(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
     val nPlanes = 8
     val rng = new scala.util.Random(7)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nPlanes)(Array.fill(64)(rng.nextGaussian()))
+    // float planes so the codegen float_dot kernel applies end-to-end
+    val planes: Seq[Array[Float]] =
+      Seq.fill(nPlanes)(Array.fill(64)(rng.nextGaussian().toFloat))
     def sig(emb: Column): Column =
       planes.zipWithIndex.map { case (p, j) =>
-        val pc = array(p.map(lit): _*)
+        val pc = array(p.map(lit): _*).cast("array<float>")
         when(dot(emb, pc) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
 
@@ -75,6 +86,42 @@ object SimilarityOps extends OpModule {
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qn"), col("probe").as("sig"))
     base.join(q, Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", dot(col("qemb"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF-bucketed ANN: vectors are assigned to their nearest of
+    * `nCentroids` seed centroids (the inverted file); a query scans only
+    * its `nProbe` closest centroid lists. One broadcast of the (tiny)
+    * centroid table for assignment, then an equi-join on the centroid id
+    * — candidate work is |probed lists|, not |table|. Seed centroids are
+    * the first `nCentroids` vectors (a k-means step would slot in here
+    * unchanged at scale).
+    */
+  def knnIvf(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cents = base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    def nearestCents(df: DataFrame, keep: Int): DataFrame = df
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)))
+      .filter(col("crn") <= keep)
+    val assigned = nearestCents(base, 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent"))
+    val probes = nearestCents(base.filter(col("vec_id") < nQueries), nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qn"), col("cent"))
+    assigned.join(probes, Seq("cent"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", dot(col("qemb"), col("embedding")) / (col("qn") * col("nrm")))
       .withColumn("rnk", row_number().over(
@@ -119,6 +166,7 @@ object SimilarityOps extends OpModule {
         |         CAST(row_number() OVER (ORDER BY cos_sim DESC, a ASC, b ASC) AS BIGINT) AS rnk
         |  FROM sc) WHERE rnk <= 50 ORDER BY rnk""".stripMargin),
       (s, dir) => {
+        graft.tensor.VectorFunctions.register(s)
         val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
           .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
         val l = base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -173,6 +221,9 @@ object SimilarityOps extends OpModule {
 
     // LSH-bucketed ANN (scale path; oracle-free — recall asserted vs the
     // brute-force baseline in SimilaritySpec).
-    Q("nn2_lsh_ann", None, (s, dir) => knnLsh(s, dir, nQueries = 10, k = 3))
+    Q("nn2_lsh_ann", None, (s, dir) => knnLsh(s, dir, nQueries = 10, k = 3)),
+
+    // IVF-bucketed ANN (the other scale path; same contract).
+    Q("nn3_ivf_ann", None, (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3))
   )
 }

@@ -40,4 +40,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val hit = lsh.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
     assert(hit >= 3, s"LSH recalled only $hit of ${brute.size} brute-force pairs")
   }
+
+  test("IVF ANN probes centroid lists and overlaps the brute-force top-k") {
+    val brute = SimilarityOps.knnBrute(spark, sf, nQueries = 10, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.knnIvf(spark, sf, nQueries = 10, k = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val cs = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    val hit = ivf.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    assert(hit >= 3, s"IVF recalled only $hit of ${brute.size} brute-force pairs")
+  }
 }

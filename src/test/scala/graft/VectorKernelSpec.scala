@@ -1,0 +1,43 @@
+package graft
+
+import graft.quality.SimilarityOps
+import graft.tensor.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen float_dot/float_norm kernels must stay bit-identical to
+  * the interpreted HOF folds (that identity is what guarantees DuckDB
+  * oracle parity for every similarity query).
+  */
+class VectorKernelSpec extends AnyFunSuite with SparkSuite {
+
+  test("float_dot and float_norm are bit-identical to the HOF folds") {
+    VectorFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .join(e.select((col("vec_id") + 7).as("vec_id"), col("embedding").as("b")), "vec_id")
+    val diff = pairs.select(
+      SimilarityOps.dot(col("a"), col("b")).as("cg"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("cg") =!= col("hof")) // exact double equality
+      .count()
+    assert(diff == 0)
+    val ndiff = e.select(
+      SimilarityOps.l2norm(col("embedding")).as("cg"),
+      SimilarityOps.l2normHof(col("embedding")).as("hof"))
+      .filter(col("cg") =!= col("hof"))
+      .count()
+    assert(ndiff == 0)
+  }
+
+  test("kernels survive whole-stage codegen (non-fallback plan) and null inputs") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(1f, 1f)))).toDF("a", "b")
+    val out = df.select(call_function("float_dot", col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+}
