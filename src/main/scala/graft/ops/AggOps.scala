@@ -41,6 +41,26 @@ object AggOps extends OpModule {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // A2b — exact distinct count per group (np.unique sizes); the
+    // approximate HLL variant is a2c below (rows-only — sketch registers
+    // aren't oracle-reproducible).
+    Q("a2b_count_distinct", Some(
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // A2c — approx_count_distinct: the 100 TB path (HLL++ sketch, one
+    // pass, no distinct shuffle). Rows-only; AggInvariantSpec bounds its
+    // error against a2b.
+    Q("a2c_approx_distinct", None,
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_custs_approx"))
+        .orderBy("o_orderpriority")),
+
     // A3 — duplicate-key audit (the reference's duplicate-voxel invariant,
     // larvoxel_dataset.py:101-110): groupBy count > 1.
     Q("a3_dup_audit", Some(

@@ -29,6 +29,21 @@ object TextOps extends OpModule {
           length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
 
+    // BPE-ish regex tokenization: word pieces / digit runs / single
+    // non-space symbols — the pre-tokenizer shape of byte-pair encoders.
+    Q("x1b_bpe_tokens", Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_pieces"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_digit_runs"))
+        .orderBy("doc_id")),
+
     // Quality scoring: alphabetic ratio + average token length, combined.
     Q("x2_quality_score", Some(
       """SELECT doc_id, n_chars_calc, n_tokens, alpha_ratio,
