@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.tensor.{FloatDot, FloatNorm}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite the idiomatic higher-order-function dot-product
+  * / norm patterns into the codegen'd [[FloatDot]]/[[FloatNorm]] kernels.
+  *
+  * A user writing the natural declarative form
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, (s, v) -> s + v)`
+  * gets the tight primitive loop automatically — the engine's plans stay
+  * declarative and the optimization lives in the optimizer, which is the
+  * Spark-first answer to the reference's hand-vectorized NumPy kernels
+  * (SURVEY.md §4 "custom Catalyst work").
+  *
+  * The rewrite only fires when the arithmetic is IDENTICAL to the kernel
+  * contract (left-to-right `(double)a[i]*(double)b[i]` fold over
+  * `array<float>` inputs), so results are bit-for-bit unchanged.
+  */
+object KernelFusionRule extends Rule[LogicalPlan] {
+
+  private object DoubleOf {
+    /** Matches `cast(x as double)` or a double-typed lambda var. */
+    def unapply(e: Expression): Option[NamedLambdaVariable] = e match {
+      case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+      case v: NamedLambdaVariable if v.dataType == DoubleType => Some(v)
+      case _ => None
+    }
+  }
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private object SumFold {
+    /** Matches `(acc, v) -> acc + v` over the zero literal 0.0. */
+    def unapply(agg: ArrayAggregate): Option[Expression] = agg match {
+      case ArrayAggregate(input,
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(a: NamedLambdaVariable, b: NamedLambdaVariable, _), Seq(a2, b2), _),
+          LambdaFunction(f: NamedLambdaVariable, Seq(f2), _))
+        if a.exprId == a2.asInstanceOf[NamedLambdaVariable].exprId &&
+          b.exprId == b2.asInstanceOf[NamedLambdaVariable].exprId &&
+          f.exprId == f2.asInstanceOf[NamedLambdaVariable].exprId =>
+        Some(input)
+      case _ => None
+    }
+  }
+
+  private def rewrite(e: Expression): Expression = e.transformUp {
+    // aggregate(zip_with(a, b, (x,y) -> dx * dy), 0.0, +) → float_dot(a, b)
+    case agg @ SumFold(ZipWith(l, r,
+        LambdaFunction(Multiply(DoubleOf(x), DoubleOf(y), _), Seq(x2, y2), _)))
+      if isFloatArray(l) && isFloatArray(r) &&
+        x.exprId == x2.asInstanceOf[NamedLambdaVariable].exprId &&
+        y.exprId == y2.asInstanceOf[NamedLambdaVariable].exprId =>
+      FloatDot(l, r)
+
+    // sqrt(aggregate(transform(a, x -> dx * dx), 0.0, +)) → float_norm(a)
+    case Sqrt(SumFold(ArrayTransform(a,
+        LambdaFunction(Multiply(DoubleOf(x), DoubleOf(y), _), Seq(v), _))))
+      if isFloatArray(a) &&
+        x.exprId == v.asInstanceOf[NamedLambdaVariable].exprId &&
+        y.exprId == v.asInstanceOf[NamedLambdaVariable].exprId =>
+      FloatNorm(a)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case e => rewrite(e)
+    }
+}
+
+/** Session extensions: inject the fusion rule and register the tensor /
+  * vector SQL functions. Usage:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    e.injectOptimizerRule(_ => KernelFusionRule)
+    e.injectFunction((FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("float_norm"),
+      new ExpressionInfo(classOf[FloatNorm].getName, "float_norm"),
+      (exprs: Seq[Expression]) => FloatNorm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("tensor_explode"),
+      new ExpressionInfo(classOf[graft.tensor.TensorExplode].getName, "tensor_explode"),
+      (exprs: Seq[Expression]) => graft.tensor.TensorExplode(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("tensor_reshape"),
+      new ExpressionInfo(classOf[graft.tensor.TensorReshape].getName, "tensor_reshape"),
+      (exprs: Seq[Expression]) => graft.tensor.TensorReshape(exprs(0), exprs(1))))
+  }
+}
