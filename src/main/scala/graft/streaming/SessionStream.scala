@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization via flatMapGroupsWithState — the
+  * custom-state path of SURVEY.md §2.11 (the streaming twin of the batch
+  * window query st2_sessionize). State per user is one (count, lastTs)
+  * pair: bounded regardless of stream length.
+  */
+object SessionStream {
+
+  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class SessionState(nSessions: Long, lastUs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val GapUs: Long = 1800L * 1000000L // 30 min, matches st2_sessionize
+
+  def sessionize(
+      key: Long,
+      rows: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[UserSessions] = {
+    // within a micro-batch rows are unordered; order by event id (the
+    // reference's entry order) before applying the gap rule
+    val sorted = rows.toSeq.sortBy(_.event_id)
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+    var n = 0L
+    sorted.foreach { e =>
+      val newSession = st.nSessions == 0L || e.us - st.lastUs > GapUs
+      st = SessionState(st.nSessions + (if (newSession) 1L else 0L), e.us)
+      n += 1
+    }
+    state.update(st)
+    Iterator.single(UserSessions(key, st.nSessions, n))
+  }
+
+  /** Run the stateful sessionizer over a directory of events parquet and
+    * return the final per-user session counts (memory sink, bounded input).
+    */
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.readStream
+      .schema(EventStream.eventSchema)
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .as[Ev]
+    val sessions = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sessionize)
+    val q = sessions.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits one row per (user, batch); keep the latest state
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), sum("n_events").as("n_events"))
+  }
+}

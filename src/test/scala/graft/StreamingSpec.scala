@@ -17,4 +17,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("stateful flatMapGroupsWithState sessionization equals the batch window form") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = graft.streaming.SessionStream
+      .runToCompletion(spark, dir.toString, "sess_test")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = ops.WindowOps.qs.find(_.name == "st2_sessionize").get.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
 }
