@@ -59,6 +59,54 @@ object EventOps extends OpModule {
           .orderBy("day")
       }),
 
+    // As-of join: each error event matched to the same user's most recent
+    // strictly-prior purchase. Spark lacks a native as-of operator; the
+    // Spark-first form is a single windowed pass over the merged stream —
+    // no join at all, one shuffle by user. (event_id is the monotone time
+    // proxy; ns-timestamp ties would make ordering engine-dependent.)
+    Q("j8_asof_join", Some(
+      """SELECT event_id, user_id, prior_purchase FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase
+        |  FROM events)
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .withColumn("prior_purchase",
+            last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "error")
+          .select("event_id", "user_id", "prior_purchase")
+          .orderBy("event_id")
+      }),
+
+    // T4-inverse — unpivot/melt: wide per-day counts back to long form.
+    Q("t4b_unpivot", Some(
+      """WITH wide AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS error
+        |  FROM events GROUP BY day)
+        |SELECT day, kind, n FROM (
+        |  SELECT day, 'click' AS kind, click AS n FROM wide
+        |  UNION ALL
+        |  SELECT day, 'error' AS kind, error AS n FROM wide)
+        |ORDER BY day, kind""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error"))
+        .agg(count(lit(1)))
+        .select(col("day"), col("click"), col("error"))
+        .na.fill(0L, Seq("click", "error"))
+        .unpivot(Array(col("day")), Array(col("click"), col("error")), "kind", "n")
+        .orderBy("day", "kind")),
+
     // J5 — radius self-join via grid bucketing: pairs of events from the
     // same user within 600 s. Each left row is exploded to its own and the
     // two neighboring time buckets, so every qualifying pair is matched by

@@ -253,6 +253,18 @@ object RelationalOps extends OpModule {
           .orderBy("c_custkey")
       }),
 
+    // Cube (free via Catalyst, SURVEY §2.5 note).
+    Q("a10b_cube", Some(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy("rf", "ls")),
+
     // Rollup (free via Catalyst, SURVEY §2.5 note).
     Q("a10_rollup", Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
