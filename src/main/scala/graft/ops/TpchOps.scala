@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** TPC-H-shaped headline queries adapted to the driver's test schema —
+  * the recognizable scan-heavy (Q1), join-top-k (Q3) and selective-scan
+  * (Q6) benchmark shapes, all DuckDB-oracled.
+  *
+  * Float policy: per-row products are computed in double (deterministic
+  * on identical inputs), then cast to DECIMAL(18,4) before the shuffled
+  * sum so accumulation is exact and order-free (see graft.Dec).
+  */
+object TpchOps extends OpModule {
+
+  private def dsum4(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  val qs: Seq[Q] = Seq(
+    // Q1 pricing summary: full-scan multi-aggregate with avg/sum/count.
+    Q("tpch_q1", Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => {
+        val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        // (1+tax) is multiplied in exact decimal space: chaining a second
+        // double→decimal cast can disagree with DuckDB at a shortest-
+        // representation rounding boundary (observed on this data).
+        // The scale-8 sum goes to double VIA A STRING: a direct
+        // decimal→double cast double-rounds in DuckDB once the scaled
+        // integer exceeds 2^53, and a scale-down re-round hits exact-half
+        // ties; both engines print the exact decimal and parse the string
+        // with correctly-rounded strtod, so the string route is identical.
+        val charge = disc.cast(DecimalType(18, 4)) *
+          (lit(1) + col("l_tax")).cast(DecimalType(8, 4))
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum4(col("l_quantity")).as("sum_qty"),
+            dsum4(col("l_extendedprice")).as("sum_base_price"),
+            dsum4(disc).as("sum_disc_price"),
+            sum(charge).cast("string").cast("double").as("sum_charge"),
+            (dsum4(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum4(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (dsum4(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
+    // Q3 shipping-priority shape: segment filter, two joins, revenue
+    // top-10 via sort-limit.
+    Q("tpch_q3", Some(
+      """SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+        |  SELECT o_orderkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |    o_orderdate, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |                JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff)
+          .join(Tables(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // Q6 forecast-revenue-change: highly selective scan, single-row agg.
+    Q("tpch_q6", Some(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n")))
+  )
+}

@@ -114,14 +114,16 @@ object TextOps extends OpModule {
           length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
 
-    // Exact dedup: one survivor (lowest doc_id) per distinct text.
+    // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups
+    // by the content hash, not the text — the shuffle carries 32-byte
+    // keys instead of whole documents (the 100 TB-relevant difference).
     Q("dd1_exact_dedup", Some(
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin),
       (s, dir) => Tables(s, dir, "documents")
-        .groupBy(col("text"))
+        .select(md5(col("text")).as("text_md5"), col("doc_id"))
+        .groupBy("text_md5")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(md5(col("text")).as("text_md5"), col("keep_id"), col("n_copies"))
         .orderBy("text_md5")),
 
     // Token-set Jaccard near-dup pairs over a bounded id block. The block
