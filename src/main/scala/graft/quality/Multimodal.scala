@@ -61,6 +61,27 @@ object Multimodal extends OpModule {
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("payload_bytes"),
           ceil(length(col("payload")) / lit(256.0)).cast("long").as("n_chunks"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Chunked payload processing (frame-sampling analog): split each
+    // payload into fixed 256-byte chunks relationally and fingerprint
+    // each chunk — the plan shape of per-frame feature extraction, with
+    // the codec swapped for md5.
+    Q("mm2_chunk_features", Some(
+      """SELECT doc_id, chunk_idx, md5(substring(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS chunk_fp,
+        |  CAST(length(substring(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS chunk_len
+        |FROM (SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_idx
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, dir) => {
+        val chunk = "substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)"
+        Tables(s, dir, "documents")
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0L), ceil(length(col("text")) / lit(256.0)).cast("long") - 1)))
+          .select(col("doc_id"), col("chunk_idx"),
+            md5(expr(chunk)).as("chunk_fp"),
+            length(expr(chunk)).cast("long").as("chunk_len"))
+          .orderBy("doc_id", "chunk_idx")
+      })
   )
 }
