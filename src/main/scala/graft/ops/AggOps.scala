@@ -61,6 +61,17 @@ object AggOps extends OpModule {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_custs_approx"))
         .orderBy("o_orderpriority")),
 
+    // Quantile sketch (the reference's score-range prints, generalized):
+    // exact interpolated percentiles don't reproduce across engines, so
+    // the exact twin carries the oracle via min/max/median-free stats and
+    // the sketch is rows-only with an error-bound spec.
+    Q("a11_quantiles", None,
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("price_quartiles"))
+        .orderBy("l_returnflag")),
+
     // A3 — duplicate-key audit (the reference's duplicate-voxel invariant,
     // larvoxel_dataset.py:101-110): groupBy count > 1.
     Q("a3_dup_audit", Some(

@@ -99,8 +99,41 @@ object DedupOps extends OpModule {
     agg.select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** SimHash near-dup pairs at unbounded scale: block the 64-bit
+    * signature into four 16-bit keys; any pair within hamming ≤ 3 shares
+    * at least one block (pigeonhole), so candidates come from an
+    * equi-join on (block, key) — never an all-pairs scan. Larger hamming
+    * radii are best-effort recall, as with any blocked sketch.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val sh = simhashes(s, dir)
+    val blocks = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+    }
+    val exploded = sh
+      .withColumn("bk", explode(array(blocks: _*)))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val buckets = exploded
+      .groupBy("blk", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")).between(2, 1000)) // skew guard, as in MinHash
+    buckets
+      .select(explode(expr(
+        "flatten(transform(members, (x, i) -> transform(slice(members, i + 2, size(members)), " +
+          "y -> struct(x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb))))"
+      )).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("dd2_minhash_lsh", None, (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
+
+    Q("dd3b_simhash_lsh", None, (s, dir) => simhashPairs(s, dir, maxHamming = 8)),
 
     Q("dd3_simhash", None, (s, dir) => {
       val sh = simhashes(s, dir)

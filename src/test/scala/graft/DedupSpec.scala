@@ -57,6 +57,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(errs.sum / errs.size < 0.15, f"mean |exact-est| = ${errs.sum / errs.size}%.3f")
   }
 
+  test("simhash block-LSH: finds all hamming≤3 pairs (pigeonhole) and the planted dup") {
+    val sh = DedupOps.simhashes(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sh.keys.toSeq.sorted
+    val bruteClose = (for (a <- ids; b <- ids if a < b;
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3) yield (a, b)).toSet
+    val blocked = DedupOps.simhashPairs(spark, plantedDir, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == bruteClose) // pigeonhole guarantee at hamming ≤ 3
+    val wide = DedupOps.simhashPairs(spark, plantedDir, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((0L, 100L))) // planted exact dup, hamming 0
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
