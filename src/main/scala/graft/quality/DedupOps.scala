@@ -44,23 +44,39 @@ object DedupOps extends OpModule {
     toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Candidate pairs via banded LSH over the MinHash signatures, with the
-    * per-band Jaccard estimate (fraction of agreeing minhashes).
+  /** Near-dup pairs via MinHash. Two tiers, both linear where the data is
+    * degenerate:
+    *
+    * 1. Signature-identical cliques (common in web-scale corpora: exact
+    *    and near-exact duplicates) are collapsed first — each clique
+    *    emits (representative, member) pairs, LINEAR in clique size,
+    *    where naive bucket pair-expansion would be quadratic (a 1.6k-doc
+    *    clique = 1.3M pairs).
+    * 2. Banded LSH runs over the distinct-signature representatives only;
+    *    bucket pair expansion happens in-expression after a single
+    *    shuffle, with a bucket-size cap as the residual skew guard.
     */
   def minhashPairs(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
-    val sigs = minhashSignatures(s, dir).cache()
+    val sigCols = (0 until NumHashes).map(i => col(s"m$i"))
+    val cliques = minhashSignatures(s, dir)
+      .groupBy(sigCols: _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .cache()
+    // tier 1: within-clique pairs, est = 1.0 (all minhashes agree)
+    val cliquePairs = cliques
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS a, x AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"), lit(1.0).as("est_jaccard"))
+    // tier 2: banded LSH over one representative per distinct signature
+    val reps = cliques.select(element_at(col("ids"), 1).as("doc_id") +: sigCols: _*)
     val bandKeys: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
       val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey")).as(s"bk$b")
     }
-    val exploded = sigs
+    val buckets = reps
       .withColumn("bk", explode(array(bandKeys: _*)))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // One shuffle: gather each LSH bucket's members, then expand candidate
-    // pairs in-expression. The size cap is the skew guard — a degenerate
-    // boilerplate bucket of k docs would otherwise contribute k²/2 pairs
-    // and dominate the stage at scale.
-    val buckets = exploded
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
@@ -72,13 +88,13 @@ object DedupOps extends OpModule {
     val estCols = (0 until NumHashes)
       .map(i => when(col(s"la.m$i") === col(s"lb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
-      .join(sigs.as("la"), col("a") === col("la.doc_id"))
-      .join(sigs.as("lb"), col("b") === col("lb.doc_id"))
+    val repPairs = cand
+      .join(reps.as("la"), col("a") === col("la.doc_id"))
+      .join(reps.as("lb"), col("b") === col("lb.doc_id"))
       .withColumn("est_jaccard", estCols.cast("double") / NumHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("a", "b", "est_jaccard")
-      .orderBy("a", "b")
+    cliquePairs.union(repPairs).orderBy("a", "b")
   }
 
   /** (doc_id, simhash) — 64-bit SimHash from token xxhash64 bits, computed

@@ -73,7 +73,7 @@ object SimilarityOps extends OpModule {
       Seq.fill(nPlanes)(Array.fill(64)(rng.nextGaussian().toFloat))
     def sig(emb: Column): Column =
       planes.zipWithIndex.map { case (p, j) =>
-        val pc = array(p.map(lit): _*).cast("array<float>")
+        val pc = array(p.toIndexedSeq.map(lit): _*).cast("array<float>")
         when(dot(emb, pc) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
 
