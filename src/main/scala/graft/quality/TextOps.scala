@@ -114,6 +114,24 @@ object TextOps extends OpModule {
           length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (MOSS-style): k-gram rolling hashes, minimum
+    // per sliding window of w — robust overlap detection for partial-copy
+    // dedup. Pure HOFs over each row (no shuffle until the final sort);
+    // xxhash64-based, so rows-only (WinnowSpec pins the overlap
+    // guarantees on planted shared substrings).
+    Q("x5_winnow_fingerprint", None,
+      (s, dir) => {
+        val k = 8  // k-gram length (chars)
+        val w = 16 // winnow window
+        Tables(s, dir, "documents")
+          .withColumn("hs", expr(
+            s"transform(sequence(1, greatest(1, length(text) - $k + 1)), i -> xxhash64(substring(text, i, $k)))"))
+          .withColumn("fps", expr(
+            s"array_distinct(transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w))))"))
+          .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("n_fps"))
+          .orderBy("doc_id")
+      }),
+
     // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups
     // by the content hash, not the text — the shuffle carries 32-byte
     // keys instead of whole documents (the 100 TB-relevant difference).
