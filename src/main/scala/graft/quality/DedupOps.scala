@@ -56,19 +56,27 @@ object DedupOps extends OpModule {
     *    bucket pair expansion happens in-expression after a single
     *    shuffle, with a bucket-size cap as the residual skew guard.
     */
-  def minhashPairs(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
+  /** @param minBands candidate pairs must collide in at least this many
+    *   bands (the distinct becomes a count over the same shuffle). At
+    *   high est-thresholds this prunes the signature join's input
+    *   several-fold with negligible recall loss (P[≥2 of 4 bands] ≈ 0.89
+    *   at j = 0.95).
+    */
+  /** (m0..m31, ids) — documents grouped by identical full signature,
+    * member ids sorted (ids[0] is the clique representative = min id).
+    */
+  def minhashCliques(s: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until NumHashes).map(i => col(s"m$i"))
-    val cliques = minhashSignatures(s, dir)
+    minhashSignatures(s, dir)
       .groupBy(sigCols: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .cache()
-    // tier 1: within-clique pairs, est = 1.0 (all minhashes agree)
-    val cliquePairs = cliques
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS a, x AS b))")).as("p"))
-      .select(col("p.a"), col("p.b"), lit(1.0).as("est_jaccard"))
-    // tier 2: banded LSH over one representative per distinct signature
+  }
+
+  /** Banded-LSH near-dup pairs between clique REPRESENTATIVES with the
+    * minhash-agreement Jaccard estimate.
+    */
+  private def repPairs(cliques: DataFrame, minEstJaccard: Double, minBands: Int): DataFrame = {
+    val sigCols = (0 until NumHashes).map(i => col(s"m$i"))
     val reps = cliques.select(element_at(col("ids"), 1).as("doc_id") +: sigCols: _*)
     val bandKeys: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
       val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i"))
@@ -79,22 +87,53 @@ object DedupOps extends OpModule {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
+      .filter(size(col("ids")).between(2, 1000)) // skew guard
     val cand = buckets
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
       )).as("p"))
-      .select(col("p.a"), col("p.b")).distinct()
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("nbands"))
+      .filter(col("nbands") >= minBands)
+      .select("a", "b")
     val estCols = (0 until NumHashes)
       .map(i => when(col(s"la.m$i") === col(s"lb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val repPairs = cand
+    cand
       .join(reps.as("la"), col("a") === col("la.doc_id"))
       .join(reps.as("lb"), col("b") === col("lb.doc_id"))
       .withColumn("est_jaccard", estCols.cast("double") / NumHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("a", "b", "est_jaccard")
-    cliquePairs.union(repPairs).orderBy("a", "b")
+  }
+
+  def minhashPairs(s: SparkSession, dir: String, minEstJaccard: Double,
+      minBands: Int = 1): DataFrame = {
+    val cliques = minhashCliques(s, dir).cache()
+    // tier 1: within-clique pairs, est = 1.0 (all minhashes agree)
+    val cliquePairs = cliques
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS a, x AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"), lit(1.0).as("est_jaccard"))
+    cliquePairs.union(repPairs(cliques, minEstJaccard, minBands)).orderBy("a", "b")
+  }
+
+  /** Full dedup-cluster assignment: connected components run over the
+    * (tiny) representative graph only; members inherit their rep's
+    * component through the clique map. One row per document with the
+    * cluster's minimum doc id — the "keep one per cluster" table.
+    */
+  def dedupClusters(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
+    val cliques = minhashCliques(s, dir).cache()
+    val rp = repPairs(cliques, minEstJaccard, minBands = 2).select("a", "b")
+    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 10)
+      .withColumnRenamed("id", "rep")
+    cliques
+      .select(element_at(col("ids"), 1).as("rep"), explode(col("ids")).as("doc_id"))
+      .join(comp, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("cluster_rep"))
+      .orderBy("doc_id")
   }
 
   /** (doc_id, simhash) — 64-bit SimHash from token xxhash64 bits, computed
@@ -150,6 +189,12 @@ object DedupOps extends OpModule {
     Q("dd2_minhash_lsh", None, (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
 
     Q("dd3b_simhash_lsh", None, (s, dir) => simhashPairs(s, dir, maxHamming = 8)),
+
+    // Dedup clusters: the complete pipeline shape — sketch → clique
+    // collapse → rep-graph LSH pairs → connected components on the rep
+    // graph only → members inherit labels. One row per document.
+    Q("dd6_dedup_clusters", None,
+      (s, dir) => dedupClusters(s, dir, minEstJaccard = 0.95)),
 
     Q("dd3_simhash", None, (s, dir) => {
       val sh = simhashes(s, dir)
