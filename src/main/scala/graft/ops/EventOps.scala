@@ -36,6 +36,19 @@ object EventOps extends OpModule {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // Typed JSON extraction: from_json with an explicit schema — the
+    // scalable path (no per-row path parsing; one struct projection).
+    Q("e2_json_typed", Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .orderBy("event_id")),
+
     // T4 — sparse→dense pivot (COO scatter analog,
     // view_spacepoint_data.ipynb cell-11..13): day × event_type counts.
     Q("t4_pivot", Some(

@@ -49,6 +49,17 @@ object Multimodal extends OpModule {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  /** Resize / frame-sample stub over decoded metadata: halves the fake
+    * dimensions and keeps every `stride`-th chunk — the Spark-side plan
+    * shape of a media downsampling stage (the codec itself is stubbed).
+    */
+  def resizeStub(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.select(col("doc_id"),
+      (col("width") / 2).cast("int").as("width"),
+      (col("height") / 2).cast("int").as("height"),
+      expr(s"payload_bytes div $stride").as("sampled_bytes"),
+      col("mean_intensity"))
+
   val qs: Seq[Q] = Seq(
     // Binary-column ingestion + chunk accounting (the SQL-checkable part;
     // the decode stub is covered by MultimodalSpec).

@@ -26,4 +26,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val again = Multimodal.decodeBinary(docs).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("resize stub halves dimensions and subsamples bytes") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val decoded = Multimodal.decodeBinary(docs)
+    val resized = Multimodal.resizeStub(decoded, stride = 4).collect()
+    val orig = decoded.collect().map(r => r.getLong(0) -> r).toMap
+    resized.foreach { r =>
+      val o = orig(r.getLong(0))
+      assert(r.getInt(1) == o.getInt(2) / 2)
+      assert(r.getLong(3) == o.getLong(1) / 4)
+    }
+  }
 }
