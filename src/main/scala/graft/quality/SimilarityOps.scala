@@ -224,6 +224,33 @@ object SimilarityOps extends OpModule {
     Q("nn2_lsh_ann", None, (s, dir) => knnLsh(s, dir, nQueries = 10, k = 3)),
 
     // IVF-bucketed ANN (the other scale path; same contract).
-    Q("nn3_ivf_ann", None, (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3))
+    Q("nn3_ivf_ann", None, (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3)),
+
+    // V5 with the reference's actual Gaussian kernel exp(−d²/σ²), σ=10
+    // (/root/reference/dlmerged2parquet.py:232). libm exp() isn't
+    // bit-identical across engines, so this variant is rows-only; the
+    // rational-kernel twin v5_keypoint_score carries the oracle and
+    // SimilaritySpec pins that both kernels pick the same argmax keypoint
+    // (they are monotone in the same distance).
+    Q("v5b_keypoint_gauss", None, (s, dir) => {
+      def dims(df: DataFrame, pre: String): DataFrame =
+        df.select(col("vec_id") +:
+          (0 until 4).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"$pre$i")): _*)
+      val e = dims(Tables(s, dir, "embeddings"), "e")
+      val k = dims(Tables(s, dir, "embeddings").filter(col("vec_id") < 5), "k")
+        .withColumnRenamed("vec_id", "kp_id")
+      val d2 = (col("e0") - col("k0")) * (col("e0") - col("k0")) +
+        (col("e1") - col("k1")) * (col("e1") - col("k1")) +
+        (col("e2") - col("k2")) * (col("e2") - col("k2")) +
+        (col("e3") - col("k3")) * (col("e3") - col("k3"))
+      val sigma2 = 100.0 // σ = 10, as in the reference
+      e.crossJoin(broadcast(k))
+        .withColumn("score", exp(-d2 / sigma2))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("score").desc, col("kp_id").asc)))
+        .filter(col("rn") === 1)
+        .select("vec_id", "kp_id", "score")
+        .orderBy("vec_id")
+    })
   )
 }

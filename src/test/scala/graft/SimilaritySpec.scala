@@ -41,6 +41,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(hit >= 3, s"LSH recalled only $hit of ${brute.size} brute-force pairs")
   }
 
+  test("Gaussian and rational keypoint kernels agree on the argmax keypoint") {
+    val rational = SparkEntry.queries("v5_keypoint_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gauss = SparkEntry.queries("v5b_keypoint_gauss")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rational == gauss) // both kernels are monotone in d²
+  }
+
   test("IVF ANN probes centroid lists and overlaps the brute-force top-k") {
     val brute = SimilarityOps.knnBrute(spark, sf, nQueries = 10, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
