@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def modules: Seq[OpModule] = Seq(
     ops.RelationalOps, ops.AggOps, ops.WindowOps, ops.EventOps,
-    ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.TpchOps,
+    ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.TpchOps, ops.ScalarOps,
     quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.Multimodal)
 
   lazy val all: Seq[Q] = {
