@@ -1,8 +1,8 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** User-facing reader over one-row-per-event ragged-tensor parquet — the
   * Spark-native equivalent of the reference's reader/dataset classes
@@ -30,10 +30,24 @@ class EventReader(
 
   /** Entry order: the reference relies on file order; Spark has no stable
     * implicit order, so entries are ranked by the composite event key.
+    *
+    * Scale-safe ranking: a global `row_number() OVER (ORDER BY ...)`
+    * window funnels the whole table through ONE reducer; instead the
+    * table is range-partitioned on the key (globally ordered partitions),
+    * sorted within each partition, and indices are assigned from
+    * cumulative per-partition counts (`zipWithIndex` — one small count
+    * job, then a map). This is the distributed form of the reference's
+    * own `set_partition` offset math (larvoxel_dataset.py:196-201): no
+    * stage ever sees more than its partition.
     */
-  private lazy val indexed: DataFrame =
-    df.withColumn("__entry",
-      row_number().over(Window.orderBy("run", "subrun", "event")) - 1)
+  private lazy val indexed: DataFrame = {
+    val keys = Seq(col("run"), col("subrun"), col("event"))
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("__entry", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
 
   lazy val nentries: Long = df.count()
 

@@ -62,15 +62,49 @@ object AggOps extends OpModule {
         .orderBy("o_orderpriority")),
 
     // Quantile sketch (the reference's score-range prints, generalized):
-    // exact interpolated percentiles don't reproduce across engines, so
-    // the exact twin carries the oracle via min/max/median-free stats and
-    // the sketch is rows-only with an error-bound spec.
+    // the approx sketch's register contents aren't oracle-reproducible, so
+    // it stays rows-only (scalar columns — the driver compare cannot hash
+    // array cells); a11b below is the exact rank-based twin that carries a
+    // full oracle. AggInvariantSpec bounds the sketch against the exact.
     Q("a11_quantiles", None,
       (s, dir) => Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("price_quartiles"))
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("q25"),
+          element_at(col("q"), 2).as("q50"),
+          element_at(col("q"), 3).as("q75"))
         .orderBy("l_returnflag")),
+
+    // A11b — exact discrete quantiles: the value at rank ceil(q·n) per
+    // group. Pure rank arithmetic on actual data values — no float
+    // interpolation, so it reproduces bit-for-bit on any engine. The
+    // per-group sort is the price of exactness (3 groups here ⇒ 3
+    // reducers); a11's one-pass sketch is the 100 TB path.
+    Q("a11b_quantiles_exact", Some(
+      """WITH g AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n * 0.25) THEN l_extendedprice END) AS q25,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS q50,
+        |  max(CASE WHEN rn = ceil(n * 0.75) THEN l_extendedprice END) AS q75
+        |FROM g GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val byFlag = Window.partitionBy("l_returnflag")
+        val g = Tables(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice")
+          .withColumn("rn", row_number().over(byFlag.orderBy("l_extendedprice")))
+          .withColumn("n", count(lit(1)).over(byFlag))
+        def at(q: Double) =
+          max(when(col("rn") === ceil(col("n") * q), col("l_extendedprice")))
+        g.groupBy("l_returnflag")
+          .agg(at(0.25).as("q25"), at(0.5).as("q50"), at(0.75).as("q75"))
+          .orderBy("l_returnflag")
+      }),
 
     // A3 — duplicate-key audit (the reference's duplicate-voxel invariant,
     // larvoxel_dataset.py:101-110): groupBy count > 1.

@@ -19,12 +19,19 @@ object ArrayOps extends OpModule {
 
   val qs: Seq[Q] = Seq(
     // P2 — column-slice projection on a tensor cell (spacepoint [:, :3],
-    // view_spacepoint_data.ipynb cell-7).
+    // view_spacepoint_data.ipynb cell-7). Emitted in long form (one row
+    // per position) — the driver's pandas hash-compare cannot factorize
+    // array-valued cells, so array-typed output columns are avoided in
+    // every oracled query.
     Q("p2_array_slice", Some(
-      "SELECT vec_id, embedding[1:3] AS emb_head FROM embeddings ORDER BY vec_id"),
+      """SELECT vec_id, CAST(generate_subscripts(emb_head, 1) - 1 AS BIGINT) AS pos,
+        |       unnest(emb_head) AS val
+        |FROM (SELECT vec_id, embedding[1:3] AS emb_head FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin),
       (s, dir) => Tables(s, dir, "embeddings")
-        .select(col("vec_id"), slice(col("embedding"), 1, 3).as("emb_head"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 3)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
+        .orderBy("vec_id", "pos")),
 
     // J2 — positional zip join: flatten a tensor cell to long form with
     // explicit positions (zip(trackid, pid, ...) analog,
@@ -42,13 +49,45 @@ object ArrayOps extends OpModule {
 
     // T5/T8 — elementwise arithmetic map over an array cell
     // (pos3d[:,1] -= 117.0 analog, view_voxel_data.ipynb cell-6).
+    // Long-form output (see p2 note); the map itself stays a codegen'd
+    // `transform` over the intact array cell.
     Q("t5_elementwise", Some(
-      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2 + 1) AS scaled
-        |FROM embeddings ORDER BY vec_id""".stripMargin),
+      """SELECT vec_id, CAST(generate_subscripts(scaled, 1) - 1 AS BIGINT) AS pos,
+        |       unnest(scaled) AS val
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2 + 1) AS scaled
+        |      FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin),
       (s, dir) => Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double") * 2 + 1).as("scaled"))
-        .orderBy("vec_id")),
+          posexplode(transform(col("embedding"), x => x.cast("double") * 2 + 1)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
+        .orderBy("vec_id", "pos")),
+
+    // T2 — rank-3 tensor_reshape round trip: a 60-element flat cell
+    // reshaped to a 5×4×3 tensor (the reference's full-shape decode,
+    // readparquet.py:25-31; the N×6 kplabel_t layout of
+    // dlmerged2parquet.py:231-233 generalized), then fully unnested back
+    // to scalars. The oracle recomputes each (i,j,k) cell with row-major
+    // index arithmetic directly on the flat array — so the custom
+    // expression's nesting order is what's being checked.
+    Q("t2_reshape3", Some(
+      """SELECT vec_id, i, j, k, embedding[(i*12 + j*3 + k) + 1] AS val
+        |FROM embeddings, range(5) r1(i), range(4) r2(j), range(3) r3(k)
+        |WHERE vec_id < 100
+        |ORDER BY vec_id, i, j, k""".stripMargin),
+      (s, dir) => {
+        graft.tensor.TensorFunctions.register(s)
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            expr("tensor_reshape(slice(embedding, 1, 60), array(5L, 4L, 3L))").as("t"))
+          .select(col("vec_id"), posexplode(col("t")))
+          .select(col("vec_id"), col("pos").cast("long").as("i"), posexplode(col("col")))
+          .select(col("vec_id"), col("i"), col("pos").cast("long").as("j"), posexplode(col("col")))
+          .select(col("vec_id"), col("i"), col("j"),
+            col("pos").cast("long").as("k"), col("col").as("val"))
+          .orderBy("vec_id", "i", "j", "k")
+      }),
 
     // T7 — vector norm via a no-shuffle higher-order fold. Both engines
     // run the same left-to-right double fold over the array (DuckDB's
@@ -68,26 +107,24 @@ object ArrayOps extends OpModule {
 
     // A8 — vector-valued scatter-sum by key (torch_scatter analog,
     // larennet/larennet.py:61): elementwise sum of embeddings per label.
-    // Long-form explode → per-(key,pos) decimal sum → re-assembled in
-    // position order. One shuffle, fully partial-aggregated.
+    // Long-form explode → per-(key,pos) decimal sum, emitted long form
+    // (the re-assembly into one array per label is a trivial collect_list
+    // a caller can append; the scatter-sum itself is the operator). One
+    // shuffle, fully partial-aggregated.
     Q("a8_vector_sum", Some(
-      """SELECT label, array_agg(sv ORDER BY pos) AS vecsum FROM (
-        |  SELECT label, pos, CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS sv
-        |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-        |               unnest(embedding) AS v FROM embeddings)
-        |  GROUP BY label, pos)
-        |GROUP BY label ORDER BY label""".stripMargin),
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        |       CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS sv
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |             unnest(embedding) AS v FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
       (s, dir) => Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
         // float→double→decimal: DuckDB's direct float→decimal cast scales
         // in float precision and disagrees at the last decimal digit;
         // widening to double first makes both engines round the same
         // binary value.
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(sum(col("col").cast("double").cast(DecimalType(28, 8))).cast("double").as("sv"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
-          x => x.getField("sv")).as("vecsum"))
-        .orderBy("label"))
+        .orderBy("label", "pos"))
   )
 }

@@ -23,7 +23,10 @@ object GraphOps {
     */
   /** @param earlyStop run a convergence-check job each round (costs one
     *   extra job per round; disable for graphs with known small diameter
-    *   and set maxIter to that bound instead)
+    *   and set maxIter to that bound instead). With earlyStop=false the
+    *   fixed budget is VERIFIED after the last round: if labels are still
+    *   changing, propagation resumes with per-round checks (up to 16 more
+    *   rounds) rather than silently emitting split clusters.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       earlyStop: Boolean = true): DataFrame = {
@@ -35,34 +38,52 @@ object GraphOps {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
+
+    def step(cur: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .join(cur.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id"))
         .agg(min("comp").as("ncomp"))
-      val stepped = labels
+      val stepped = cur
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jumping: adopt the label's own label too — chains collapse
       // in O(log diameter) rounds instead of O(diameter)
-      val updated = stepped.as("x")
+      stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
         .localCheckpoint(true)
-      if (earlyStop) {
-        val nChanged = updated.as("u")
-          .join(labels.as("l"), col("u.id") === col("l.id"))
-          .filter(col("u.comp") =!= col("l.comp"))
-          .limit(1).count()
-        converged = nChanged == 0
-      }
+    }
+    def changed(next: DataFrame, cur: DataFrame): Boolean =
+      next.as("u")
+        .join(cur.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.comp") =!= col("l.comp"))
+        .limit(1).count() > 0
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val updated = step(labels)
+      if (earlyStop) converged = !changed(updated, labels)
       labels = updated
       i += 1
+    }
+    if (!earlyStop) {
+      // post-hoc convergence guarantee (one cheap check; the graph here is
+      // the tiny representative graph, so extra rounds are cheap too)
+      var extra = 0
+      var stable = false
+      while (!stable && extra < 16) {
+        val updated = step(labels)
+        stable = !changed(updated, labels)
+        labels = updated
+        extra += 1
+      }
+      require(stable,
+        s"connectedComponents: labels still changing after $maxIter+$extra rounds")
     }
     labels
   }

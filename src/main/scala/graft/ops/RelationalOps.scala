@@ -146,6 +146,32 @@ object RelationalOps extends OpModule {
           .orderBy("n_nationkey")
       }),
 
+    // J4b — DATA-DRIVEN MapType join: the reference stores parallel
+    // instance/id lists and zips them into a dict per event
+    // (voxinstancelist/voxidlist, dlmerged2parquet.py:252-261; consumed
+    // in view_voxel_data.ipynb cell-5). Here the nation table is folded
+    // into sorted parallel key/value arrays, zipped with map_from_arrays
+    // into a MapType cell, broadcast, and probed with element_at — the
+    // dict stays a single map value built FROM data (unlike j3's literal
+    // LUT). Output is scalar, the oracle is the equivalent relational
+    // join.
+    Q("j4b_map_join", Some(
+      """SELECT c_custkey, n_name AS nation_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val dict = Tables(s, dir, "nation")
+          .agg(sort_array(collect_list(struct(col("n_nationkey"), col("n_name")))).as("kv"))
+          .select(map_from_arrays(
+            expr("transform(kv, x -> x.n_nationkey)"),
+            expr("transform(kv, x -> x.n_name)")).as("m"))
+        Tables(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .crossJoin(broadcast(dict))
+          .select(col("c_custkey"), element_at(col("m"), col("c_nationkey")).as("nation_name"))
+          .orderBy("c_custkey")
+      }),
+
     // Semi-join: key membership probe (the reference's `trackid in dict`
     // pattern) — never materializes the probe side.
     Q("j6_semi_join", Some(
@@ -181,12 +207,17 @@ object RelationalOps extends OpModule {
     // applied through a broadcast lookup table.
     Q("v6_sce_lut", Some(
       """SELECT o_orderkey,
-        |  o_totalprice + CAST((CAST(floor(o_totalprice/500) AS BIGINT)*37 % 11) - 5 AS DOUBLE) AS corrected
+        |  o_totalprice + CAST((least(CAST(floor(o_totalprice/500) AS BIGINT), 1099)*37 % 11) - 5 AS DOUBLE) AS corrected
         |FROM orders ORDER BY o_orderkey""".stripMargin),
       (s, dir) => {
         val lut: Array[Double] = Array.tabulate(1100)(i => ((i.toLong * 37 % 11) - 5).toDouble)
         val blut = s.sparkContext.broadcast(lut)
-        val sce = udf((x: Double) => x + blut.value(math.floor(x / 500).toInt))
+        // clamp: totalprice beyond the LUT's modeled range takes the last
+        // bin's offset instead of throwing (TPC-H prices approach the
+        // 550k bound at larger scale factors). The %-periodic oracle
+        // agrees on every in-range bin; the clamp only matters past it.
+        val sce = udf((x: Double) =>
+          x + blut.value(math.min(math.floor(x / 500).toInt, blut.value.length - 1)))
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), sce(col("o_totalprice")).as("corrected"))
           .orderBy("o_orderkey")

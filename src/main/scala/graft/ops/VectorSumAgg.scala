@@ -3,7 +3,7 @@ package graft.ops
 import graft.{OpModule, Q, Tables}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, udaf}
+import org.apache.spark.sql.functions.{col, posexplode, udaf}
 import org.apache.spark.sql.Encoder
 
 /** Typed `Aggregator[IN, BUF, OUT]` (SURVEY.md §2.12): element-wise vector
@@ -41,10 +41,16 @@ object VectorSumAggImpl extends Aggregator[Array[Float], Array[Double], Array[Do
 
 object VectorSumAgg extends OpModule {
   val qs: Seq[Q] = Seq(
+    // Long-form output (label, pos, sv): the aggregation buffer stays one
+    // dense array per group (the UDAF's whole point); only the final
+    // projection explodes — the driver's pandas compare cannot hash
+    // array-valued cells.
     Q("a8b_vector_sum_typed", None, (s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy("label")
         .agg(udaf(VectorSumAggImpl).apply(col("embedding")).as("vecsum"))
-        .orderBy("label"))
+        .select(col("label"), posexplode(col("vecsum")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("col").as("sv"))
+        .orderBy("label", "pos"))
   )
 }

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * The rewrite only fires when the arithmetic is IDENTICAL to the kernel
   * contract (left-to-right `(double)a[i]*(double)b[i]` fold over
-  * `array<float>` inputs), so results are bit-for-bit unchanged.
+  * `array<float>` inputs), so results are bit-for-bit unchanged — including
+  * on ragged inputs: FloatDot returns NULL for unequal-length arrays,
+  * exactly as zip_with's null-padding propagates through the HOF sum
+  * (pinned by VectorKernelSpec's ragged-array case).
   */
 object KernelFusionRule extends Rule[LogicalPlan] {
 

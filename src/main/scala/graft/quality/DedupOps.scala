@@ -157,35 +157,92 @@ object DedupOps extends OpModule {
     agg.select(col("doc_id"), hash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs at unbounded scale: block the 64-bit
-    * signature into four 16-bit keys; any pair within hamming ≤ 3 shares
-    * at least one block (pigeonhole), so candidates come from an
-    * equi-join on (block, key) — never an all-pairs scan. Larger hamming
-    * radii are best-effort recall, as with any blocked sketch.
+  /** Residual skew guard for tier-2 blocking: buckets holding more than
+    * this many DISTINCT signatures are dropped (after clique collapse a
+    * bucket this dense means >4096 distinct 64-bit sketches sharing one
+    * 16-bit block — ambient-density noise, not a dup clique). Exposed so
+    * [[simhashDroppedBuckets]] can audit the drop instead of it being
+    * silent.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
-    val sh = simhashes(s, dir)
+  val SimhashBucketCap = 4096
+
+  /** (simhash, ids) — documents grouped by identical signature, member
+    * ids sorted (ids[0] is the clique representative = min id).
+    * Identical texts ⇒ identical simhash, so exact-dup cliques collapse
+    * here LINEARLY, before any pair expansion — the same tier-1 design as
+    * [[minhashCliques]].
+    */
+  def simhashCliques(s: SparkSession, dir: String): DataFrame =
+    simhashes(s, dir)
+      .groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+
+  /** (blk, key, doc_id, simhash) — clique representatives exploded into
+    * their four 16-bit pigeonhole block keys.
+    */
+  private def simhashBlocked(cliques: DataFrame): DataFrame = {
+    val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("simhash"))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
     }
-    val exploded = sh
+    reps
       .withColumn("bk", explode(array(blocks: _*)))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    val buckets = exploded
-      .groupBy("blk", "key")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
-      .filter(size(col("members")).between(2, 1000)) // skew guard, as in MinHash
-    buckets
+  }
+
+  private def simhashBucketSizes(cliques: DataFrame): DataFrame =
+    simhashBlocked(cliques).groupBy("blk", "key").agg(count(lit(1)).as("bsz"))
+
+  /** Buckets the tier-2 cap would drop — audit surface for the "no silent
+    * caps" posture (DedupSpec asserts this is empty on the corpus; a
+    * pipeline at scale should alert on it).
+    */
+  def simhashDroppedBuckets(s: SparkSession, dir: String): DataFrame =
+    simhashBucketSizes(simhashCliques(s, dir))
+      .filter(col("bsz") > SimhashBucketCap)
+      .select(col("blk"), col("key"), col("bsz").as("n_members"))
+
+  /** SimHash near-dup pairs at unbounded scale, two tiers (mirroring the
+    * MinHash design above):
+    *
+    * 1. Identical-signature cliques collapse to (rep, member) pairs —
+    *    LINEAR in clique size, so a 1.6k-doc exact-dup clique emits 1.6k
+    *    pairs, not 1.3M, and never reaches the blocked join at all.
+    * 2. Pigeonhole blocking over distinct-signature REPRESENTATIVES only:
+    *    the 64-bit signature splits into four 16-bit keys; any pair
+    *    within hamming ≤ 3 shares at least one block, so candidates come
+    *    from an equi-join on (block, key) — never an all-pairs scan.
+    *    Larger hamming radii are best-effort recall, as with any blocked
+    *    sketch. The hamming filter runs BEFORE the dedup `distinct` —
+    *    hamming is functionally determined by (a, b), so the filter is
+    *    semantics-preserving and shrinks the dedup shuffle to survivors.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val cliques = simhashCliques(s, dir).cache()
+    // tier 1: within-clique pairs, hamming = 0 by construction
+    val cliquePairs = cliques
+      .filter(size(col("ids")) > 1)
       .select(explode(expr(
-        "flatten(transform(members, (x, i) -> transform(slice(members, i + 2, size(members)), " +
-          "y -> struct(x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb))))"
-      )).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("long").as("hamming"))
-      .distinct()
+        "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS a, x AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0L).as("hamming"))
+    // tier 2: blocked pairs between representatives via a self-equi-join
+    // on the block key — rows STREAM through the join (no collect_list
+    // bucket rows, so no per-row memory spike however dense a bucket is);
+    // the size cap is applied with a semi-join against per-bucket counts.
+    val blocked = simhashBlocked(cliques)
+    val admitted = blocked.join(
+      simhashBucketSizes(cliques).filter(col("bsz").between(2, SimhashBucketCap)),
+      Seq("blk", "key"), "left_semi")
+    val l = admitted.select(col("blk"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = admitted.select(col("blk"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
+    val repPairs = l.join(r, Seq("blk", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("a", "b")
+      .distinct()
+    cliquePairs.union(repPairs).orderBy("a", "b")
   }
 
   val qs: Seq[Q] = Seq(

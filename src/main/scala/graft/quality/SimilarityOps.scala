@@ -228,11 +228,24 @@ object SimilarityOps extends OpModule {
 
     // V5 with the reference's actual Gaussian kernel exp(−d²/σ²), σ=10
     // (/root/reference/dlmerged2parquet.py:232). libm exp() isn't
-    // bit-identical across engines, so this variant is rows-only; the
-    // rational-kernel twin v5_keypoint_score carries the oracle and
-    // SimilaritySpec pins that both kernels pick the same argmax keypoint
-    // (they are monotone in the same distance).
-    Q("v5b_keypoint_gauss", None, (s, dir) => {
+    // bit-identical across engines, so the argmax ranks on the RAW score
+    // (ulp differences can't flip it — SimilaritySpec pins argmax
+    // agreement with the rational twin) and the emitted score is rounded
+    // to 9 decimals, which absorbs last-ulp exp() divergence and makes
+    // the query fully oracled.
+    Q("v5b_keypoint_gauss", Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0, CAST(embedding[2] AS DOUBLE) AS e1,
+        |                  CAST(embedding[3] AS DOUBLE) AS e2, CAST(embedding[4] AS DOUBLE) AS e3
+        |           FROM embeddings),
+        |k AS (SELECT vec_id AS kp_id, e0 AS k0, e1 AS k1, e2 AS k2, e3 AS k3 FROM e WHERE vec_id < 5),
+        |sc AS (SELECT e.vec_id, k.kp_id,
+        |         exp(-((e0-k0)*(e0-k0) + (e1-k1)*(e1-k1) + (e2-k2)*(e2-k2) + (e3-k3)*(e3-k3)) / 100.0) AS score
+        |       FROM e, k)
+        |SELECT vec_id, kp_id, round(score, 9) AS score FROM (
+        |  SELECT vec_id, kp_id, score,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, kp_id ASC) AS rn
+        |  FROM sc) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
       def dims(df: DataFrame, pre: String): DataFrame =
         df.select(col("vec_id") +:
           (0 until 4).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"$pre$i")): _*)
@@ -249,7 +262,7 @@ object SimilarityOps extends OpModule {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("score").desc, col("kp_id").asc)))
         .filter(col("rn") === 1)
-        .select("vec_id", "kp_id", "score")
+        .select(col("vec_id"), col("kp_id"), round(col("score"), 9).as("score"))
         .orderBy("vec_id")
     })
   )

@@ -17,6 +17,20 @@ object TextOps extends OpModule {
 
   private val tok = "array_distinct(split(trim(text), '\\\\s+'))"
 
+  /** (doc_id, fps) — winnowing fingerprint sets (k-gram rolling hashes,
+    * min per sliding window of w, deduplicated). The library surface for
+    * overlap detection; the x5 query below projects it to scalar columns
+    * for the driver harness.
+    */
+  def winnowFingerprints(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("hs", expr(
+        s"transform(sequence(1, greatest(1, length(text) - $k + 1)), i -> xxhash64(substring(text, i, $k)))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w))))"))
+      .select(col("doc_id"), col("fps"))
+
   val qs: Seq[Q] = Seq(
     // Token counting (whitespace tokenizer).
     Q("x1_token_count", Some(
@@ -118,19 +132,16 @@ object TextOps extends OpModule {
     // per sliding window of w — robust overlap detection for partial-copy
     // dedup. Pure HOFs over each row (no shuffle until the final sort);
     // xxhash64-based, so rows-only (WinnowSpec pins the overlap
-    // guarantees on planted shared substrings).
+    // guarantees on planted shared substrings). Output is scalar: the
+    // fingerprint count plus an order-free rolling xxhash64 digest of the
+    // sorted fingerprint set (the driver compare cannot hash array cells).
     Q("x5_winnow_fingerprint", None,
-      (s, dir) => {
-        val k = 8  // k-gram length (chars)
-        val w = 16 // winnow window
-        Tables(s, dir, "documents")
-          .withColumn("hs", expr(
-            s"transform(sequence(1, greatest(1, length(text) - $k + 1)), i -> xxhash64(substring(text, i, $k)))"))
-          .withColumn("fps", expr(
-            s"array_distinct(transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w))))"))
-          .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("n_fps"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) => winnowFingerprints(s, dir)
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          expr("aggregate(array_sort(fps), CAST(0 AS BIGINT), (acc, x) -> xxhash64(acc, x))")
+            .as("fps_digest"))
+        .orderBy("doc_id")),
 
     // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups
     // by the content hash, not the text — the shuffle carries 32-byte

@@ -8,6 +8,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * custom-state path of SURVEY.md §2.11 (the streaming twin of the batch
   * window query st2_sessionize). State per user is one (count, lastTs)
   * pair: bounded regardless of stream length.
+  *
+  * ORDERING CONTRACT: rows are sorted by event id only WITHIN each
+  * micro-batch, so the 30-min gap rule matches the batch twin exactly
+  * when the source delivers each user's events in event-id order across
+  * batches (one file, or files split on event-id boundaries — the
+  * StreamingSpec case). A source that interleaves a user's events across
+  * out-of-order micro-batches needs event-time state instead: buffer in
+  * `GroupState` with an `EventTimeTimeout` watermark and emit sessions on
+  * timeout, at the cost of holding a per-user buffer until the watermark
+  * passes. The bounded-state version here is the right default for
+  * replaying staged event logs, which arrive ordered.
   */
 object SessionStream {
 

@@ -66,34 +66,97 @@ case class TensorExplode(data: Expression, shape: Expression)
     copy(data = newChildren(0), shape = newChildren(1))
 }
 
-/** `tensor_reshape(data, ncols)` — reshape a flattened 2-D tensor into a
-  * nested `array<array<T>>` (row-major, `ncols` trailing-axis length).
+/** `tensor_reshape(data, shape)` — reshape a flattened tensor into nested
+  * arrays (row-major), matching the reference's full-shape decode
+  * (`np.array(d).reshape(shape)`, readparquet.py:25-31).
+  *
+  * Two forms:
+  *  - `tensor_reshape(data, ncols)` — 2-D convenience: nest into rows of
+  *    `ncols` (the trailing axis). `ncols` may vary per row.
+  *  - `tensor_reshape(data, array(d0, d1, ..., dn))` — rank-N: the shape
+  *    vector must be FOLDABLE (a literal), because the output's nesting
+  *    depth is part of the static Catalyst type. Per-row dynamic shapes
+  *    with a fixed leading axis are served by `tensor_explode`, which
+  *    accepts a shape column.
+  *
   * Pure metadata + validation; no data movement beyond the nesting.
   */
-case class TensorReshape(data: Expression, ncols: Expression)
+case class TensorReshape(data: Expression, shape: Expression)
     extends Expression with CodegenFallback {
 
-  override def children: Seq[Expression] = Seq(data, ncols)
+  override def children: Seq[Expression] = Seq(data, shape)
   override def nullable: Boolean = true
-  override def dataType: DataType = ArrayType(data.dataType, containsNull = true)
+
+  /** Static shape vector when the rank-N form is used (foldable array). */
+  private lazy val staticDims: Option[Array[Long]] = shape.dataType match {
+    case ArrayType(_, _) if shape.foldable =>
+      Option(shape.eval().asInstanceOf[ArrayData]).map { ad =>
+        shape.dataType.asInstanceOf[ArrayType].elementType match {
+          case LongType => ad.toLongArray()
+          case _ => ad.toIntArray().map(_.toLong)
+        }
+      }
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (data.dataType, shape.dataType) match {
+      case (ArrayType(_, _), IntegerType | LongType) => TypeCheckSuccess
+      case (ArrayType(_, _), ArrayType(IntegerType | LongType, _)) =>
+        if (!shape.foldable)
+          TypeCheckFailure("tensor_reshape: a shape VECTOR must be foldable " +
+            "(the nesting depth is part of the static type); use tensor_explode " +
+            "for per-row dynamic shapes")
+        else if (staticDims.exists(d => d.isEmpty || d.exists(_ <= 0)))
+          TypeCheckFailure(s"tensor_reshape: invalid shape ${staticDims.get.mkString("[", ",", "]")}")
+        else TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        s"tensor_reshape requires (array<T>, integral | array<integral>), got " +
+          s"(${data.dataType.simpleString}, ${shape.dataType.simpleString})")
+    }
+  }
+
+  override def dataType: DataType = staticDims match {
+    // rank-N: nesting depth == rank (data is already depth 1)
+    case Some(dims) =>
+      (1 until dims.length).foldLeft(data.dataType)((t, _) => ArrayType(t, containsNull = true))
+    case None => ArrayType(data.dataType, containsNull = true)
+  }
+
+  private def nest(elems: Array[AnyRef], dims: Array[Long]): Any =
+    if (dims.length == 1) new GenericArrayData(elems)
+    else {
+      val stride = dims.drop(1).product.toInt
+      new GenericArrayData(
+        elems.grouped(stride).map(g => nest(g, dims.tail)).toArray)
+    }
 
   override def eval(input: InternalRow): Any = {
     val arr = data.eval(input).asInstanceOf[ArrayData]
-    val k = ncols.eval(input) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case null => return null
-    }
     if (arr == null) return null
     val elemType = data.dataType.asInstanceOf[ArrayType].elementType
-    require(k > 0 && arr.numElements() % k == 0,
-      s"tensor_reshape: length ${arr.numElements()} not divisible by $k")
-    val elems = arr.toObjectArray(elemType)
-    new GenericArrayData(elems.grouped(k).map(g => new GenericArrayData(g)).toArray)
+    val elems = arr.toObjectArray(elemType).asInstanceOf[Array[AnyRef]]
+    staticDims match {
+      case Some(dims) =>
+        require(arr.numElements() == dims.product,
+          s"tensor_reshape: data length ${arr.numElements()} != " +
+            s"shape product ${dims.product} for ${dims.mkString("[", ",", "]")}")
+        if (dims.length == 1) arr else nest(elems, dims)
+      case None =>
+        val k = shape.eval(input) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case null => return null
+        }
+        require(k > 0 && arr.numElements() % k == 0,
+          s"tensor_reshape: length ${arr.numElements()} not divisible by $k")
+        new GenericArrayData(elems.grouped(k).map(g => new GenericArrayData(g)).toArray)
+    }
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(data = newChildren(0), ncols = newChildren(1))
+    copy(data = newChildren(0), shape = newChildren(1))
 }
 
 object TensorFunctions {

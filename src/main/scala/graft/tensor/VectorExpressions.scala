@@ -22,6 +22,12 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override def dataType: DataType = DoubleType
 
+  // Null contract matches the HOF form `aggregate(zip_with(a, b, *), 0d, +)`
+  // exactly: unequal-length inputs yield NULL (zip_with pads the shorter
+  // array with nulls, which propagate through the sum), so the
+  // KernelFusionRule rewrite is result-preserving on ragged data too.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
@@ -32,7 +38,8 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -45,12 +52,16 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -61,14 +61,43 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ids = sh.keys.toSeq.sorted
+    // clique representative = min doc id per identical signature
+    val repOf = ids.groupBy(sh).flatMap { case (_, g) => g.map(_ -> g.min) }
     val bruteClose = (for (a <- ids; b <- ids if a < b;
         h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3) yield (a, b)).toSet
+    // the two-tier output canonicalizes cross-clique pairs to (rep, rep)
+    // and within-clique pairs to (rep, member) — expand the brute set the
+    // same way (dd2's accepted contract)
+    val expected = bruteClose.map { case (a, b) =>
+      val (ra, rb) = (repOf(a), repOf(b))
+      if (ra == rb) (ra, math.max(a, b)) else (math.min(ra, rb), math.max(ra, rb))
+    }
     val blocked = DedupOps.simhashPairs(spark, plantedDir, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(blocked == bruteClose) // pigeonhole guarantee at hamming ≤ 3
+    assert(blocked == expected) // pigeonhole guarantee at hamming ≤ 3
     val wide = DedupOps.simhashPairs(spark, plantedDir, maxHamming = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide.contains((0L, 100L))) // planted exact dup, hamming 0
+  }
+
+  test("a >1000-doc identical clique survives the bucket cap (linear pair emission)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val cliqueText = Seq.fill(50)(s"c${rng.nextInt(400)}").mkString(" ")
+    val docs = (0 until 1600).map(i => (i.toLong, cliqueText, "en", "dup", 0L)) ++
+      (1600 until 1650).map { i =>
+        (i.toLong, Seq.fill(50)(s"u${rng.nextInt(100000)}").mkString(" "), "en", "uniq", 0L)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("bigclique").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.simhashPairs(spark, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every clique member pairs with the representative — none dropped
+    val cliquePairs = pairs.filter(p => p._1 == 0L && p._3 == 0L)
+    assert(cliquePairs.length == 1599, s"got ${cliquePairs.length} of 1599 clique pairs")
+    // and the cap audit shows nothing silently dropped
+    assert(DedupOps.simhashDroppedBuckets(spark, dir).isEmpty)
   }
 
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {

@@ -35,6 +35,18 @@ class EventReaderSpec extends AnyFunSuite with SparkSuite {
     assert(slices == r.nentries)
   }
 
+  test("entry indexing plans contain no global window (single-reducer sort)") {
+    val r = new EventReader(spark, path)
+    val plan = r.partitionSlice(0, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+    // slices partition the deterministic entry order: concatenating the
+    // slices in worker order reproduces the sorted key sequence exactly
+    val sliceEvents = (0 until 3).flatMap(w =>
+      r.partitionSlice(w, 3).collect().map(x =>
+        (x.getAs[Long]("run"), x.getAs[Long]("subrun"), x.getAs[Long]("event"))))
+    assert(sliceEvents == sliceEvents.sorted)
+  }
+
   test("epoch iteration is deterministic; seeded shuffle permutes") {
     val r = new EventReader(spark, path)
     val plain = r.epoch().map(_.getAs[Long]("event")).toSeq

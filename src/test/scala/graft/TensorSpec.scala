@@ -56,6 +56,45 @@ class TensorSpec extends AnyFunSuite with SparkSuite {
     assert(roundtrip == 1)
   }
 
+  test("rank-3 reshape round-trip law: flatten(reshape(x, shape)) == x") {
+    TensorFunctions.register(spark)
+    import spark.implicits._
+    val data = (1 to 24).map(_.toFloat).toArray
+    Seq(Tuple1(data)).toDF("data").createOrReplaceTempView("tr3")
+    def deep(v: Any): Any = v match {
+      case s: scala.collection.Seq[_] => s.map(deep).toList
+      case x => x
+    }
+    // 2×3×4, row-major: first 2-D slice holds 1..12
+    val m = deep(spark.sql("SELECT tensor_reshape(data, array(2L, 3L, 4L)) AS m FROM tr3")
+      .collect()(0).getSeq[Any](0)).asInstanceOf[List[List[List[Float]]]]
+    assert(m.length == 2 && m(0).length == 3 && m(0)(0).length == 4)
+    assert(m(0)(0) == List(1f, 2f, 3f, 4f))
+    assert(m(1)(2) == List(21f, 22f, 23f, 24f))
+    // full-depth flatten round-trips
+    val rt = spark.sql(
+      "SELECT flatten(flatten(tensor_reshape(data, array(2L, 3L, 4L)))) AS f, data FROM tr3")
+      .filter(col("f") === col("data")).count()
+    assert(rt == 1)
+    // rank-3 reshape agrees with nested 2-D reshapes (reshape(x,[2,3,4]) ==
+    // transform(reshape(x, 12), s -> reshape(s, 4)))
+    val twice = deep(spark.sql(
+      "SELECT transform(tensor_reshape(data, 12), s -> tensor_reshape(s, 4)) AS m FROM tr3")
+      .collect()(0).getSeq[Any](0))
+    assert(m == twice)
+  }
+
+  test("rank-N reshape demands a foldable shape vector") {
+    TensorFunctions.register(spark)
+    import spark.implicits._
+    Seq((Array(1f, 2f, 3f, 4f), Array(2L, 2L))).toDF("data", "shp")
+      .createOrReplaceTempView("tr_dyn")
+    val e = intercept[Exception] {
+      spark.sql("SELECT tensor_reshape(data, shp) FROM tr_dyn").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable") || e.getCause != null)
+  }
+
   test("tensor_reshape rejects non-divisible lengths") {
     TensorFunctions.register(spark)
     import spark.implicits._

@@ -5,16 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorAggSpec extends AnyFunSuite with SparkSuite {
 
   test("typed vector-sum Aggregator matches the relational decimal-exact path") {
-    val typed = SparkEntry.queries("a8b_vector_sum_typed")(spark, sf).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-    val relational = SparkEntry.queries("a8_vector_sum")(spark, sf).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // both queries emit long form (label, pos, sv)
+    def collect(name: String): Map[(Int, Long), Double] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val typed = collect("a8b_vector_sum_typed")
+    val relational = collect("a8_vector_sum")
     assert(typed.keySet == relational.keySet)
-    typed.foreach { case (label, v) =>
-      val w = relational(label)
-      assert(v.length == w.length)
-      v.zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6, s"label $label") }
-    }
+    assert(typed.nonEmpty)
+    typed.foreach { case (k, a) =>
+      assert(math.abs(a - relational(k)) < 1e-6, s"key $k") }
   }
 
   test("stratified sample respects per-stratum fractions") {

@@ -40,4 +40,17 @@ class VectorKernelSpec extends AnyFunSuite with SparkSuite {
     assert(out(0).getDouble(0) == 11.0)
     assert(out(1).isNullAt(0))
   }
+
+  test("ragged (unequal-length) arrays yield NULL, matching the HOF zip_with form") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 1f)),
+      (Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+    val rows = df.select(
+      call_function("float_dot", col("a"), col("b")).as("cg"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // both NULL on ragged
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
 }

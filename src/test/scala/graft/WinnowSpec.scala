@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class WinnowSpec extends AnyFunSuite with SparkSuite {
 
   private def fingerprints(dir: String): Map[Long, Set[Long]] =
-    SparkEntry.queries("x5_winnow_fingerprint")(spark, dir).collect()
+    quality.TextOps.winnowFingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
 
   private lazy val plantedDir: String = {
@@ -45,5 +45,16 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
     val fps = fingerprints(sf)
     assert(fps.nonEmpty)
     fps.values.foreach(s => assert(s.nonEmpty))
+  }
+
+  test("x5 scalar projection agrees with the fingerprint sets") {
+    val scalars = SparkEntry.queries("x5_winnow_fingerprint")(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = fingerprints(plantedDir)
+    assert(scalars.keySet == raw.keySet)
+    raw.foreach { case (id, s) => assert(scalars(id)._1 == s.size.toLong) }
+    // digest of identical fp sets matches; differing sets differ
+    assert(scalars(0L)._2 == scalars(4L)._2)
+    assert(scalars(0L)._2 != scalars(1L)._2)
   }
 }
