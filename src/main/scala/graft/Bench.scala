@@ -10,31 +10,50 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver test files are single-row-group parquet — unsplittable,
+      // so scan-stage compute would run in ONE task without this (see
+      // Tables.fanout). At deployment scale input splits make this
+      // unnecessary; it is bench-harness sizing, not engine semantics.
+      .config("graft.scan.fanout", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (shuffle machinery, codegen, parquet footers) so
     // the first timed query doesn't absorb one-time JVM startup cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Fixed (name-sorted) query order so per-round timings are comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query records JSON null (not a fake duration) so breakage is
+    // visible in the bench output instead of silently deflating the total.
+    // Optional comma-separated subset filter for local profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write executes the FULL physical plan (including top-level
       // sorts, which a bare .count() lets EliminateSorts drop) without
       // materializing output.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Operators that cache intermediates (dedup cliques) would otherwise
+      // leave them resident and skew every later query's timing via memory
+      // pressure (measured: x5 7.3 s clean vs 24.6 s after dd2's cache).
+      spark.catalog.clearCache()
+      (name, dt, ok)
     }
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val total = results.collect { case (_, t, true) => t }.sum
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f2(v) else "null") }
       .mkString("{", ",", "}")
-    // Per-query detail on its own line; the short totals-only line LAST so
-    // it survives any tail-window capture (round-1's single long line was
-    // head-truncated and the round lost its bench score).
-    println(s"""{"bench_detail":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // ONE compact JSON line, printed LAST so it survives the driver's
+    // tail-window capture. Round 1 lost its bench score to head-truncation of
+    // a long line; round 2 split detail/totals but the totals line lacked the
+    // "queries" key the driver parses for. This line carries every contract
+    // key (metric/value/unit/queries/sf) at 2-decimal precision (~1.8 KB).
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

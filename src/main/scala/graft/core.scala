@@ -23,7 +23,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Optional scan fan-out: `graft.scan.fanout = n` (session conf)
+    * round-robin-repartitions every table read to n partitions right after
+    * the scan. The driver test files are single-row-group parquet, which no
+    * parquet reader can split — without this every scan-stage computation
+    * (tokenize/hash/regex projections) runs in ONE task regardless of
+    * cores. Catalyst still pushes filters and column pruning through the
+    * repartition to the scan. Default off: at deployment scale the input
+    * has many files/row groups and scan parallelism is free, so the extra
+    * shuffle would be pure waste.
+    */
+  private def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
+    val n = try spark.conf.get("graft.scan.fanout", "0").toInt
+    catch { case _: NumberFormatException => 0 }
+    if (n > 0) df.repartition(n) else df
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = fanout(spark, {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as a nanosecond Long and convert to a
@@ -35,7 +51,7 @@ object Tables {
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  })
 }
 
 /** Exact decimal-accumulated aggregation helpers.

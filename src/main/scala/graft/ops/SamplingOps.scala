@@ -1,36 +1,78 @@
 package graft.ops
 
 import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Sampling / shuffling (SURVEY.md §2.7 R1–R2). Sampling output depends on
-  * Spark's partition-level RNG streams, which no external oracle can
-  * reproduce, so these are declared without oracle SQL (driver records a
-  * rows-only check; contract allows it) and their statistical properties
-  * are asserted in SamplingSpec.
+/** Sampling / shuffling (SURVEY.md §2.7 R1–R2, R5).
+  *
+  * All three use HASH-DERIVED randomness (md5 of the row key + a seed
+  * string) instead of Spark's partition-level RNG streams. That choice is
+  * what a production 100 TB pipeline wants anyway: the sample for a given
+  * row is a pure function of its key, so it is stable under repartitioning,
+  * task retries, cluster resizing, and AQE replans — and reproducible by
+  * any engine with md5, which is what lets DuckDB oracle these exactly.
+  *
+  * The uniform draw is the first 8 hex chars of the md5; comparing that
+  * fixed-width lowercase hex string lexicographically against the hex
+  * encoding of floor(fraction * 2^32) IS the numeric comparison, with no
+  * engine-specific hex parsing involved.
   */
 object SamplingOps extends OpModule {
 
-  val qs: Seq[Q] = Seq(
-    // R1 — Bernoulli sample (df.sample(False, frac), larmatch_dataset.py:148-157).
-    Q("r1_bernoulli_sample", None,
-      (s, dir) => Tables(s, dir, "lineitem")
-        .sample(withReplacement = false, fraction = 0.05, seed = 42L)
-        .select("l_orderkey", "l_linenumber", "l_quantity")),
+  /** First 32 bits of md5(key|seed) as fixed-width lowercase hex. */
+  private def u32hex(seed: String, keys: Column*): Column =
+    substring(md5(concat_ws("|", keys :+ lit(seed): _*)), 1, 8)
 
-    // R2 — seeded random permutation (epoch shuffle, larvoxel_dataset.py:66-69).
-    Q("r2_shuffle_epoch", None,
+  private def sqlU32hex(seed: String, keys: String*): String =
+    s"substr(md5(concat_ws('|', ${keys.mkString(", ")}, '$seed')), 1, 8)"
+
+  /** Hex threshold for a Bernoulli keep-fraction: floor(f * 2^32). */
+  private def thresh(fraction: Double): String =
+    f"${(fraction * 4294967296d).toLong}%08x"
+
+  val qs: Seq[Q] = Seq(
+    // R1 — Bernoulli sample (df.sample(False, frac), larmatch_dataset.py:148-157),
+    // re-expressed as key-hash thresholding.
+    Q("r1_bernoulli_sample", Some(
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE ${sqlU32hex("r1/42", "l_orderkey", "l_linenumber")} < '${thresh(0.05)}'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       (s, dir) => Tables(s, dir, "lineitem")
-        .orderBy(rand(42L), col("l_orderkey"), col("l_linenumber"))
+        .filter(u32hex("r1/42", col("l_orderkey"), col("l_linenumber")) < lit(thresh(0.05)))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R2 — seeded random permutation (epoch shuffle, larvoxel_dataset.py:66-69):
+    // a total order by key hash is a reproducible shuffle, and the prefix
+    // is served by TakeOrderedAndProject (no global sort materialized).
+    Q("r2_shuffle_epoch", Some(
+      s"""SELECT l_orderkey, l_linenumber FROM lineitem
+         |ORDER BY ${sqlU32hex("epoch/42", "l_orderkey", "l_linenumber")},
+         |         l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .orderBy(u32hex("epoch/42", col("l_orderkey"), col("l_linenumber")),
+          col("l_orderkey"), col("l_linenumber"))
         .select("l_orderkey", "l_linenumber")
         .limit(100)),
 
     // R5 — stratified sampling (kploader.sample_data with truth strata,
     // root2parquet.py:58-60): per-stratum Bernoulli fractions.
-    Q("r5_stratified_sample", None,
+    Q("r5_stratified_sample", Some(
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         |WHERE ${sqlU32hex("r5/42", "l_orderkey", "l_linenumber")} <
+         |  CASE l_returnflag WHEN 'A' THEN '${thresh(0.02)}'
+         |                    WHEN 'N' THEN '${thresh(0.05)}'
+         |                    WHEN 'R' THEN '${thresh(0.1)}' ELSE '00000000' END
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       (s, dir) => Tables(s, dir, "lineitem")
-        .stat.sampleBy("l_returnflag",
-          Map("A" -> 0.02, "N" -> 0.05, "R" -> 0.1), seed = 42L)
-        .select("l_orderkey", "l_linenumber", "l_returnflag"))
+        .filter(u32hex("r5/42", col("l_orderkey"), col("l_linenumber")) <
+          when(col("l_returnflag") === "A", thresh(0.02))
+            .when(col("l_returnflag") === "N", thresh(0.05))
+            .when(col("l_returnflag") === "R", thresh(0.1))
+            .otherwise("00000000"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 }

