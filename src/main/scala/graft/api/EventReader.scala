@@ -39,15 +39,32 @@ class EventReader(
     * job, then a map). This is the distributed form of the reference's
     * own `set_partition` offset math (larvoxel_dataset.py:196-201): no
     * stage ever sees more than its partition.
+    *
+    * The composite key (run, subrun, event) is assumed UNIQUE per row —
+    * the reference's event files guarantee this (one row per detector
+    * event). Were keys duplicated, the order among ties (hence their
+    * `__entry` assignment) would be nondeterministic across computations.
+    *
+    * The indexed RDD is PERSISTED on first use: every access path here
+    * (`getEntry(i)`, each `partitionSlice`) is an action, and without
+    * persistence each one would re-run the full range-shuffle + sort +
+    * zipWithIndex. Call [[unpersistIndex]] to release the storage.
     */
-  private lazy val indexed: DataFrame = {
+  private lazy val indexedRdd = {
     val keys = Seq(col("run"), col("subrun"), col("event"))
     val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField("__entry", LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  private lazy val indexed: DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("__entry", LongType, nullable = false))
+    spark.createDataFrame(indexedRdd, schema)
+  }
+
+  /** Release the persisted entry index (no-op if never computed). */
+  def unpersistIndex(): Unit = indexedRdd.unpersist()
 
   lazy val nentries: Long = df.count()
 

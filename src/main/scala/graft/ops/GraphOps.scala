@@ -23,13 +23,17 @@ object GraphOps {
     */
   /** @param earlyStop run a convergence-check job each round (costs one
     *   extra job per round; disable for graphs with known small diameter
-    *   and set maxIter to that bound instead). With earlyStop=false the
-    *   fixed budget is VERIFIED after the last round: if labels are still
-    *   changing, propagation resumes with per-round checks (up to 16 more
-    *   rounds) rather than silently emitting split clusters.
+    *   and set maxIter to that bound instead).
+    * @param verify only meaningful with earlyStop=false: VERIFY the fixed
+    *   budget after the last round — if labels are still changing,
+    *   propagation resumes with per-round checks (up to 16 more rounds)
+    *   and throws if still unconverged, rather than silently emitting
+    *   split clusters. Off by default so fixed-budget callers keep their
+    *   cost bound: earlyStop=false && verify=false runs EXACTLY maxIter
+    *   rounds and returns best-effort labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      earlyStop: Boolean = true): DataFrame = {
+      earlyStop: Boolean = true, verify: Boolean = false): DataFrame = {
     // localCheckpoint (not cache): each round's plan must be TRUNCATED,
     // or the logical plan doubles every iteration and analysis time
     // explodes — the standard iterative-DataFrame trap.
@@ -71,7 +75,7 @@ object GraphOps {
       labels = updated
       i += 1
     }
-    if (!earlyStop) {
+    if (!earlyStop && verify) {
       // post-hoc convergence guarantee (one cheap check; the graph here is
       // the tiny representative graph, so extra rounds are cheap too)
       var extra = 0

@@ -117,6 +117,20 @@ object DedupOps extends OpModule {
       .select("a", "b", "est_jaccard")
   }
 
+  /** RETURN CONTRACT — canonicalized pairs, not the full edge list: every
+    * emitted pair has a clique REPRESENTATIVE on at least one side. Edges
+    * between two non-representative members of different cliques are
+    * recoverable transitively (member → its rep via tier 1, rep → other
+    * rep via tier 2) but are not enumerated — materializing them would be
+    * quadratic in clique size, the exact blow-up tier 1 exists to avoid.
+    * Consumers needing per-member edges should join through
+    * [[minhashCliques]].
+    *
+    * The clique table is cached for the duration of the returned plan
+    * (it feeds both tiers); the cache lives until the session drops it
+    * (`spark.catalog.clearCache()`) — callers embedding this in a longer
+    * job should clear it once the pairs are materialized.
+    */
   def minhashPairs(s: SparkSession, dir: String, minEstJaccard: Double,
       minBands: Int = 1): DataFrame = {
     val cliques = minhashCliques(s, dir).cache()
@@ -140,7 +154,8 @@ object DedupOps extends OpModule {
     // pointer jumping reaches 2^4 hops in 4 fixed rounds — ample for a
     // high-threshold similarity graph; skipping the per-round convergence
     // job halves the round cost
-    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 4, earlyStop = false)
+    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 4,
+      earlyStop = false, verify = true)
       .withColumnRenamed("id", "rep")
     cliques
       .select(element_at(col("ids"), 1).as("rep"), explode(col("ids")).as("doc_id"))
@@ -227,6 +242,12 @@ object DedupOps extends OpModule {
     *    sketch. The hamming filter runs BEFORE the dedup `distinct` —
     *    hamming is functionally determined by (a, b), so the filter is
     *    semantics-preserving and shrinks the dedup shuffle to survivors.
+    *
+    * RETURN CONTRACT — canonicalized pairs, as in [[minhashPairs]]: every
+    * pair has a clique representative on at least one side; member↔other
+    * edges are recoverable transitively via [[simhashCliques]], not
+    * enumerated. The cached clique table lives until
+    * `spark.catalog.clearCache()` — clear it once pairs are materialized.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     val cliques = simhashCliques(s, dir).cache()

@@ -232,7 +232,11 @@ object SimilarityOps extends OpModule {
     // (ulp differences can't flip it — SimilaritySpec pins argmax
     // agreement with the rational twin) and the emitted score is rounded
     // to 9 decimals, which absorbs last-ulp exp() divergence and makes
-    // the query fully oracled.
+    // the query fully oracled. CAVEAT: rounding shrinks, not eliminates,
+    // the exposure — a score within ~1 ulp of a 0.5e-9 boundary could
+    // still round apart across libm versions. If a future environment
+    // flips a case, demote this score to rows-only; v5_keypoint_score
+    // (rational kernel, no transcendentals) is the canonical oracle.
     Q("v5b_keypoint_gauss", Some(
       """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0, CAST(embedding[2] AS DOUBLE) AS e1,
         |                  CAST(embedding[3] AS DOUBLE) AS e2, CAST(embedding[4] AS DOUBLE) AS e3
