@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[OpModule] = Seq(
     ops.RelationalOps, ops.AggOps, ops.WindowOps, ops.EventOps,
     ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.TpchOps, ops.ScalarOps,
-    quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.Multimodal)
+    quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.Multimodal,
+    sources.RootSourceOps)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.qs)
