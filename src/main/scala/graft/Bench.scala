@@ -19,30 +19,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (shuffle machinery, codegen, parquet footers) so
-    // the first timed query doesn't absorb one-time JVM startup cost.
+    // the first timed query doesn't absorb one-time JVM startup cost, and
+    // touch every bench table once so footer reads + OS page cache aren't
+    // charged to whichever query alphabetically happens to scan it first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    graft.Tables.names.foreach { t =>
+      try graft.Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Fixed (name-sorted) query order so per-round timings are comparable.
     // A failed query records JSON null (not a fake duration) so breakage is
     // visible in the bench output instead of silently deflating the total.
     // Optional comma-separated subset filter for local profiling runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Profiling knob: time each query `reps` times and keep the minimum
+    // (separates plan cost from JIT/GC noise). Driver runs use the default
+    // single-shot timing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write executes the FULL physical plan (including top-level
-      // sorts, which a bare .count() lets EliminateSorts drop) without
-      // materializing output.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Operators that cache intermediates (dedup cliques) would otherwise
-      // leave them resident and skew every later query's timing via memory
-      // pressure (measured: x5 7.3 s clean vs 24.6 s after dd2's cache).
-      spark.catalog.clearCache()
-      (name, dt, ok)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop write executes the FULL physical plan (including top-level
+        // sorts, which a bare .count() lets EliminateSorts drop) without
+        // materializing output.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Operators that cache intermediates (dedup cliques) would otherwise
+        // leave them resident and skew every later query's timing via memory
+        // pressure (measured: x5 7.3 s clean vs 24.6 s after dd2's cache).
+        spark.catalog.clearCache()
+        (dt, ok)
+      }
+      if (reps > 1) System.err.println(
+        s"# $name: ${runs.map(r => f"${r._1}%.2f").mkString(" ")}")
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     val total = results.collect { case (_, t, true) => t }.sum
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f2(v) else "null") }

@@ -26,10 +26,17 @@ object DedupOps extends OpModule {
   // candidate join degenerates toward all-pairs.
   private val BandSize = 8
 
-  /** (doc_id, sig: array<long>) MinHash signature table — one shuffle. The
-    * hash family is seeded xxhash64 (`xxhash64(tok, i)`): independent per
-    * seed, codegen'd, and free of the ANSI overflow a wrap-around affine
-    * family would trip.
+  /** (doc_id, sig: array<long>) MinHash signature table — one shuffle.
+    *
+    * The hash family is two-stage: ONE xxhash64 over the token string,
+    * then 32 seeded xxhash64 mixes over that fixed-width 8-byte base
+    * (`xxhash64(h, i)`). `xxhash64(tok, i)` would re-consume the full
+    * string bytes per seed — 32 string hashes per token row — where the
+    * base+mix family does the string work once and each seeded variant is
+    * two 8-byte hash rounds (measured ~2× end-to-end on dd2 at sf0.1).
+    * Still codegen'd, still free of the ANSI overflow a wrap-around
+    * affine family would trip, and independence across seeds comes from
+    * the full avalanche of the second hash round.
     *
     * The 32 minima are PACKED into a single array column at the
     * aggregation boundary. Downstream plan width matters more than it
@@ -44,12 +51,13 @@ object DedupOps extends OpModule {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
-    // 32 seeded hashes inline per (doc, token) row, reduced by 32 `min`
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // 32 seeded mixes inline per (doc, token) row, reduced by 32 `min`
     // aggregates in one map-side-partial pass. (A distinct-vocabulary
     // broadcast-join variant benched slower: the extra exchange costs
     // more than the redundant hashing saves.)
     val minCols: Seq[Column] =
-      (0 until NumHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"m$i"))
+      (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -151,10 +159,12 @@ object DedupOps extends OpModule {
   def dedupClusters(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
     val cliques = minhashCliques(s, dir).cache()
     val rp = repPairs(cliques, minEstJaccard, minBands = 2).select("a", "b")
-    // pointer jumping reaches 2^4 hops in 4 fixed rounds — ample for a
-    // high-threshold similarity graph; skipping the per-round convergence
-    // job halves the round cost
-    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 4,
+    // pointer jumping reaches 2^3 hops in 3 fixed rounds — ample for a
+    // high-threshold similarity graph (post-collapse components are
+    // near-cliques, diameter ~2); skipping the per-round convergence job
+    // halves the round cost, and verify=true resumes propagation if the
+    // budget ever falls short instead of emitting split clusters
+    val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 3,
       earlyStop = false, verify = true)
       .withColumnRenamed("id", "rep")
     cliques
