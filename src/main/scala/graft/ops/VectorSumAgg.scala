@@ -13,29 +13,48 @@ import org.apache.spark.sql.Encoder
   * partial aggregation and shuffles only the per-group partial buffers —
   * no explode, the shape that scales to wide fleets.
   *
-  * Double accumulation across an arbitrary merge order is not
-  * bit-reproducible against a sequential oracle, so the query is declared
-  * rows-only; the relational decimal-exact twin a8_vector_sum carries the
-  * oracle, and VectorAggSpec pins the two within 1e-6.
+  * The buffer holds each component as a SCALED LONG: the input float is
+  * widened to double and rounded to 8 decimal places exactly the way
+  * Spark's `cast(DecimalType(28,8))` rounds it
+  * (`BigDecimal.valueOf(double)` = canonical string, HALF_UP). Long
+  * addition is exact and order-free, so the result is bit-reproducible
+  * under ANY shuffle/merge order and equals the relational decimal
+  * pipeline of a8_vector_sum — which is what lets this query share a8's
+  * DuckDB oracle. (A double-accumulating buffer was rows-only: double
+  * addition is order-sensitive in the last ulp, and the merge order is
+  * nondeterministic.) Magnitude: |v| ≤ ~10 scaled to ~1e9, ~1e5 rows per
+  * group at sf1 → ~1e14, eight orders below Long overflow; sf would need
+  * to grow ~10^4× before the scaled sum approaches 2^63.
   */
-object VectorSumAggImpl extends Aggregator[Array[Float], Array[Double], Array[Double]] {
-  def zero: Array[Double] = Array.empty
-  def reduce(b: Array[Double], a: Array[Float]): Array[Double] = {
+object VectorSumAggImpl extends Aggregator[Array[Float], Array[Long], Array[Double]] {
+  private val Scale = 8
+
+  private def scaled(v: Float): Long =
+    java.math.BigDecimal.valueOf(v.toDouble)
+      .setScale(Scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def zero: Array[Long] = Array.empty
+  def reduce(b: Array[Long], a: Array[Float]): Array[Long] = {
     if (a == null) return b
-    val out = if (b.length == 0) new Array[Double](a.length) else b
+    val out = if (b.length == 0) new Array[Long](a.length) else b
     var i = 0
-    while (i < a.length) { out(i) += a(i); i += 1 }
+    while (i < a.length) { out(i) += scaled(a(i)); i += 1 }
     out
   }
-  def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
     if (x.length == 0) return y
     if (y.length == 0) return x
     var i = 0
     while (i < y.length) { x(i) += y(i); i += 1 }
     x
   }
-  def finish(r: Array[Double]): Array[Double] = r
-  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def finish(r: Array[Long]): Array[Double] =
+    // valueOf(unscaled, scale) → doubleValue is a SINGLE correctly-rounded
+    // decimal→double conversion, the same arithmetic as Spark's
+    // cast(decimal as double) and DuckDB's CAST(DECIMAL AS DOUBLE).
+    r.map(l => java.math.BigDecimal.valueOf(l, Scale).doubleValue())
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
 }
 
@@ -44,8 +63,16 @@ object VectorSumAgg extends OpModule {
     // Long-form output (label, pos, sv): the aggregation buffer stays one
     // dense array per group (the UDAF's whole point); only the final
     // projection explodes — the driver's pandas compare cannot hash
-    // array-valued cells.
-    Q("a8b_vector_sum_typed", None, (s, dir) =>
+    // array-valued cells. Decimal-exact accumulation (see above) makes the
+    // result identical to the relational a8_vector_sum, so the same
+    // oracle SQL applies verbatim.
+    Q("a8b_vector_sum_typed", Some(
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        |       CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS sv
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |             unnest(embedding) AS v FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+      (s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy("label")
         .agg(udaf(VectorSumAggImpl).apply(col("embedding")).as("vecsum"))

@@ -57,20 +57,29 @@ object SimilarityOps extends OpModule {
       .orderBy("qid", "rnk")
   }
 
+  /** The 8 seeded sign-random-projection hyperplanes shared by the
+    * [[knnLsh]] plan and its DuckDB oracle. Float literals: Scala's
+    * `Float.toString` prints the shortest decimal that round-trips, so
+    * interpolating them into SQL and `CAST(... AS FLOAT)` reproduces the
+    * exact same float32 planes in DuckDB.
+    */
+  private val NPlanes = 8
+  private val planes: Seq[Array[Float]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(NPlanes)(Array.fill(64)(rng.nextGaussian().toFloat))
+  }
+
   /** Sign-random-projection LSH ANN: 8 hyperplanes → 256 buckets; queries
     * multi-probe their own bucket plus all hamming-1 neighbors. Candidates
     * meet queries through an equi-join on the bucket id — no cross
     * product, shuffle keyed on a 1-byte signature. Planes are seeded
-    * literals, so the query is deterministic (no SQL oracle — verified
-    * against [[knnBrute]] recall in SimilaritySpec).
+    * literals shared with the oracle SQL, so the query is fully
+    * deterministic AND DuckDB-oracled; SimilaritySpec additionally pins
+    * its recall against [[knnBrute]].
     */
   def knnLsh(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
-    val nPlanes = 8
-    val rng = new scala.util.Random(7)
     // float planes so the codegen float_dot kernel applies end-to-end
-    val planes: Seq[Array[Float]] =
-      Seq.fill(nPlanes)(Array.fill(64)(rng.nextGaussian().toFloat))
     def sig(emb: Column): Column =
       planes.zipWithIndex.map { case (p, j) =>
         val pc = array(p.toIndexedSeq.map(lit): _*).cast("array<float>")
@@ -80,7 +89,7 @@ object SimilarityOps extends OpModule {
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
         sig(col("embedding")).as("sig"))
-    val probes = (0 until nPlanes).map(p => col("sig").bitwiseXOR(lit(1 << p))) :+ col("sig")
+    val probes = (0 until NPlanes).map(p => col("sig").bitwiseXOR(lit(1 << p))) :+ col("sig")
     val q = base.filter(col("vec_id") < nQueries)
       .withColumn("probe", explode(array(probes: _*)))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -129,6 +138,69 @@ object SimilarityOps extends OpModule {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("cos_sim"))
       .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB twin of [[knnIvf]] (nQueries=10, k=3, nCentroids=16,
+    * nProbe=4). `sim` computes every (vector, centroid) cosine once;
+    * assignment keeps rank 1, probing keeps ranks 1–4 for the query
+    * rows; candidates meet through the centroid id exactly as the Spark
+    * equi-join does. The dot product is the same sequential
+    * double-widened fold as the codegen float_dot kernel (see nn1).
+    */
+  private def knnIvfOracleSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(embedding,
+      |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+      |c AS (SELECT vec_id AS cent, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |sim AS (SELECT n.vec_id, n.embedding, n.nrm, c.cent,
+      |          list_sum(list_transform(list_zip(n.embedding, c.cemb),
+      |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * c.cnrm) AS csim
+      |        FROM n, c),
+      |rk AS (SELECT vec_id, embedding, nrm, cent,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent ASC) AS crn
+      |       FROM sim),
+      |asg AS (SELECT vec_id, embedding, nrm, cent FROM rk WHERE crn = 1),
+      |prb AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qn, cent
+      |        FROM rk WHERE vec_id < 10 AND crn <= 4),
+      |cand AS (SELECT p.qid, a.vec_id AS cid,
+      |           list_sum(list_transform(list_zip(p.qemb, a.embedding),
+      |             q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (p.qn * a.nrm) AS cos_sim
+      |         FROM asg a JOIN prb p USING (cent) WHERE a.vec_id <> p.qid)
+      |SELECT qid, cid, rnk, cos_sim FROM (
+      |  SELECT qid, cid, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS BIGINT) AS rnk
+      |  FROM cand) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[knnLsh]] (nQueries=10, k=3): the plane literals are
+    * printed into a VALUES table, signatures are the same sign-of-dot bit
+    * sums, and the multiprobe set is sig plus its 8 hamming-1 neighbors.
+    */
+  private def knnLshOracleSql: String = {
+    val planeRows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(", ")}]::FLOAT[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(j, pvec) AS (VALUES
+       |  $planeRows),
+       |n AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+       |s AS (SELECT vec_id,
+       |        CAST(sum(CASE WHEN list_sum(list_transform(list_zip(embedding, pvec),
+       |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+       |          THEN 1 << j ELSE 0 END) AS INTEGER) AS sig
+       |      FROM n, planes GROUP BY vec_id),
+       |base AS (SELECT n.vec_id, n.embedding, n.nrm, s.sig FROM n JOIN s USING (vec_id)),
+       |qprobe AS (SELECT b.vec_id AS qid, b.embedding AS qemb, b.nrm AS qn,
+       |             CASE WHEN p = 8 THEN b.sig ELSE CAST(xor(b.sig, 1 << p) AS INTEGER) END AS sig
+       |           FROM base b, range(0, 9) r(p) WHERE b.vec_id < 10),
+       |cand AS (SELECT q.qid, b.vec_id AS cid,
+       |           list_sum(list_transform(list_zip(q.qemb, b.embedding),
+       |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.qn * b.nrm) AS cos_sim
+       |         FROM base b JOIN qprobe q USING (sig) WHERE b.vec_id <> q.qid)
+       |SELECT qid, cid, rnk, cos_sim FROM (
+       |  SELECT qid, cid, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS BIGINT) AS rnk
+       |  FROM cand) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
   val qs: Seq[Q] = Seq(
@@ -219,12 +291,19 @@ object SimilarityOps extends OpModule {
           .orderBy("vec_id")
       }),
 
-    // LSH-bucketed ANN (scale path; oracle-free — recall asserted vs the
-    // brute-force baseline in SimilaritySpec).
-    Q("nn2_lsh_ann", None, (s, dir) => knnLsh(s, dir, nQueries = 10, k = 3)),
+    // LSH-bucketed ANN (scale path). Fully oracled: the seeded plane
+    // literals are interpolated into the SQL, so DuckDB recomputes the
+    // same signatures, multiprobe set, and candidate join; SimilaritySpec
+    // additionally pins recall vs the brute-force baseline.
+    Q("nn2_lsh_ann", Some(knnLshOracleSql),
+      (s, dir) => knnLsh(s, dir, nQueries = 10, k = 3)),
 
-    // IVF-bucketed ANN (the other scale path; same contract).
-    Q("nn3_ivf_ann", None, (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3)),
+    // IVF-bucketed ANN (the other scale path). Centroids are the first 16
+    // data vectors — pure data-derived arithmetic, so the whole inverted-
+    // file pipeline (assignment, 4-probe, candidate join, top-3) is
+    // reproduced by the oracle SQL.
+    Q("nn3_ivf_ann", Some(knnIvfOracleSql),
+      (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3)),
 
     // V5 with the reference's actual Gaussian kernel exp(−d²/σ²), σ=10
     // (/root/reference/dlmerged2parquet.py:232). libm exp() isn't

@@ -17,6 +17,15 @@ object TextOps extends OpModule {
 
   private val tok = "array_distinct(split(trim(text), '\\\\s+'))"
 
+  /** Winnowing k-gram hash: polynomial rolling hash mod the Mersenne
+    * prime 2^31−1 with base 127 — the classic MOSS-paper construction.
+    * Chosen over xxhash64 because every step is plain integer arithmetic
+    * (max intermediate 2^38, no ANSI overflow) that ANY engine reproduces
+    * — which is what upgrades x5 from rows-only to fully DuckDB-oracled.
+    */
+  private[quality] val HashMod = 2147483647L
+  private[quality] val HashBase = 127L
+
   /** (doc_id, fps) — winnowing fingerprint sets (k-gram rolling hashes,
     * min per sliding window of w, deduplicated). The library surface for
     * overlap detection; the x5 query below projects it to scalar columns
@@ -26,10 +35,37 @@ object TextOps extends OpModule {
       k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "documents")
       .withColumn("hs", expr(
-        s"transform(sequence(1, greatest(1, length(text) - $k + 1)), i -> xxhash64(substring(text, i, $k)))"))
+        s"""transform(sequence(1, greatest(1, length(text) - $k + 1)), i ->
+           |  aggregate(sequence(i, i + ${k - 1}), CAST(0 AS BIGINT),
+           |    (acc, j) -> (acc * $HashBase + ascii(substring(text, j, 1))) % $HashMod))"""
+          .stripMargin))
       .withColumn("fps", expr(
         s"array_distinct(transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w))))"))
       .select(col("doc_id"), col("fps"))
+
+  /** DuckDB twin of [[winnowFingerprints]] (k = 8, w = 16): the Horner
+    * fold with per-step mod equals the power-sum mod, so the oracle can
+    * use precomputed 127^(k−1−j) coefficients and one final `%`.
+    */
+  private def winnowOracleSql: String = {
+    val coefs = (0 until 8).map(j => BigInt(HashBase).pow(7 - j)).mkString("[", ", ", "]")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(2, length(text) - 6)), i ->
+       |      CAST(list_sum(list_transform(range(0, 8), j ->
+       |        ord(substr(text, CAST(i + j AS INTEGER), 1)) * ($coefs)[CAST(j + 1 AS INTEGER)]))
+       |        % $HashMod AS BIGINT)) AS hs
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(1, len(hs) - 15)), j ->
+       |      list_min(hs[CAST(j + 1 AS INTEGER):CAST(j + 16 AS INTEGER)]))) AS fps
+       |  FROM h)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |       CAST(list_sum(fps) AS BIGINT) AS fps_sum,
+       |       list_min(fps) AS fps_min, list_max(fps) AS fps_max
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
     // Token counting (whitespace tokenizer).
@@ -131,16 +167,18 @@ object TextOps extends OpModule {
     // Winnowing fingerprints (MOSS-style): k-gram rolling hashes, minimum
     // per sliding window of w — robust overlap detection for partial-copy
     // dedup. Pure HOFs over each row (no shuffle until the final sort);
-    // xxhash64-based, so rows-only (WinnowSpec pins the overlap
-    // guarantees on planted shared substrings). Output is scalar: the
-    // fingerprint count plus an order-free rolling xxhash64 digest of the
-    // sorted fingerprint set (the driver compare cannot hash array cells).
-    Q("x5_winnow_fingerprint", None,
+    // WinnowSpec pins the overlap guarantees on planted shared
+    // substrings. Output is scalar (count + order-free sum/min/max over
+    // the fingerprint set — the driver compare cannot hash array cells);
+    // the polynomial hash is engine-agnostic, so the query is fully
+    // DuckDB-oracled.
+    Q("x5_winnow_fingerprint", Some(winnowOracleSql),
       (s, dir) => winnowFingerprints(s, dir)
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
-          expr("aggregate(array_sort(fps), CAST(0 AS BIGINT), (acc, x) -> xxhash64(acc, x))")
-            .as("fps_digest"))
+          expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("fps_sum"),
+          array_min(col("fps")).as("fps_min"),
+          array_max(col("fps")).as("fps_max"))
         .orderBy("doc_id")),
 
     // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups

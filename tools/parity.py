@@ -7,6 +7,7 @@ result against the Spark output parquet written by graft.Verify.
 Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -40,6 +41,8 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # subset dump (SPARK_GRAFT_ONLY) — not an error
         try:
             want = normalize(con.execute(sql).df())
             got = normalize(pd.read_parquet(f"{out_dir}/{name}"))
