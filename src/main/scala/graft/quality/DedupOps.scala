@@ -8,14 +8,22 @@ import org.apache.spark.sql.functions._
   * over the `documents` table. These are the unbounded-scale complements
   * to the bounded-block exact Jaccard in [[TextOps]] (dd4).
   *
-  * Both signatures are computed in ONE aggregation pass using 32 (resp.
-  * 64) parallel aggregate expressions over the exploded token stream — no
-  * per-hash-function re-shuffle, fully map-side partial-aggregated, which
-  * is what makes the pattern viable at 100 TB. Hashing uses the codegen'd
-  * `xxhash64`, which no external SQL engine reproduces, so these two are
-  * oracle-free (driver rows-only check) and their semantics are pinned by
-  * DedupSpec: planted near-duplicates are found and the MinHash Jaccard
-  * estimate tracks the exact token-set Jaccard of dd4.
+  * HASH FAMILY — plain integer arithmetic, not xxhash64: a token's code
+  * is the classic polynomial rolling hash mod the Mersenne prime 2^31−1
+  * (base 127, the same construction as [[TextOps]] winnowing), and the
+  * i-th hash function is an affine map `(a_i·code + b_i) mod M` with
+  * seeded constants. Every intermediate stays below 2^62, so the family
+  * is ANSI-overflow-safe in Spark AND bit-reproducible by any SQL engine
+  * — which is what upgrades the whole dd family (dd2/dd3/dd3b/dd6) from
+  * rows-only to fully DuckDB-oracled: the oracle SQL interpolates the
+  * same seed constants and recomputes signatures, banding, clique
+  * collapse, and (for dd6) the connected components via a recursive CTE.
+  *
+  * Both signature kinds are computed in ONE aggregation pass over the
+  * exploded token stream — no per-hash-function re-shuffle, fully
+  * map-side partial-aggregated, which is what makes the pattern viable
+  * at 100 TB. DedupSpec pins recall on planted near-duplicates and the
+  * tracking of the MinHash estimate against exact token-set Jaccard.
   */
 object DedupOps extends OpModule {
 
@@ -25,18 +33,44 @@ object DedupOps extends OpModule {
   // narrow bands admit nearly every pair as a candidate and the
   // candidate join degenerates toward all-pairs.
   private val BandSize = 8
+  private val NumBands = NumHashes / BandSize
 
-  /** (doc_id, sig: array<long>) MinHash signature table — one shuffle.
-    *
-    * The hash family is two-stage: ONE xxhash64 over the token string,
-    * then 32 seeded xxhash64 mixes over that fixed-width 8-byte base
-    * (`xxhash64(h, i)`). `xxhash64(tok, i)` would re-consume the full
-    * string bytes per seed — 32 string hashes per token row — where the
-    * base+mix family does the string work once and each seeded variant is
-    * two 8-byte hash rounds (measured ~2× end-to-end on dd2 at sf0.1).
-    * Still codegen'd, still free of the ANSI overflow a wrap-around
-    * affine family would trip, and independence across seeds comes from
-    * the full avalanche of the second hash round.
+  /** Mersenne prime 2^31 − 1: modulus of the token-code and affine hash
+    * arithmetic (shared with [[TextOps.HashMod]]).
+    */
+  private val Mod = 2147483647L
+  /** Multiplier of the band-key Horner fold (any odd constant ≪ 2^31). */
+  private val BandP = 1000003L
+
+  /** Seeded affine constants (a in [1, M−1], b in [0, M−1]). */
+  private def affineSeeds(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)((1L + rng.nextInt((Mod - 1).toInt).toLong,
+      rng.nextInt(Mod.toInt).toLong))
+  }
+  private val MinhashSeeds = affineSeeds(NumHashes, 13)
+  private val SimhashSeeds = affineSeeds(64, 17)
+
+  /** (doc_id, t) — one row per distinct token with its 31-bit polynomial
+    * code, via the codegen'd [[graft.tensor.PolyHash31]] kernel (the HOF
+    * fold `aggregate(sequence(...) ... ascii(substring(...)))` computes
+    * the same value but runs interpreted per character — ~3× slower end
+    * to end on the sketch queries).
+    */
+  private def tokenCodes(s: SparkSession, dir: String): DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .select(col("doc_id"), call_function("poly_hash31", col("tok")).as("t"))
+  }
+
+  private def affine(t: Column, seed: (Long, Long)): Column =
+    (t * seed._1 + seed._2) % Mod
+
+  /** (doc_id, sig: array<long>) MinHash signature table — one shuffle:
+    * 32 affine mixes inline per (doc, token) row, reduced by 32 `min`
+    * aggregates in one map-side-partial pass.
     *
     * The 32 minima are PACKED into a single array column at the
     * aggregation boundary. Downstream plan width matters more than it
@@ -48,16 +82,10 @@ object DedupOps extends OpModule {
     * between stages just the same.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // 32 seeded mixes inline per (doc, token) row, reduced by 32 `min`
-    // aggregates in one map-side-partial pass. (A distinct-vocabulary
-    // broadcast-join variant benched slower: the extra exchange costs
-    // more than the redundant hashing saves.)
-    val minCols: Seq[Column] =
-      (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val toks = tokenCodes(s, dir)
+    val minCols: Seq[Column] = MinhashSeeds.zipWithIndex.map { case (ab, i) =>
+      min(affine(col("t"), ab)).as(s"m$i")
+    }
     toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -89,17 +117,20 @@ object DedupOps extends OpModule {
       .groupBy("sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
 
+  /** Band key: Horner fold of one 8-minhash slice (the band index is a
+    * separate grouping column, so no salt is needed).
+    */
+  private def bandKeyExpr(b: Int): String =
+    s"""aggregate(slice(sig, ${b * BandSize + 1}, $BandSize), CAST(0 AS BIGINT),
+       |  (acc, x) -> (acc * $BandP + x) % $Mod)""".stripMargin
+
   /** Banded-LSH near-dup pairs between clique REPRESENTATIVES with the
     * minhash-agreement Jaccard estimate.
     */
   private def repPairs(cliques: DataFrame, minEstJaccard: Double, minBands: Int): DataFrame = {
     val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
-    // xxhash64 hashes array values recursively, so each 8-minhash band
-    // slice keys directly; the band index salts the hash so equal slices
-    // in different bands land in distinct buckets.
-    val bandKeys: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * BandSize + 1, BandSize), lit(b)).as("bkey")).as(s"bk$b")
+    val bandKeys: Seq[Column] = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"), expr(bandKeyExpr(b)).as("bkey")).as(s"bk$b")
     }
     val buckets = reps
       .withColumn("bk", explode(array(bandKeys: _*)))
@@ -174,16 +205,14 @@ object DedupOps extends OpModule {
       .orderBy("doc_id")
   }
 
-  /** (doc_id, simhash) — 64-bit SimHash from token xxhash64 bits, computed
-    * as 64 parallel ±1 sums in one aggregation pass.
+  /** (doc_id, simhash) — 64-bit SimHash: bit i is the sign of the ±1 sum
+    * of hash-function-i parities over the token codes, computed as 64
+    * parallel sums in one aggregation pass.
     */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums: Seq[Column] = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"s$i")
+    val toks = tokenCodes(s, dir)
+    val bitSums: Seq[Column] = SimhashSeeds.zipWithIndex.map { case (ab, i) =>
+      sum(affine(col("t"), ab).bitwiseAND(1) * 2 - 1).as(s"s$i")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val hash: Column = (0 until 64).map { i =>
@@ -286,18 +315,135 @@ object DedupOps extends OpModule {
     cliquePairs.union(repPairs).orderBy("a", "b")
   }
 
-  val qs: Seq[Q] = Seq(
-    Q("dd2_minhash_lsh", None, (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
+  // --------------------------------------------------------------------
+  // DuckDB oracle twins. Each interpolates the same seed constants and
+  // recomputes the full pipeline; list_reduce's first-element seeding
+  // coincides with Spark's zero-seeded Horner fold because every value is
+  // already < M (and the folds are congruent mod M regardless).
+  // --------------------------------------------------------------------
 
-    Q("dd3b_simhash_lsh", None, (s, dir) => simhashPairs(s, dir, maxHamming = 8)),
+  private def seedListSql(seeds: Seq[(Long, Long)]): String =
+    seeds.map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
+
+  /** tc: list of distinct-token polynomial codes for `text`. */
+  private val TcodesSql =
+    s"""list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), tok ->
+       |      list_reduce(list_transform(range(1, length(tok) + 1), i ->
+       |        CAST(ord(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)),
+       |        (acc, x) -> (acc * 127 + x) % $Mod))""".stripMargin
+
+  /** Shared dd2/dd6 CTE prefix: signatures → cliques → tier-1 pairs →
+    * banded rep buckets (capped) → band-collision candidate counts.
+    */
+  private def minhashCtes: String =
+    s"""d AS (SELECT doc_id, $TcodesSql AS tc FROM documents),
+       |sigs AS (SELECT doc_id, list_transform(${seedListSql(MinhashSeeds)}, s ->
+       |           list_min(list_transform(tc, t -> (s[1] * t + s[2]) % $Mod))) AS sig FROM d),
+       |cl AS (SELECT sig, list(doc_id ORDER BY doc_id) AS ids FROM sigs GROUP BY sig),
+       |t1 AS (SELECT ids[1] AS a, u.m AS b, 1.0 AS est_jaccard
+       |       FROM cl, unnest(ids[2:len(ids)]) u(m) WHERE len(ids) > 1),
+       |reps AS (SELECT ids[1] AS doc_id, sig FROM cl),
+       |bk AS (SELECT doc_id, r.blk,
+       |         list_reduce(sig[blk * $BandSize + 1 : blk * $BandSize + $BandSize],
+       |           (acc, x) -> (acc * $BandP + x) % $Mod) AS bkey
+       |       FROM reps, range(0, $NumBands) r(blk)),
+       |bsz AS (SELECT blk, bkey, count(*) AS n FROM bk GROUP BY blk, bkey),
+       |adm AS (SELECT bk.doc_id, bk.blk, bk.bkey FROM bk JOIN bsz USING (blk, bkey)
+       |        WHERE n BETWEEN 2 AND 1000),
+       |cand AS (SELECT l.doc_id AS a, r2.doc_id AS b, count(*) AS nbands
+       |         FROM adm l JOIN adm r2 USING (blk, bkey) WHERE l.doc_id < r2.doc_id
+       |         GROUP BY 1, 2)""".stripMargin
+
+  private def estSql(minBands: Int): String =
+    s"""t2 AS (SELECT c.a, c.b,
+       |         CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est_jaccard
+       |       FROM cand c JOIN sigs sa ON sa.doc_id = c.a JOIN sigs sb ON sb.doc_id = c.b
+       |       WHERE c.nbands >= $minBands)""".stripMargin
+
+  private def dd2OracleSql: String =
+    s"""WITH $minhashCtes,
+       |${estSql(1)}
+       |SELECT a, b, est_jaccard FROM (
+       |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 WHERE est_jaccard >= 0.8)
+       |ORDER BY a, b""".stripMargin
+
+  private def dd6OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |${estSql(2)},
+       |edges AS (SELECT a, b FROM t2 WHERE est_jaccard >= 0.95),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |members AS (SELECT ids[1] AS rep, u.m AS doc_id FROM cl, unnest(ids) u(m))
+       |SELECT m.doc_id, coalesce(c.comp, m.rep) AS cluster_rep
+       |FROM members m LEFT JOIN comp c ON c.id = m.rep ORDER BY doc_id""".stripMargin
+
+  /** Powers of two as BIGINT literals (bit 63 is the sign bit — spelled
+    * as the negative literal so the sum reproduces Java's 1L << 63).
+    */
+  private val Pow2Sql: String =
+    (0 until 64).map(i => if (i == 63) "-9223372036854775808" else (1L << i).toString)
+      .mkString("[", ", ", "]")
+
+  private def simhashSql(src: String): String =
+    s"""d AS (SELECT doc_id, $TcodesSql AS tc FROM $src),
+       |bits AS (SELECT doc_id, list_transform(${seedListSql(SimhashSeeds)}, s ->
+       |           list_sum(list_transform(tc, t -> (((s[1] * t + s[2]) % $Mod) & 1) * 2 - 1))) AS bs
+       |         FROM d),
+       |sh AS (SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i ->
+       |           CASE WHEN bs[CAST(i AS INTEGER)] > 0
+       |                THEN ($Pow2Sql)[CAST(i AS INTEGER)] ELSE 0 END)) AS BIGINT) AS simhash
+       |       FROM bits)""".stripMargin
+
+  private def dd3OracleSql: String =
+    s"""WITH ${simhashSql("documents WHERE doc_id < 200")}
+       |SELECT l.doc_id AS a, r.doc_id AS b,
+       |       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= 16
+       |ORDER BY a, b""".stripMargin
+
+  private def dd3bOracleSql: String =
+    s"""WITH ${simhashSql("documents")},
+       |cl AS (SELECT simhash, list(doc_id ORDER BY doc_id) AS ids FROM sh GROUP BY simhash),
+       |t1 AS (SELECT ids[1] AS a, u.m AS b, CAST(0 AS BIGINT) AS hamming
+       |       FROM cl, unnest(ids[2:len(ids)]) u(m) WHERE len(ids) > 1),
+       |reps AS (SELECT ids[1] AS doc_id, simhash FROM cl),
+       |blkd AS (SELECT doc_id, simhash, r.blk,
+       |           (simhash >> (r.blk * 16)) & 65535 AS key
+       |         FROM reps, range(0, 4) r(blk)),
+       |bsz AS (SELECT blk, key, count(*) AS n FROM blkd GROUP BY blk, key),
+       |adm AS (SELECT blkd.doc_id, blkd.simhash, blkd.blk, blkd.key
+       |        FROM blkd JOIN bsz USING (blk, key) WHERE n BETWEEN 2 AND $SimhashBucketCap),
+       |t2 AS (SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b,
+       |         CAST(bit_count(xor(l.simhash, r2.simhash)) AS BIGINT) AS hamming
+       |       FROM adm l JOIN adm r2 USING (blk, key)
+       |       WHERE l.doc_id < r2.doc_id
+       |         AND bit_count(xor(l.simhash, r2.simhash)) <= 8)
+       |SELECT a, b, hamming FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+       |ORDER BY a, b""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("dd2_minhash_lsh", Some(dd2OracleSql),
+      (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
+
+    Q("dd3b_simhash_lsh", Some(dd3bOracleSql),
+      (s, dir) => simhashPairs(s, dir, maxHamming = 8)),
 
     // Dedup clusters: the complete pipeline shape — sketch → clique
     // collapse → rep-graph LSH pairs → connected components on the rep
-    // graph only → members inherit labels. One row per document.
-    Q("dd6_dedup_clusters", None,
+    // graph only → members inherit labels. One row per document. The
+    // oracle recomputes the components with a recursive min-reachability
+    // CTE — an independent check of the distributed pointer-jumping CC.
+    Q("dd6_dedup_clusters", Some(dd6OracleSql),
       (s, dir) => dedupClusters(s, dir, minEstJaccard = 0.95)),
 
-    Q("dd3_simhash", None, (s, dir) => {
+    Q("dd3_simhash", Some(dd3OracleSql), (s, dir) => {
       val sh = simhashes(s, dir)
       // Near-dup pairs in a bounded block by hamming distance ≤ 16; the
       // signature table itself is the scale artifact.

@@ -32,16 +32,20 @@ object TextOps extends OpModule {
     * for the driver harness.
     */
   def winnowFingerprints(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame =
+      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    // poly_hash31(substring(text, i, k)) == the per-char Horner fold over
+    // positions i..i+k−1 whenever i+k−1 ≤ length(text) — true for every
+    // position the sequence generates when length ≥ k (the corpus's min
+    // length is ~44; a sub-k text would hash its short tail instead of
+    // zero-padding, a domain edge the oracle shares by never exercising).
     Tables(s, dir, "documents")
       .withColumn("hs", expr(
-        s"""transform(sequence(1, greatest(1, length(text) - $k + 1)), i ->
-           |  aggregate(sequence(i, i + ${k - 1}), CAST(0 AS BIGINT),
-           |    (acc, j) -> (acc * $HashBase + ascii(substring(text, j, 1))) % $HashMod))"""
-          .stripMargin))
+        s"transform(sequence(1, greatest(1, length(text) - $k + 1)), i -> poly_hash31(substring(text, i, $k)))"))
       .withColumn("fps", expr(
         s"array_distinct(transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w))))"))
       .select(col("doc_id"), col("fps"))
+  }
 
   /** DuckDB twin of [[winnowFingerprints]] (k = 8, w = 16): the Horner
     * fold with per-step mod equals the power-sum mod, so the oracle can
