@@ -32,7 +32,7 @@ object Bench {
     // A failed query records JSON null (not a fake duration) so breakage is
     // visible in the bench output instead of silently deflating the total.
     // Optional comma-separated subset filter for local profiling runs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(",").toSet)
     // Profiling knob: time each query `reps` times and keep the minimum
     // (separates plan cost from JIT/GC noise). Driver runs use the default
     // single-shot timing.

@@ -20,7 +20,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated subset filter for local iteration (the
     // driver never sets it, so driver runs always dump every query).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

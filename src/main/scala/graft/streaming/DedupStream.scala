@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming dedup — the live twin of the batch exact-dedup audit (dd1 in
+  * [[graft.quality.TextOps]]): as document files land, maintain one row
+  * per distinct content hash with the surviving (minimum) doc id and the
+  * copy count.
+  *
+  * Expressed as a streaming `groupBy(content_hash).agg(min, count)` —
+  * NOT `dropDuplicates` — deliberately: which physical row survives a
+  * within-batch `dropDuplicates` is plan-order-dependent, while the
+  * min-id contract is deterministic and exactly equals the batch query on
+  * any replay split of the same files (StreamingSpec asserts it). State
+  * is one (hash, min, count) row per distinct document — the same
+  * cardinality any dedup index carries. At 100 TB the same plan runs in
+  * update mode with state-store TTL if the hash space must be aged out;
+  * the shuffle stays keyed on the 32-byte hash either way.
+  */
+object DedupStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def dedupAudit(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .parquet(dir)
+      .select(md5(col("text")).as("text_md5"), col("doc_id"))
+      .groupBy("text_md5")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Run to completion over the (bounded) staged files; complete-mode
+    * memory sink, final state as a batch DataFrame.
+    */
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = dedupAudit(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

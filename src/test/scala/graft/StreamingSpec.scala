@@ -18,6 +18,29 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dedup audit equals batch dd1 on any replay split") {
+    // split the corpus across two files to force multiple micro-batch
+    // arrivals — the min-id/count contract must not depend on the split
+    val dir = java.nio.file.Files.createTempDirectory("stream_docs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(dir.resolve("part_even").toString)
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(dir.resolve("part_odd").toString)
+    val streamDir = java.nio.file.Files.createTempDirectory("stream_docs_in")
+    Seq("part_even", "part_odd").zipWithIndex.foreach { case (p, i) =>
+      val src = java.nio.file.Files.list(dir.resolve(p))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, streamDir.resolve(s"$i.parquet"))
+    }
+    val streamed = graft.streaming.DedupStream
+      .runToCompletion(spark, streamDir.toString, "dedup_test")
+    val batch = quality.TextOps.qs.find(_.name == "dd1_exact_dedup").get.fn(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals the batch window form") {
     val dir = java.nio.file.Files.createTempDirectory("stream_sessions")
     java.nio.file.Files.copy(
