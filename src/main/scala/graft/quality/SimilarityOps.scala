@@ -305,6 +305,42 @@ object SimilarityOps extends OpModule {
     Q("nn3_ivf_ann", Some(knnIvfOracleSql),
       (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3)),
 
+    // Embedding int8 quantization audit — the storage-shrink step an ANN
+    // index at 100 TB runs before anything else (4 bytes → 1 byte per
+    // dim). Per-vector symmetric scale 127/max|v|; rounding is spelled
+    // floor(x + 0.5) on BOTH engines (plain `round` differs across
+    // engines on .5 ties). Output is the per-vector reconstruction audit
+    // (max abs error, MSE) rather than the int8 array itself (the driver
+    // compare cannot hash array cells); errors fold sequentially per row,
+    // so parity needs no decimal accumulators.
+    Q("nn4_int8_quant", Some(
+      """WITH e AS (SELECT vec_id, embedding,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, embedding, 127.0 / mx AS scale FROM e WHERE mx > 0),
+        |r AS (SELECT vec_id, scale,
+        |        list_transform(embedding, x ->
+        |          abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)) AS errs
+        |      FROM q)
+        |SELECT vec_id, scale, list_max(errs) AS max_abs_err,
+        |       list_sum(list_transform(errs, x -> x * x)) / len(errs) AS mse
+        |FROM r ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("mx", array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))))
+          .filter(col("mx") > 0)
+          .withColumn("scale", lit(127.0) / col("mx"))
+          .withColumn("errs", transform(col("embedding"),
+            x => abs(x.cast("double") -
+              floor(x.cast("double") * col("scale") + 0.5) / col("scale"))))
+        emb.select(col("vec_id"), col("scale"),
+          array_max(col("errs")).as("max_abs_err"),
+          (aggregate(transform(col("errs"), x => x * x), lit(0.0), (a, x) => a + x)
+            / size(col("errs"))).as("mse"))
+          .orderBy("vec_id")
+      }),
+
     // V5 with the reference's actual Gaussian kernel exp(−d²/σ²), σ=10
     // (/root/reference/dlmerged2parquet.py:232). libm exp() isn't
     // bit-identical across engines, so the argmax ranks on the RAW score

@@ -185,6 +185,41 @@ object TextOps extends OpModule {
           array_max(col("fps")).as("fps_max"))
         .orderBy("doc_id")),
 
+    // Sequence packing for training batches: consecutive docs (by id,
+    // within a shard) are grouped into packs of ~2048 tokens — the
+    // contiguous-chunk form of LLM context packing. pack = exclusive
+    // running token count div budget, so a doc starts a new pack when the
+    // budget would overflow ON AVERAGE (deterministic, not best-fit).
+    // SCALE SHAPE: the running sum windows over (shard, doc order), never
+    // a global single-reducer sort — shards pack independently, exactly
+    // how a 1000-executor job would run it.
+    Q("x7_seq_packing", Some(
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM t)
+        |SELECT shard, pack, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens FROM (
+        |  SELECT shard, prior // 2048 AS pack, n_tokens FROM c)
+        |GROUP BY shard, pack ORDER BY shard, pack""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byShard = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          .withColumn("prior", coalesce(sum("n_tokens").over(byShard), lit(0L)))
+          .withColumn("pack", expr("prior div 2048"))
+          .groupBy("shard", "pack")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+          .orderBy("shard", "pack")
+      }),
+
     // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups
     // by the content hash, not the text — the shuffle carries 32-byte
     // keys instead of whole documents (the 100 TB-relevant difference).
