@@ -335,7 +335,7 @@ object DedupOps extends OpModule {
   /** Shared dd2/dd6 CTE prefix: signatures → cliques → tier-1 pairs →
     * banded rep buckets (capped) → band-collision candidate counts.
     */
-  private def minhashCtes: String =
+  private[quality] def minhashCtes: String =
     s"""d AS (SELECT doc_id, $TcodesSql AS tc FROM documents),
        |sigs AS (SELECT doc_id, list_transform(${seedListSql(MinhashSeeds)}, s ->
        |           list_min(list_transform(tc, t -> (s[1] * t + s[2]) % $Mod))) AS sig FROM d),
@@ -354,7 +354,7 @@ object DedupOps extends OpModule {
        |         FROM adm l JOIN adm r2 USING (blk, bkey) WHERE l.doc_id < r2.doc_id
        |         GROUP BY 1, 2)""".stripMargin
 
-  private def estSql(minBands: Int): String =
+  private[quality] def estSql(minBands: Int): String =
     s"""t2 AS (SELECT c.a, c.b,
        |         CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
        |           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est_jaccard
