@@ -165,14 +165,16 @@ object DedupOps extends OpModule {
     * Consumers needing per-member edges should join through
     * [[minhashCliques]].
     *
-    * The clique table is cached for the duration of the returned plan
-    * (it feeds both tiers); the cache lives until the session drops it
-    * (`spark.catalog.clearCache()`) — callers embedding this in a longer
-    * job should clear it once the pairs are materialized.
+    * The clique subtree feeds both tiers UNCACHED, deliberately: its
+    * shuffle is deduplicated at runtime by AQE exchange reuse, while an
+    * explicit `.cache()` forced an InMemoryRelation materialization that
+    * benched ~2× slower end-to-end (and held executor memory for no
+    * benefit). Callers running MANY derived queries off one clique table
+    * should cache it themselves.
     */
   def minhashPairs(s: SparkSession, dir: String, minEstJaccard: Double,
       minBands: Int = 1): DataFrame = {
-    val cliques = minhashCliques(s, dir).cache()
+    val cliques = minhashCliques(s, dir)
     // tier 1: within-clique pairs, est = 1.0 (all minhashes agree)
     val cliquePairs = cliques
       .filter(size(col("ids")) > 1)
@@ -188,7 +190,7 @@ object DedupOps extends OpModule {
     * cluster's minimum doc id — the "keep one per cluster" table.
     */
   def dedupClusters(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
-    val cliques = minhashCliques(s, dir).cache()
+    val cliques = minhashCliques(s, dir)
     val rp = repPairs(cliques, minEstJaccard, minBands = 2).select("a", "b")
     // pointer jumping reaches 2^3 hops in 3 fixed rounds — ample for a
     // high-threshold similarity graph (post-collapse components are
@@ -285,11 +287,11 @@ object DedupOps extends OpModule {
     * RETURN CONTRACT — canonicalized pairs, as in [[minhashPairs]]: every
     * pair has a clique representative on at least one side; member↔other
     * edges are recoverable transitively via [[simhashCliques]], not
-    * enumerated. The cached clique table lives until
-    * `spark.catalog.clearCache()` — clear it once pairs are materialized.
+    * enumerated. The clique subtree is shared across the two tiers via
+    * AQE exchange reuse, uncached (see [[minhashPairs]]).
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
-    val cliques = simhashCliques(s, dir).cache()
+    val cliques = simhashCliques(s, dir)
     // tier 1: within-clique pairs, hamming = 0 by construction
     val cliquePairs = cliques
       .filter(size(col("ids")) > 1)
