@@ -93,6 +93,27 @@ object Multimodal extends OpModule {
             md5(expr(chunk)).as("chunk_fp"),
             length(expr(chunk)).cast("long").as("chunk_len"))
           .orderBy("doc_id", "chunk_idx")
+      }),
+
+    // Frame sampling (video keyframe analog): keep every 4th chunk of the
+    // payload — the strided-selection plan shape of media frame sampling,
+    // with the codec swapped for a fingerprint. The stride filter prunes
+    // BEFORE the expensive per-chunk work, exactly where a real decoder
+    // wants it.
+    Q("mm3_frame_sample", Some(
+      """SELECT doc_id, chunk_idx, md5(substring(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS frame_fp
+        |FROM (SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_idx
+        |      FROM documents)
+        |WHERE chunk_idx % 4 = 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, dir) => {
+        val chunk = "substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)"
+        Tables(s, dir, "documents")
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0L), ceil(length(col("text")) / lit(256.0)).cast("long") - 1)))
+          .filter(col("chunk_idx") % 4 === 0)
+          .select(col("doc_id"), col("chunk_idx"), md5(expr(chunk)).as("frame_fp"))
+          .orderBy("doc_id", "chunk_idx")
       })
   )
 }

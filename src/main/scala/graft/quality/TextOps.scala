@@ -232,6 +232,40 @@ object TextOps extends OpModule {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("text_md5")),
 
+    // Word-3-gram shingle Jaccard over a bounded id block — the n-gram
+    // reading of near-dup scoring (dd4 below is the token-SET reading):
+    // overlapping 3-token shingles catch reorderings token sets miss.
+    Q("dd4b_shingle_jaccard", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(2, len(tok) - 1)),
+        |    i -> array_to_string(tok[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |        FROM documents WHERE doc_id < 200))
+        |SELECT a, b, jac FROM (
+        |  SELECT t1.doc_id AS a, t2.doc_id AS b,
+        |    CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE)
+        |      / (len(t1.sh) + len(t2.sh) - len(list_intersect(t1.sh, t2.sh))) AS jac
+        |  FROM t t1 JOIN t t2 ON t1.doc_id < t2.doc_id)
+        |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin),
+      (s, dir) => {
+        val t = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .withColumn("tok", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(sequence(1, greatest(1, size(tok) - 2)), i -> concat_ws(' ', slice(tok, i, 3)))"
+          )).as("sh"))
+        val a = t.select(col("doc_id").as("a"), col("sh").as("sa"))
+        val b = t.select(col("doc_id").as("b"), col("sh").as("sb"))
+        a.join(b, col("a") < col("b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jac") >= 0.8)
+          .select("a", "b", "jac")
+          .orderBy("a", "b")
+      }),
+
     // Token-set Jaccard near-dup pairs over a bounded id block. The block
     // bound (not the pair join) is what caps the quadratic term; at open
     // scale the LSH path replaces it.
