@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-independent invariants of the training-prep operators (their
+  * value-level parity is oracle-checked; these pin the semantic laws).
+  */
+class TrainingPrepSpec extends AnyFunSuite with SparkSuite {
+
+  test("x7 packing conserves documents and tokens per shard") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val expected = docs.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val packed = quality.TextOps.qs.find(_.name == "x7_seq_packing").get.fn(spark, sf)
+      .groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"), sum("pack_tokens").as("tok"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed == expected)
+  }
+
+  test("x7 pack ids are dense from 0 within each shard") {
+    val packs = quality.TextOps.qs.find(_.name == "x7_seq_packing").get.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      val ids = ps.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq,
+        s"shard $shard packs ${ids.mkString(",")}")
+    }
+  }
+
+  test("nn4 reconstruction error is bounded by half a quantization step") {
+    val rows = quality.SimilarityOps.qs.find(_.name == "nn4_int8_quant").get.fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val maxErr = r.getDouble(2)
+      val mse = r.getDouble(3)
+      val bound = 0.5 / scale * (1 + 1e-9)
+      assert(maxErr <= bound, s"vec ${r.getLong(0)}: $maxErr > $bound")
+      assert(mse <= maxErr * maxErr + 1e-12)
+    }
+  }
+}
