@@ -188,9 +188,17 @@ object DedupOps extends OpModule {
     * (tiny) representative graph only; members inherit their rep's
     * component through the clique map. One row per document with the
     * cluster's minimum doc id — the "keep one per cluster" table.
+    *
+    * Unlike [[minhashPairs]] (one execution — AQE exchange reuse shares
+    * the clique subtree), this pipeline spans MULTIPLE executions: the
+    * CC rounds checkpoint-materialize the rep graph, then the final
+    * member join traverses cliques again. Exchange reuse cannot cross
+    * executions, so here the clique table IS cached — without it the
+    * whole signature pipeline recomputes per execution. The cache lives
+    * until the session clears it (`spark.catalog.clearCache()`).
     */
   def dedupClusters(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
-    val cliques = minhashCliques(s, dir)
+    val cliques = minhashCliques(s, dir).cache()
     val rp = repPairs(cliques, minEstJaccard, minBands = 2).select("a", "b")
     // pointer jumping reaches 2^3 hops in 3 fixed rounds — ample for a
     // high-threshold similarity graph (post-collapse components are
