@@ -305,6 +305,50 @@ object SimilarityOps extends OpModule {
     Q("nn3_ivf_ann", Some(knnIvfOracleSql),
       (s, dir) => knnIvf(s, dir, nQueries = 10, k = 3)),
 
+    // Embedding-cluster dedup: cosine near-dup edges over a bounded id
+    // block → distributed connected components → one cluster id (minimum
+    // member) per vector. The embedding-space completion of the dedup
+    // family: dd6 clusters by token sketches, dd7 by embedding geometry.
+    // The oracle replays the edges arithmetically and the components with
+    // a recursive min-reachability CTE — independently checking the
+    // pointer-jumping CC a second time on a different graph.
+    Q("dd7_embedding_clusters", Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id < 300),
+        |edges AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.95),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster_rep
+        |FROM e LEFT JOIN comp c ON c.id = e.vec_id
+        |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        graft.tensor.VectorFunctions.register(s)
+        val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+        val l = base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val r = base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val edges = l.join(broadcast(r), col("a") < col("b"))
+          .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.95)
+          .select("a", "b")
+        val comp = graft.ops.GraphOps.connectedComponents(edges, maxIter = 3,
+          earlyStop = false, verify = true)
+        base.select(col("vec_id"))
+          .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_rep"))
+          .orderBy("vec_id")
+      }),
+
     // Embedding int8 quantization audit — the storage-shrink step an ANN
     // index at 100 TB runs before anything else (4 bytes → 1 byte per
     // dim). Per-vector symmetric scale 127/max|v|; rounding is spelled
