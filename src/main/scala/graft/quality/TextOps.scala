@@ -220,6 +220,68 @@ object TextOps extends OpModule {
           .orderBy("shard", "pack")
       }),
 
+    // Train/val/test split assignment — hash-thresholded like the r1/r5
+    // samplers (a pure function of the doc key: stable under
+    // repartitioning, retries, and dataset growth — new docs never
+    // reshuffle old assignments), with per-(split, lang) accounting.
+    // 80/10/10 on the first 8 hex chars of md5(doc_id|seed).
+    Q("x8_split_assign", Some(
+      """SELECT split, lang, count(*) AS n_docs FROM (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5(concat_ws('|', doc_id, 'split/42')), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substr(md5(concat_ws('|', doc_id, 'split/42')), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+      (s, dir) => {
+        val h = substring(md5(concat_ws("|", col("doc_id"), lit("split/42"))), 1, 8)
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            when(h < "cccccccc", "train").when(h < "e6666666", "val")
+              .otherwise("test").as("split"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("split", "lang")
+      }),
+
+    // Benchmark decontamination — the eval-overlap audit every training
+    // corpus needs: which training docs share a winnowing fingerprint
+    // (k-gram overlap, robust to partial copies) with the eval set
+    // (doc_id < 20 stands in for the benchmark)? Fingerprint sets come
+    // from the same poly-hash winnowing as x5; candidates meet through an
+    // equi-join on the fingerprint value — at 100 TB this is a keyed
+    // shuffle on the (small) eval fingerprint set, broadcast in practice.
+    Q("x9_decontaminate", Some(
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(2, length(text) - 6)), i ->
+         |      CAST(list_sum(list_transform(range(0, 8), j ->
+         |        ord(substr(text, CAST(i + j AS INTEGER), 1)) *
+         |        ([${(0 until 8).map(j => BigInt(127).pow(7 - j)).mkString(", ")}])[CAST(j + 1 AS INTEGER)]))
+         |        % 2147483647 AS BIGINT)) AS hs
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(0, greatest(1, len(hs) - 15)), j ->
+         |      list_min(hs[CAST(j + 1 AS INTEGER):CAST(j + 16 AS INTEGER)]))) AS fps
+         |  FROM h),
+         |ev AS (SELECT DISTINCT u.fp FROM f, unnest(fps) u(fp) WHERE doc_id < 20),
+         |tr AS (SELECT doc_id, u.fp FROM f, unnest(fps) u(fp) WHERE doc_id >= 20)
+         |SELECT tr.doc_id, CAST(count(DISTINCT tr.fp) AS BIGINT) AS n_shared_fps
+         |FROM tr JOIN ev ON tr.fp = ev.fp
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val fps = winnowFingerprints(s, dir)
+        val ev = fps.filter(col("doc_id") < 20)
+          .select(explode(col("fps")).as("fp")).distinct()
+        val tr = fps.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        tr.join(ev, "fp")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("fp")).as("n_shared_fps"))
+          .orderBy("doc_id")
+      }),
+
     // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups
     // by the content hash, not the text — the shuffle carries 32-byte
     // keys instead of whole documents (the 100 TB-relevant difference).
