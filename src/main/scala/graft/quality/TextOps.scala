@@ -292,6 +292,43 @@ object TextOps extends OpModule {
           .orderBy("doc_id")
       }),
 
+    // Intra-document repetition metrics — the Gopher/RefinedWeb-style
+    // quality signals: distinct-token ratio, most-frequent-token share,
+    // and duplicate word-2-gram fraction, all computed inside per-row
+    // HOFs (no shuffle until the final sort).
+    // top_tok_share needs only the mode token's COUNT (which token wins a
+    // tie doesn't change the share), so both engines compute max over
+    // per-distinct-token counts — one O(d·n) pass, no fold. (A
+    // struct-accumulator list_reduce variant hit a DuckDB 1.0 bug:
+    // results differed full-table vs single-row; the max form agrees with
+    // a relational GROUP BY ground truth on every row.)
+    Q("x10_repetition", Some(
+      """SELECT doc_id,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS distinct_ratio,
+        |  CAST(list_max(list_transform(list_distinct(tok),
+        |         t -> len(list_filter(tok, x -> x = t)))) AS DOUBLE) / len(tok) AS top_tok_share,
+        |  1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac
+        |FROM (
+        |  SELECT doc_id, tok,
+        |    list_transform(range(1, greatest(2, len(tok))), i ->
+        |      array_to_string(tok[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ')) AS bg
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok FROM documents))
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .withColumn("tok", split(trim(col("text")), "\\s+"))
+        .withColumn("bg", expr(
+          "transform(sequence(1, greatest(1, size(tok) - 1)), i -> concat_ws(' ', slice(tok, i, 2)))"))
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("tok"))).cast("double") / size(col("tok")))
+            .as("distinct_ratio"),
+          (expr("array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t))))")
+            .cast("double") / size(col("tok"))).as("top_tok_share"),
+          (lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")),
+
     // Exact dedup: one survivor (lowest doc_id) per distinct text. Groups
     // by the content hash, not the text — the shuffle carries 32-byte
     // keys instead of whole documents (the 100 TB-relevant difference).
