@@ -59,9 +59,15 @@ object DedupOps extends OpModule {
     */
   private def tokenCodes(s: SparkSession, dir: String): DataFrame = {
     graft.tensor.TextFunctions.register(s)
+    // explode_OUTER + null filter on the GENERATED column, not plain
+    // explode: InferFiltersFromGenerate would add a pushed-down
+    // `size(array_distinct(split(...))) > 0` scan filter that tokenizes
+    // every document a second time (the rule skips outer generators; the
+    // x9 query comment documents the pathological form of the same trap).
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+        explode_outer(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .filter(col("tok").isNotNull)
       .select(col("doc_id"), call_function("poly_hash31", col("tok")).as("t"))
   }
 
