@@ -41,6 +41,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming IVF centroid assignment equals the batch window-ranked form") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("stream_emb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val streamed = graft.streaming.AssignStream
+      .runToCompletion(spark, sf, dir.toString, "assign_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: the window-ranked assignment exactly as knnIvf builds it
+    graft.tensor.VectorFunctions.register(spark)
+    val base = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        quality.SimilarityOps.l2norm(col("embedding")).as("nrm"))
+    val cents = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)
+    val batch = base.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        quality.SimilarityOps.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("crn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("crn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals the batch window form") {
     val dir = java.nio.file.Files.createTempDirectory("stream_sessions")
     java.nio.file.Files.copy(
