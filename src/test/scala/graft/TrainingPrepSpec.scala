@@ -32,6 +32,25 @@ class TrainingPrepSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cleaned-corpus export: partitioned write prunes partitions on read-back") {
+    val survivors = quality.DedupOps.dedupClusters(spark, sf, minEstJaccard = 0.95)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select("doc_id")
+    val out = java.nio.file.Files.createTempDirectory("clean_corpus").toString + "/corpus"
+    graft.Tables(spark, sf, "documents")
+      .join(survivors, "doc_id")
+      .write.partitionBy("lang").option("compression", "gzip").parquet(out)
+    spark.catalog.clearCache()
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected lang partition pruning in:\n${plan.take(800)}")
+    // the pruned read returns exactly the English survivors
+    val expected = graft.Tables(spark, sf, "documents")
+      .join(survivors, "doc_id").filter(col("lang") === "en").count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("nn4 reconstruction error is bounded by half a quantization step") {
     val rows = quality.SimilarityOps.qs.find(_.name == "nn4_int8_quant").get.fn(spark, sf)
       .collect()
