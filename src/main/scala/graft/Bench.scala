@@ -63,12 +63,31 @@ object Bench {
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f2(v) else "null") }
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    // ONE compact JSON line, printed LAST so it survives the driver's
-    // tail-window capture. Round 1 lost its bench score to head-truncation of
-    // a long line; round 2 split detail/totals but the totals line lacked the
-    // "queries" key the driver parses for. This line carries every contract
-    // key (metric/value/unit/queries/sf) at 2-decimal precision (~1.8 KB).
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    // The driver captures only the LAST ~2000 bytes of output (and sbt's
+    // own "[success] Total time ..." line lands after ours inside that
+    // window). Rounds 1-3 all lost the score because the final line carried
+    // the full per-query map (~2.3 KB at 96 queries) and was head-truncated
+    // mid-line. So: the FULL map goes (a) to bench_full.json on disk and
+    // (b) to stdout as its own earlier line (fine if the tail cuts it),
+    // while the final line is a guaranteed-small (<1 KB) JSON object that
+    // still carries every contract key (metric/value/unit/queries/sf) —
+    // "queries" holds the fixed headline subset per the Bench contract
+    // ("runs headline queries"), not all 90+.
+    val fullLine =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    println(fullLine)
+    val headline = Seq(
+      "tpch_q1", "tpch_q3", "tpch_q6", "v4_triplet_join", "v1_voxelize",
+      "j1_hash_join", "dd2_minhash_lsh", "dd6_dedup_clusters",
+      "pipe1_clean_corpus", "nn3_ivf_ann", "x9_decontaminate", "t11_lut_color")
+    val byName = results.map { case (k, v, ok) => k -> (if (ok) f2(v) else "null") }.toMap
+    val hqs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + v))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$hqs,"n_queries":${results.size},"queries_full":"bench_full.json","sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -199,9 +199,11 @@ object DedupOps extends OpModule {
     * the clique subtree), this pipeline spans MULTIPLE executions: the
     * CC rounds checkpoint-materialize the rep graph, then the final
     * member join traverses cliques again. Exchange reuse cannot cross
-    * executions, so here the clique table IS cached — without it the
-    * whole signature pipeline recomputes per execution. The cache lives
-    * until the session clears it (`spark.catalog.clearCache()`).
+    * executions, so here the clique table IS cached — and RELEASED before
+    * returning: the member table (the cache's last consumer) is eagerly
+    * localCheckpoint-materialized while the cache is hot, so the returned
+    * plan reads only checkpointed data and a library caller running dd6
+    * then other work does not hold the clique cache for the session.
     */
   def dedupClusters(s: SparkSession, dir: String, minEstJaccard: Double): DataFrame = {
     val cliques = minhashCliques(s, dir).cache()
@@ -214,8 +216,11 @@ object DedupOps extends OpModule {
     val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 3,
       earlyStop = false, verify = true)
       .withColumnRenamed("id", "rep")
-    cliques
+    val members = cliques
       .select(element_at(col("ids"), 1).as("rep"), explode(col("ids")).as("doc_id"))
+      .localCheckpoint() // eager — final read of the clique cache
+    cliques.unpersist(blocking = false)
+    members
       .join(comp, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("cluster_rep"))
       .orderBy("doc_id")
@@ -341,12 +346,18 @@ object DedupOps extends OpModule {
   private def seedListSql(seeds: Seq[(Long, Long)]): String =
     seeds.map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
 
-  /** tc: list of distinct-token polynomial codes for `text`. */
+  /** tc: list of distinct-token polynomial codes for `text`. The
+    * length-0 guard matters for empty/whitespace-only documents: Spark's
+    * split(trim(''), ...) yields [''] and poly_hash31('') = 0, while an
+    * unguarded DuckDB list_reduce over an empty char-code list raises —
+    * crashing the whole oracle run instead of matching.
+    */
   private val TcodesSql =
     s"""list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), tok ->
+       |      CASE WHEN length(tok) = 0 THEN 0 ELSE
        |      list_reduce(list_transform(range(1, length(tok) + 1), i ->
        |        CAST(ord(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)),
-       |        (acc, x) -> (acc * 127 + x) % $Mod))""".stripMargin
+       |        (acc, x) -> (acc * 127 + x) % $Mod) END)""".stripMargin
 
   /** Shared dd2/dd6 CTE prefix: signatures → cliques → tier-1 pairs →
     * banded rep buckets (capped) → band-collision candidate counts.

@@ -60,6 +60,16 @@ object Multimodal extends OpModule {
       expr(s"payload_bytes div $stride").as("sampled_bytes"),
       col("mean_intensity"))
 
+  /** 0..n_chunks-1 for mm2/mm3. Guarded: for empty text Spark's
+    * sequence(0, -1) evaluates to the DESCENDING array [0, -1] (it would
+    * emit phantom chunks), where DuckDB's range(0, 0) emits none — the
+    * `when` yields null there and explode drops the row on both engines.
+    */
+  private val chunkIdxSeq = {
+    val n = ceil(length(col("text")) / lit(256.0)).cast("long")
+    when(n > 0, sequence(lit(0L), n - 1))
+  }
+
   val qs: Seq[Q] = Seq(
     // Binary-column ingestion + chunk accounting (the SQL-checkable part;
     // the decode stub is covered by MultimodalSpec).
@@ -87,8 +97,7 @@ object Multimodal extends OpModule {
       (s, dir) => {
         val chunk = "substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)"
         Tables(s, dir, "documents")
-          .withColumn("chunk_idx",
-            explode(sequence(lit(0L), ceil(length(col("text")) / lit(256.0)).cast("long") - 1)))
+          .withColumn("chunk_idx", explode(chunkIdxSeq))
           .select(col("doc_id"), col("chunk_idx"),
             md5(expr(chunk)).as("chunk_fp"),
             length(expr(chunk)).cast("long").as("chunk_len"))
@@ -109,8 +118,7 @@ object Multimodal extends OpModule {
       (s, dir) => {
         val chunk = "substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)"
         Tables(s, dir, "documents")
-          .withColumn("chunk_idx",
-            explode(sequence(lit(0L), ceil(length(col("text")) / lit(256.0)).cast("long") - 1)))
+          .withColumn("chunk_idx", explode(chunkIdxSeq))
           .filter(col("chunk_idx") % 4 === 0)
           .select(col("doc_id"), col("chunk_idx"), md5(expr(chunk)).as("frame_fp"))
           .orderBy("doc_id", "chunk_idx")

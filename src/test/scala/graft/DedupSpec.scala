@@ -109,6 +109,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(DedupOps.simhashDroppedBuckets(spark, dir).isEmpty)
   }
 
+  test("dd6 releases the clique cache after the member join") {
+    spark.catalog.clearCache()
+    assert(DedupOps.dedupClusters(spark, sf, minEstJaccard = 0.9).count() > 0)
+    // If the clique cache lingered, the cache manager would swap this
+    // identical fresh plan for an InMemoryRelation.
+    val fresh = DedupOps.minhashCliques(spark, sf)
+    assert(!fresh.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+      "clique cache not released after dedupClusters")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -22,12 +22,17 @@ class TrainingPrepSpec extends AnyFunSuite with SparkSuite {
     assert(packed == expected)
   }
 
-  test("x7 pack ids are dense from 0 within each shard") {
+  test("x7 pack ids start at 0, distinct, increasing within each shard") {
+    // pack = exclusive-prefix-sum div 2048, so a single document longer
+    // than one pack legitimately SKIPS pack ids — density is not part of
+    // the contract (it only held by accident of the corpus). The contract
+    // is: first pack is 0 (prefix sum starts at 0) and ids are distinct
+    // and increasing.
     val packs = quality.TextOps.qs.find(_.name == "x7_seq_packing").get.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     packs.groupBy(_._1).foreach { case (shard, ps) =>
       val ids = ps.map(_._2).sorted.toSeq
-      assert(ids == (0L until ids.length.toLong).toSeq,
+      assert(ids.nonEmpty && ids.head == 0L && ids.distinct == ids,
         s"shard $shard packs ${ids.mkString(",")}")
     }
   }

@@ -38,11 +38,20 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    only_set = {s for s in only.split(",") if s} if only else None
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
         if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # subset dump (SPARK_GRAFT_ONLY) — not an error
+            # Missing output is only benign for a deliberate subset dump
+            # (SPARK_GRAFT_ONLY). For a full run it means the Spark side
+            # crashed in Verify — that must count as FAIL, not vanish.
+            if only_set is not None and name not in only_set:
+                continue
+            n_fail += 1
+            print(f"FAIL {name}: missing Spark output dir (query crashed in Verify?)")
+            continue
         try:
             want = normalize(con.execute(sql).df())
             got = normalize(pd.read_parquet(f"{out_dir}/{name}"))
