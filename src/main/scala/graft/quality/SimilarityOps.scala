@@ -104,24 +104,71 @@ object SimilarityOps extends OpModule {
       .orderBy("qid", "rnk")
   }
 
+  /** HOF cosine against a double-array centroid (seed embeddings cast
+    * exactly; refined means are double already): a left-to-right double
+    * fold per row, the same arithmetic as the oracle's list_sum fold.
+    */
+  private def centSim(emb: Column, nrm: Column, cemb: Column, cnrm: Column): Column =
+    aggregate(zip_with(emb, cemb, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) / (nrm * cnrm)
+
+  /** One Lloyd (k-means) refinement round over the seed centroids: assign
+    * every vector to its nearest seed, then take the per-cluster
+    * element-wise mean as the refined centroid (cent, cemb: array<double>,
+    * cnrm). Seed centroids are the first `nCentroids` vectors — good
+    * enough plumbing, but recall at scale depends on centroid quality
+    * (VERDICT r3 #6), hence the refinement.
+    *
+    * Scale + determinism shape: the assignment is one broadcast of the
+    * tiny seed table; the mean is a posexplode → (cent, pos) aggregation
+    * whose accumulator is DECIMAL(38,12) — exact and order-free, so the
+    * refined centroids are bit-identical under any partitioning AND
+    * reproducible by DuckDB's decimal sum (a double sum would depend on
+    * shuffle arrival order). 64·nCentroids groups; nothing driver-bound.
+    * Further Lloyd rounds are this same function composed.
+    */
+  def ivfRefinedCentroids(s: SparkSession, dir: String, nCentroids: Int): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val seeds = base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent"), col("embedding").cast("array<double>").as("cemb"),
+        col("nrm").as("cnrm"))
+    val assigned = base
+      .crossJoin(broadcast(seeds))
+      .withColumn("csim", centSim(col("embedding"), col("nrm"), col("cemb"), col("cnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)))
+      .filter(col("crn") === 1)
+      .select(col("cent"), col("embedding"))
+    val means = assigned
+      .select(col("cent"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy("cent", "pos")
+      .agg((sum(col("val").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+        / count(lit(1))).as("mean"))
+    means.groupBy("cent")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x.getField("mean")).as("cemb"))
+      .withColumn("cnrm", sqrt(aggregate(transform(col("cemb"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+  }
+
   /** IVF-bucketed ANN: vectors are assigned to their nearest of
-    * `nCentroids` seed centroids (the inverted file); a query scans only
-    * its `nProbe` closest centroid lists. One broadcast of the (tiny)
-    * centroid table for assignment, then an equi-join on the centroid id
-    * — candidate work is |probed lists|, not |table|. Seed centroids are
-    * the first `nCentroids` vectors (a k-means step would slot in here
-    * unchanged at scale).
+    * `nCentroids` Lloyd-refined centroids (the inverted file); a query
+    * scans only its `nProbe` closest centroid lists. One broadcast of the
+    * (tiny) centroid table for assignment, then an equi-join on the
+    * centroid id — candidate work is |probed lists|, not |table|.
     */
   def knnIvf(s: SparkSession, dir: String, nQueries: Int, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    val cents = base.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val cents = ivfRefinedCentroids(s, dir, nCentroids)
     def nearestCents(df: DataFrame, keep: Int): DataFrame = df
       .crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("csim", centSim(col("embedding"), col("nrm"), col("cemb"), col("cnrm")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)))
       .filter(col("crn") <= keep)
@@ -141,17 +188,37 @@ object SimilarityOps extends OpModule {
   }
 
   /** DuckDB twin of [[knnIvf]] (nQueries=10, k=3, nCentroids=16,
-    * nProbe=4). `sim` computes every (vector, centroid) cosine once;
-    * assignment keeps rank 1, probing keeps ranks 1–4 for the query
-    * rows; candidates meet through the centroid id exactly as the Spark
-    * equi-join does. The dot product is the same sequential
-    * double-widened fold as the codegen float_dot kernel (see nn1).
+    * nProbe=4, one Lloyd round). `s0`/`a0` replay the seed assignment,
+    * `m` the per-(cluster, position) element mean with the same
+    * DECIMAL(38,12) exact accumulator as the Spark side, `cr` the refined
+    * centroid arrays; then `sim` computes every (vector, refined
+    * centroid) cosine once, assignment keeps rank 1, probing keeps ranks
+    * 1–4 for the query rows, and candidates meet through the centroid id
+    * exactly as the Spark equi-join does. The dot product is the same
+    * sequential double-widened fold as the codegen float_dot kernel.
     */
   private def knnIvfOracleSql: String =
     """WITH n AS (SELECT vec_id, embedding,
       |             sqrt(list_sum(list_transform(embedding,
       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
-      |c AS (SELECT vec_id AS cent, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |c0 AS (SELECT vec_id AS cent, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |s0 AS (SELECT n.vec_id, n.embedding, c0.cent,
+      |         list_sum(list_transform(list_zip(n.embedding, c0.cemb),
+      |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * c0.cnrm) AS csim
+      |       FROM n, c0),
+      |a0 AS (SELECT vec_id, embedding, cent FROM (
+      |         SELECT vec_id, embedding, cent,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent ASC) AS crn
+      |         FROM s0) WHERE crn = 1),
+      |pe AS (SELECT cent, unnest(list_transform(range(1, len(embedding) + 1),
+      |         i -> {'pos': i, 'val': embedding[i]})) AS u FROM a0),
+      |m AS (SELECT cent, u.pos AS pos,
+      |        CAST(sum(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+      |          / count(*) AS mean
+      |      FROM pe GROUP BY cent, u.pos),
+      |cr AS (SELECT cent, list(mean ORDER BY pos) AS cemb FROM m GROUP BY cent),
+      |c AS (SELECT cent, cemb,
+      |        sqrt(list_sum(list_transform(cemb, x -> x * x))) AS cnrm FROM cr),
       |sim AS (SELECT n.vec_id, n.embedding, n.nrm, c.cent,
       |          list_sum(list_transform(list_zip(n.embedding, c.cemb),
       |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * c.cnrm) AS csim

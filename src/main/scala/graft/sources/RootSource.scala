@@ -1,13 +1,17 @@
 package graft.sources
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.execution.datasources.FileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileDataSourceV2
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `format("root")` — the reference's event-store opening surface (S1–S4)
-  * as a Spark data source.
+  * as a Spark DataSource V2 [[FileDataSourceV2]].
   *
   * The reference opens a ROOT event store, SELECTS WHICH PRODUCTS (trees)
   * to materialize, sets decode options, then iterates entries:
@@ -18,79 +22,105 @@ import org.apache.spark.sql.types.StructType
   *     `kTickBackward` / `reverse_all_products()`
   *     (/root/reference/dlmerged2parquet.py:41-50)
   *   - TChain multi-file chaining + txt manifests
-  *     (/root/reference/larvoxel_dataset.py:19-43)
+  *     (/root/reference/larvoxel_dataset.py:19-43, 51-54)
   *
   * This environment has no ROOT C++ stack (SURVEY §7.4), so the physical
   * decode happens in an upstream ingest job and this source reads the
   * STAGED PARQUET those jobs produce — but it preserves the reference's
   * API shape and its performance semantics:
   *
-  *   - `spark.read.format("root").load(p)` — a directory, a Hadoop glob
-  *     (`dir/{a,b}` or a `*.parquet` wildcard), a comma-list (`p1,p2` —
-  *     S4's TChain shape; V1 sources never see `.load(…)` varargs), or a
-  *     `.txt` manifest of paths (S5 file-list resolution; one line per
-  *     file, `#` comments allowed).
+  *   - `spark.read.format("root").load(p1, p2, …)` — true varargs (S4's
+  *     TChain shape; the V2 provider receives every path, where the old
+  *     V1 `RelationProvider` only ever saw one). Each path may also be a
+  *     directory, a Hadoop glob (`dir/{a,b}`, `*.parquet`), a comma-list
+  *     (`p1,p2` — kept for compatibility), or a `.txt` manifest of paths
+  *     (S5 file-list resolution; one line per file, `#` comments).
   *   - `option("products", "mcreco,generator")` — product selection, the
-  *     reference's `set_data_to_read`/`specify_data_read`. Maps to column
-  *     pruning BEFORE scan-time, so unselected products are never read
-  *     (parquet is columnar; in ROOT the same option skips tree branches).
-  *   - `option("mergeSchema", true|false)` — multi-file schema union (S7),
-  *     default true: event files written over months drift in schema.
+  *     reference's `set_data_to_read`/`specify_data_read`. Implemented as
+  *     a restricted table schema, so unselected products are pruned
+  *     before scan planning and never read (parquet is columnar; in ROOT
+  *     the same option skips tree branches).
+  *   - `option("mergeSchema", true|false)` — multi-file schema union
+  *     (S7), default TRUE here (event files written over months drift in
+  *     schema), unlike raw parquet's false.
   *   - `option("tickBackward", true)` — accepted for API parity. In the
   *     reference this flips image row decode order at READ time; staged
   *     parquet is already decoded tick-forward, so it is a no-op here and
   *     that is logged once rather than silently swallowed.
   *
-  * Column pruning and filter pushdown CROSS the facade: the relation
-  * implements [[PrunedFilteredScan]], and `buildScan` re-applies the
-  * pruned projection and pushed predicates to the inner parquet
-  * DataFrame — Catalyst then pushes them into the parquet reader itself
-  * (verified in RootSourceSpec via the inner plan's PushedFilters), so a
-  * `format("root")` user pays the same scan cost as a native
-  * `spark.read.parquet` user. Spark re-evaluates every filter above this
-  * relation (the V1 contract), so partially translated predicates stay
-  * correct.
+  * Being a V2 [[FileDataSourceV2]] whose table IS Spark's own
+  * [[ParquetTable]], the facade inherits the vectorized columnar batch
+  * reader and the full V2 pushdown surface (`ParquetScanBuilder`
+  * implements column pruning, predicate pushdown to parquet
+  * row-group/page stats, aggregate pushdown, and runtime filtering) —
+  * a `format("root")` user pays exactly the native parquet scan cost.
+  * RootSourceSpec pins PushedFilters/ReadSchema crossing the facade and
+  * the varargs load.
   */
-class RootSource extends RelationProvider with DataSourceRegister {
+class RootSource extends FileDataSourceV2 {
+
+  override def fallbackFileFormat: Class[_ <: FileFormat] = classOf[ParquetFileFormat]
 
   override def shortName(): String = "root"
 
-  override def createRelation(
-      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val spark = ctx.sparkSession
-    // V1 RelationProviders only receive `.load(one)` (as "path") — the
-    // varargs of `.load(p1, p2, …)` stay on the FileFormat-only DataSource
-    // and never reach createRelation. Multi-file chaining (S4's TChain)
-    // therefore rides in ONE string: a comma-list, a Hadoop glob
-    // (`dir/{f1,f2}`, `dir/*.parquet`), a directory, or a .txt manifest.
-    val raw = parameters.get("path")
-      .map(splitPathList)
-      .getOrElse(throw new IllegalArgumentException(
-        "format(\"root\") needs a path: .load(dir | glob | p1,p2 | manifest.txt)"))
-    val paths = raw.flatMap(resolveManifest(spark, _))
-    val mergeSchema = parameters.getOrElse("mergeSchema", "true")
-    if (parameters.get("tickBackward").exists(_.toBoolean)) {
+  /** Comma-list and `.txt`-manifest resolution layered on the V2
+    * path/paths options; globs and directories pass through to the file
+    * index's own expansion.
+    */
+  private def resolvedPaths(options: CaseInsensitiveStringMap): Seq[String] =
+    getPaths(options)
+      .flatMap(RootSource.splitPathList)
+      .flatMap(RootSource.resolveManifest(sparkSession, _))
+
+  /** Facade option handling: default mergeSchema=true, log the
+    * tickBackward no-op, strip facade-only keys before handing the
+    * options to the parquet table.
+    */
+  private def parquetOptions(options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    if (options.getBoolean("tickBackward", false)) {
       org.slf4j.LoggerFactory.getLogger(classOf[RootSource]).info(
         "tickBackward=true: staged parquet is already decoded tick-forward; option is a read-order no-op here")
     }
-    val base = spark.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
-    val projected = parameters.get("products") match {
+    val m = new java.util.HashMap[String, String](getOptionsWithoutPaths(options))
+    m.remove("products")
+    m.remove("tickbackward")
+    if (!m.containsKey("mergeschema")) m.put("mergeSchema", "true")
+    new CaseInsensitiveStringMap(m)
+  }
+
+  private def table(options: CaseInsensitiveStringMap,
+      userSchema: Option[StructType]): ParquetTable = {
+    val paths = resolvedPaths(options)
+    ParquetTable(getTableName(options, paths), sparkSession,
+      parquetOptions(options), paths, userSchema, fallbackFileFormat)
+  }
+
+  override def getTable(options: CaseInsensitiveStringMap): Table = {
+    val base = table(options, None)
+    Option(options.get("products")) match {
+      case None => base
       case Some(ps) =>
-        val want = ps.split(",").map(_.trim).filter(_.nonEmpty)
-        val have = base.columns.toSet
+        val want = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val full = base.schema
+        val have = full.fieldNames.toSet
         val missing = want.filterNot(have)
         require(missing.isEmpty,
-          s"products not in store: ${missing.mkString(", ")} (have: ${base.columns.mkString(", ")})")
-        base.select(want.map(col).toSeq: _*)
-      case None => base
+          s"products not in store: ${missing.mkString(", ")} (have: ${full.fieldNames.mkString(", ")})")
+        // restricted schema = column pruning before scan planning
+        table(options, Some(StructType(want.map(full(_)))))
     }
-    new RootRelation(ctx, projected)
   }
+
+  override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
+    table(options, Some(schema))
+}
+
+object RootSource {
 
   /** Split a comma-list of paths, leaving commas inside `{a,b}` brace
     * globs to Hadoop's glob expansion.
     */
-  private def splitPathList(s: String): Seq[String] = {
+  private[sources] def splitPathList(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -105,7 +135,7 @@ class RootSource extends RelationProvider with DataSourceRegister {
   }
 
   /** S5: a `.txt` path is a manifest — one data-file path per line. */
-  private def resolveManifest(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+  private[sources] def resolveManifest(spark: SparkSession, path: String): Seq[String] =
     if (path.endsWith(".txt")) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,46 +162,4 @@ object RootSourceOps extends graft.OpModule {
         .filter(col("n_regionkey") >= 2)
         .orderBy("n_nationkey"))
   )
-}
-
-/** The facade relation: scan requests are re-issued against the inner
-  * parquet DataFrame so Catalyst's own pushdown applies to them.
-  */
-class RootRelation(ctx: SQLContext, inner: DataFrame)
-    extends BaseRelation with PrunedFilteredScan {
-
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = inner.schema
-
-  // Spark always re-applies filters above a V1 relation unless told
-  // otherwise; translation below is a scan-cost optimization, never a
-  // correctness dependency.
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val pruned =
-      if (requiredColumns.isEmpty) inner.select(col(inner.columns.head)) // COUNT(*) scan
-      else inner.select(requiredColumns.map(col).toIndexedSeq: _*)
-    val filtered = filters.flatMap(translate).foldLeft(pruned)(_ filter _)
-    filtered.rdd
-  }
-
-  /** sources.Filter → Column for the pushable subset; None leaves the
-    * predicate to Spark's re-evaluation above the relation.
-    */
-  private def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === v)
-    case GreaterThan(a, v) => Some(col(a) > v)
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
-    case LessThan(a, v) => Some(col(a) < v)
-    case LessThanOrEqual(a, v) => Some(col(a) <= v)
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case StringEndsWith(a, s) => Some(col(a).endsWith(s))
-    case StringContains(a, s) => Some(col(a).contains(s))
-    case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
-    case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
-    case Not(c) => translate(c).map(!_)
-    case _ => None
-  }
 }

@@ -23,7 +23,11 @@ class RootSourceSpec extends AnyFunSuite with SparkSuite {
 
   test("S1/S4: format(\"root\") resolves by short name and chains multiple files") {
     val dir = stage()
-    // comma-list chaining (V1 sources never see .load(…) varargs) …
+    // true varargs chaining — the TChain shape (V2 TableProvider receives
+    // every path; the old V1 RelationProvider only ever saw one) …
+    val varargs = spark.read.format("root").load(s"$dir/f1", s"$dir/f2")
+    assert(varargs.count() == 4)
+    // … comma-list chaining (kept for compatibility) …
     val df = spark.read.format("root").load(s"$dir/f1,$dir/f2")
     assert(df.count() == 4)
     assert(df.columns.sorted.toSeq == Seq("adc", "event", "mcreco", "run", "subrun"))
@@ -66,11 +70,12 @@ class RootSourceSpec extends AnyFunSuite with SparkSuite {
     val dir = stage()
     val q = spark.read.format("root").load(s"$dir/f1,$dir/f2")
       .filter(col("adc") > 2.0).select("run", "mcreco")
-    // Spark hands the pruned columns + pushable predicate to buildScan …
+    // V2 scan: the predicate reaches the parquet reader's PushedFilters
+    // and the ReadSchema carries only the required columns (no subrun) …
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(adc"), scan)
-    assert(!scan.contains("ReadSchema: struct<run:bigint,subrun"), scan)
-    // … and results stay correct (Spark re-applies filters above V1 scans).
+    assert(!scan.contains("subrun"), scan)
+    // … and results stay correct.
     assert(q.collect().map(_.getString(1)).sorted.toSeq == Seq("mu", "p"))
   }
 

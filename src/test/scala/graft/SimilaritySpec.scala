@@ -59,7 +59,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       val cs = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
       assert(cs == cs.sorted.reverse)
     }
+    // One Lloyd refinement round lifted recall from the seed-centroid
+    // baseline to 28/30 on this corpus; 80% leaves margin for a
+    // regenerated corpus without letting a refinement regression hide.
     val hit = ivf.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
-    assert(hit >= 3, s"IVF recalled only $hit of ${brute.size} brute-force pairs")
+    info(s"IVF recall: $hit of ${brute.size}")
+    assert(hit >= (brute.size * 8) / 10,
+      s"IVF recalled only $hit of ${brute.size} brute-force pairs")
   }
 }
