@@ -125,6 +125,48 @@ object ArrayOps extends OpModule {
         // binary value.
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(sum(col("col").cast("double").cast(DecimalType(28, 8))).cast("double").as("sv"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // T4 (tensor form) — true COO→dense scatter via groupBy(row).pivot(col):
+    // the notebooks' dense-image build `denseimg[idx[:,0], idx[:,1]] =
+    // img[:,2]` (view_spacepoint_data.ipynb cell-11..13, 1008×2400 there;
+    // 64×64 at fixture scale). Sparse triples (row, col, v) — only cells
+    // with v > 0.5 survive, the rest are zero background exactly as the
+    // notebooks' np.zeros canvas — are scattered into a dense row-major
+    // grid. pivot() with an EXPLICIT value list compiles to one shuffle-
+    // free-of-distinct aggregation (no extra pass to discover columns),
+    // and the left join from a materialized row axis guarantees empty rows
+    // appear as all-zero rows, matching the dense-canvas contract. Each
+    // (row, col) cell holds at most one triple, so max() is exact.
+    Q("t4c_coo_scatter", Some {
+      val cells = (0 until 64).map(i =>
+        f"coalesce(max(CASE WHEN t.col = $i THEN t.v END), 0.0) AS c$i%02d")
+        .mkString(",\n  ")
+      s"""SELECT r.range AS row,
+         |  $cells
+         |FROM range(64) r LEFT JOIN (
+         |  SELECT vec_id AS row,
+         |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS col,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings WHERE vec_id < 64) t
+         |ON r.range = t.row AND t.v > 0.5
+         |GROUP BY r.range ORDER BY row""".stripMargin
+    },
+      (s, dir) => {
+        val triples = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 64)
+          .select(col("vec_id").as("row"), posexplode(col("embedding")))
+          .select(col("row"), col("pos").cast("long").as("col"),
+            col("col").cast("double").as("v"))
+          .filter(col("v") > 0.5)
+        val dense = triples.groupBy("row")
+          .pivot("col", (0L until 64L).map(x => x: Any))
+          .agg(max(col("v")))
+        s.range(64).toDF("row")
+          .join(dense, Seq("row"), "left")
+          .select(col("row") +:
+            (0 until 64).map(i => coalesce(col(i.toString), lit(0.0)).as(f"c$i%02d")): _*)
+          .orderBy("row")
+      })
   )
 }

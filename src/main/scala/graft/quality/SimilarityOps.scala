@@ -494,6 +494,111 @@ object SimilarityOps extends OpModule {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("kp_id"), round(col("score"), 9).as("score"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Product-quantization ANN (nn5) — the memory-scale path an ANN index
+    // takes at 100 TB: each 64-dim float vector (256 B) compresses to m=4
+    // one-byte codes by snapping each 16-dim subvector to its nearest of
+    // 8 per-subspace centroids (subvectors of seed vectors 0..7; a Lloyd
+    // round slots in exactly as nn3's), and query distance is the classic
+    // ADC sum of per-subspace lookup-table entries. Spark shape: the
+    // 32-row codebook broadcasts; encoding is one explode(m=4) +
+    // broadcast join + partial-aggregated argmin (min over (d2, cid)
+    // structs — no window, no extra shuffle); ADC joins the codes against
+    // the tiny broadcast per-query distance tables and sums the m=4
+    // entries in DECIMAL so the result is order-free and oracle-exact.
+    // Distances use the codegen float_l2sq kernel (same sequential-fold
+    // contract as float_dot, bit-identical to the oracle's list lambdas).
+    Q("nn5_pq_ann", Some(pqOracleSql),
+      (s, dir) => knnPq(s, dir, nQueries = 3, k = 10))
   )
+
+  /** Squared-L2 between two float-array columns — codegen'd
+    * [[graft.tensor.FloatL2Sq]]; same fold/null contract as [[dot]].
+    */
+  def l2sq(a: Column, b: Column): Column = call_function("float_l2sq", a, b)
+
+  /** Interpreted HOF twin of [[l2sq]] (VectorKernelSpec cross-check). */
+  def l2sqHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val PqM = 4        // subspaces
+  private val PqSubDim = 16  // dims per subspace (4 × 16 = 64)
+  private val PqK = 8        // centroids per subspace
+
+  /** Explode each vector into its `PqM` subvectors: (vec_id, s, subv).
+    * posexplode_outer, not posexplode — the non-outer form would let
+    * InferFiltersFromGenerate push an inferred `size(arr) > 0` below the
+    * projection and re-inline the slice array (the x9 trap); the array is
+    * a constant-shape 4-slice build, never empty, so outer is lossless.
+    */
+  private def pqSubspaces(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), posexplode_outer(array((0 until PqM).map(si =>
+      slice(col("embedding"), si * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "subv")))
+
+  /** PQ encode + ADC top-k search. */
+  def knnPq(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val subs = pqSubspaces(Tables(s, dir, "embeddings"))
+    val cents = pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("cid"), col("s"), col("subv").as("cent"))
+    // encode: nearest centroid per (vector, subspace); min over (d2, cid)
+    // structs = deterministic argmin with id tie-break, partial-aggregated
+    val codes = subs.join(broadcast(cents), Seq("s"))
+      .withColumn("d2", l2sq(col("subv"), col("cent")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("s"), col("mn").getField("cid").as("code"))
+    // per-query subspace distance tables: nQueries × m × k rows — tiny
+    val dtab = pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < nQueries))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("vec_id").as("qid"), col("s"), col("cid").as("code"),
+        l2sq(col("subv"), col("cent")).as("d2q"))
+    codes.join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2q").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double").as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("adc"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB twin of [[knnPq]] (nQueries=3, k=10, m=4×16 dims, 8
+    * centroids/subspace): `sub` replays the subvector explode with list
+    * slicing, `d` the encode distances with the same subtract-square
+    * sequential fold as the float_l2sq kernel, `codes` the (d2, cid)
+    * argmin, `dtab` the query lookup tables, and `adc` the DECIMAL(38,12)
+    * order-free per-candidate sum.
+    */
+  private def pqOracleSql: String = {
+    val l2 = "list_sum(list_transform(list_zip(%s, %s), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    val dSub = l2.format("b.subv", "c.cent")
+    s"""WITH sub AS (
+       |  SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS subv
+       |  FROM embeddings, range(4) r(s)),
+       |cent AS (SELECT vec_id AS cid, s, subv AS cent FROM sub WHERE vec_id < 8),
+       |d AS (SELECT b.vec_id, b.s, c.cid, $dSub AS d2
+       |      FROM sub b JOIN cent c USING (s)),
+       |codes AS (SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |dtab AS (SELECT b.vec_id AS qid, b.s, c.cid AS code, $dSub AS d2q
+       |         FROM sub b JOIN cent c USING (s) WHERE b.vec_id < 3),
+       |adc AS (SELECT t.qid, k.vec_id AS cid,
+       |          CAST(sum(CAST(t.d2q AS DECIMAL(38,12))) AS DOUBLE) AS adc
+       |        FROM codes k JOIN dtab t USING (s, code) WHERE k.vec_id <> t.qid
+       |        GROUP BY t.qid, k.vec_id)
+       |SELECT qid, cid, rnk, adc FROM (
+       |  SELECT qid, cid, adc,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS BIGINT) AS rnk
+       |  FROM adc) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
 }

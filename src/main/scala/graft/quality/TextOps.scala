@@ -401,6 +401,74 @@ object TextOps extends OpModule {
           .filter(col("jac") >= 0.85)
           .select("a", "b", "jac")
           .orderBy("a", "b")
-      })
+      }),
+
+    // dd8 — paragraph/line-level exact dedup (the CCNet/RefinedWeb-style
+    // sub-document pass that removes boilerplate repeated ACROSS
+    // documents while keeping the documents themselves): the corpus text
+    // is flat word-bag prose with no newline structure, so "lines" are
+    // deterministic 10-token windows — the relational shape (segment →
+    // hash → global first-occurrence → reassemble in order) is exactly
+    // the production operator's. Scale: the only wide op is one shuffle
+    // keyed by the 32-byte chunk hash (first-occurrence window) and one
+    // groupBy(doc_id) for reassembly; no pair joins, no collects.
+    // posexplode_outer (not posexplode) — the non-outer form would let
+    // InferFiltersFromGenerate re-inline the chunk-array build below the
+    // projection (the x9 trap); the array is never empty, so outer is
+    // lossless.
+    Q("dd8_chunk_dedup", Some(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(range(0, (len(toks) - 1) // 10 + 1)) AS idx FROM t),
+        |ch AS (SELECT doc_id, idx,
+        |         array_to_string(toks[CAST(idx*10+1 AS INTEGER):CAST(idx*10+10 AS INTEGER)], ' ') AS chunk
+        |       FROM ix),
+        |k AS (SELECT doc_id, idx, chunk,
+        |        row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1 AS kept
+        |      FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept), '')) AS fp
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val C = 10
+        val marked = Tables(s, dir, "documents")
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          .withColumn("ch", expr(
+            s"transform(sequence(0, (size(toks)-1) div $C), i -> concat_ws(' ', slice(toks, i*$C+1, $C)))"))
+          .select(col("doc_id"), posexplode_outer(col("ch")).as(Seq("idx", "chunk")))
+          .filter(col("chunk").isNotNull)
+          .withColumn("kept", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("idx"))) === 1)
+        marked.groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"), struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")), " ")).as("fp"))
+          .orderBy("doc_id")
+      }),
+
+    // x11 — PII-pattern redaction: replace every match of a redaction
+    // pattern set and report the per-record hit count — the scrub pass a
+    // training pipeline runs before packing. Pure per-row codegen'd regex
+    // (no shuffle before the final sort); the pattern here is the
+    // numeric-id class ([0-9]{2,}) since the synthetic corpus contains no
+    // emails/phones — the pattern set is a pluggable constant and the
+    // plumbing (count + global replace, both engines byte-identical on
+    // the common regex subset) is what the gate checks.
+    Q("x11_redact", Some(
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_redacted,
+        |  regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS scrubbed
+        |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("event_id") < 5000)
+        .select(col("event_id"),
+          size(regexp_extract_all(col("props"), lit("[0-9]{2,}"), lit(0)))
+            .cast("long").as("n_redacted"),
+          regexp_replace(col("props"), "[0-9]{2,}", "<NUM>").as("scrubbed"))
+        .orderBy("event_id"))
   )
 }

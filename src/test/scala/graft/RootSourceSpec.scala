@@ -84,4 +84,23 @@ class RootSourceSpec extends AnyFunSuite with SparkSuite {
     val df = spark.read.format("root").option("tickBackward", "true").load(s"$dir/f1")
     assert(df.count() == 3)
   }
+
+  test("tickBackward honesty on a reversed-rows fixture: no silent reorder, sort recovers") {
+    // A fixture staged in reverse tick order (the shape real kTickBackward
+    // data would arrive in). The facade documents tickBackward as a
+    // read-order no-op on staged parquet — this pins that the option does
+    // NOT silently permute or drop rows (same multiset either way), and
+    // that the consumer-side recovery (ORDER BY tick — row order is never
+    // a Spark contract; ordering is declarative) yields tick-forward.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rootrev").toString
+    Seq((2400L, 30.0), (2399L, 20.0), (2398L, 10.0))
+      .toDF("tick", "adc").coalesce(1).write.parquet(s"$dir/rev")
+    val on = spark.read.format("root").option("tickBackward", "true").load(s"$dir/rev")
+    val off = spark.read.format("root").load(s"$dir/rev")
+    assert(on.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+      off.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq)
+    assert(on.orderBy(col("tick")).select("tick").as[Long].collect().toSeq ==
+      Seq(2398L, 2399L, 2400L))
+  }
 }

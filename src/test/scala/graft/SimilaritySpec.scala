@@ -67,4 +67,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(hit >= (brute.size * 8) / 10,
       s"IVF recalled only $hit of ${brute.size} brute-force pairs")
   }
+
+  test("PQ ANN: dense ranks, ascending non-negative ADC, non-trivial exact-L2 overlap") {
+    import org.apache.spark.sql.expressions.Window
+    val pq = SimilarityOps.knnPq(spark, sf, nQueries = 3, k = 10).collect()
+    assert(pq.length == 30)
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 10L))
+      val ds = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted, s"ADC not ascending: $ds")
+      ds.foreach(d => assert(d >= 0.0))
+    }
+    // ADC is an 8-centroid/subspace approximation — recall against the
+    // exact squared-L2 top-10 is inherently partial; require it beats a
+    // random baseline by a wide margin (10/499 expected ≈ 0.6 of 30).
+    graft.tensor.VectorFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", SimilarityOps.l2sq(col("qemb"), col("embedding")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rnk") <= 10).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = pq.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    info(s"PQ recall: $hit of ${exact.size}")
+    assert(hit >= 6, s"PQ recalled only $hit of ${exact.size} exact-L2 pairs")
+  }
 }

@@ -28,6 +28,12 @@ class VectorKernelSpec extends AnyFunSuite with SparkSuite {
       .filter(col("cg") =!= col("hof"))
       .count()
     assert(ndiff == 0)
+    val ldiff = pairs.select(
+      SimilarityOps.l2sq(col("a"), col("b")).as("cg"),
+      SimilarityOps.l2sqHof(col("a"), col("b")).as("hof"))
+      .filter(col("cg") =!= col("hof"))
+      .count()
+    assert(ldiff == 0)
   }
 
   test("kernels survive whole-stage codegen (non-fallback plan) and null inputs") {
