@@ -149,6 +149,34 @@ object EventOps extends OpModule {
           .filter(col("a") < col("b") && abs(col("us1") - col("us2")) <= r)
           .select("a", "b")
           .orderBy("a", "b")
+      }),
+
+    // st3 — interval join: each purchase matched to the same user's
+    // errors within the following 6 hours (10 minutes matches nothing at
+    // sf0.001 — threshold sized to be non-empty at every test scale).
+    // The batch twin of streaming.JoinStream's watermarked stream-stream
+    // join (StreamingSpec pins streamed == this). Catalyst plans the
+    // equi-key (user) as the join key with the time range as residual —
+    // one shuffle by user; no time-bucket explosion needed because the
+    // user key already bounds each probe side.
+    Q("st3_interval_join", Some(
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("euser"),
+            col("ts").as("ets"))
+        p.join(e, col("user_id") === col("euser") &&
+            col("ets") >= col("pts") &&
+            col("ets") <= col("pts") + expr("INTERVAL 6 HOURS"))
+          .select(col("user_id"), col("purchase_id"), col("error_id"))
+          .orderBy("user_id", "purchase_id", "error_id")
       })
   )
 }

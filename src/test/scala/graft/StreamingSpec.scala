@@ -81,4 +81,32 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch)
   }
+
+  test("stream-stream interval join equals the batch st3_interval_join twin") {
+    // two files → the two sides' micro-batches interleave, exercising
+    // both join-state buffers, not just a single-batch fast path
+    val dir = java.nio.file.Files.createTempDirectory("stream_join")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    ev.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(dir.resolve("b").toString)
+    val in = java.nio.file.Files.createTempDirectory("stream_join_in")
+    Seq("a", "b").zipWithIndex.foreach { case (p, i) =>
+      val src = java.nio.file.Files.list(dir.resolve(p))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, in.resolve(s"$i.parquet"))
+    }
+    // watermark wider than the fixture's time span: the id-interleaved
+    // one-file-per-trigger replay is maximally out-of-order, and nothing
+    // may be late-dropped for streamed == batch to hold exactly
+    val streamed = graft.streaming.JoinStream
+      .runToCompletion(spark, in.toString, "join_test",
+        watermark = "400 days", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = ops.EventOps.qs.find(_.name == "st3_interval_join").get.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
