@@ -103,6 +103,47 @@ object TpchOps extends OpModule {
           col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // Q5 local-supplier-volume shape: the 6-table star join. Spark-first
+    // join order: region⋈nation prune to the target region FIRST and ride
+    // along the (tiny) broadcast through supplier, so the big
+    // lineitem⋈orders shuffle join probes a pre-filtered broadcast and
+    // only the orders⋈customer equi-join (plus the local-supplier
+    // residual c_nationkey = s_nationkey) shuffles by key. The 2-year
+    // window keeps the result non-empty at sf0.001 (TPC-H's 1-year is).
+    Q("tpch_q5", Some(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |              JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      (s, dir) => {
+        val asiaNations = Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val localSupp = Tables(s, dir, "supplier")
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(localSupp), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      })
   )
 }

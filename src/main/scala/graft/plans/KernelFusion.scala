@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.tensor.{FloatDot, FloatNorm}
+import graft.tensor.{FloatDot, FloatL2Sq, FloatNorm}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -71,6 +71,18 @@ object KernelFusionRule extends Rule[LogicalPlan] {
         x.exprId == v.asInstanceOf[NamedLambdaVariable].exprId &&
         y.exprId == v.asInstanceOf[NamedLambdaVariable].exprId =>
       FloatNorm(a)
+
+    // aggregate(zip_with(a, b, (x,y) -> (dx-dy)*(dx-dy)), 0.0, +)
+    //   → float_l2sq(a, b)
+    case agg @ SumFold(ZipWith(l, r,
+        LambdaFunction(Multiply(
+          Subtract(DoubleOf(x1), DoubleOf(y1), _),
+          Subtract(DoubleOf(x2), DoubleOf(y2), _), _), Seq(xv, yv), _)))
+      if isFloatArray(l) && isFloatArray(r) &&
+        x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+        x1.exprId == xv.asInstanceOf[NamedLambdaVariable].exprId &&
+        y1.exprId == yv.asInstanceOf[NamedLambdaVariable].exprId =>
+      FloatL2Sq(l, r)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -94,6 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("float_norm"),
       new ExpressionInfo(classOf[FloatNorm].getName, "float_norm"),
       (exprs: Seq[Expression]) => FloatNorm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("float_l2sq"),
+      new ExpressionInfo(classOf[FloatL2Sq].getName, "float_l2sq"),
+      (exprs: Seq[Expression]) => FloatL2Sq(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("tensor_explode"),
       new ExpressionInfo(classOf[graft.tensor.TensorExplode].getName, "tensor_explode"),
       (exprs: Seq[Expression]) => graft.tensor.TensorExplode(exprs(0), exprs(1))))

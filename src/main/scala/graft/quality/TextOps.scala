@@ -469,6 +469,51 @@ object TextOps extends OpModule {
           size(regexp_extract_all(col("props"), lit("[0-9]{2,}"), lit(0)))
             .cast("long").as("n_redacted"),
           regexp_replace(col("props"), "[0-9]{2,}", "<NUM>").as("scrubbed"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // x12 — TF-IDF top-3 terms per document: the classic salient-term
+    // extractor (corpus statistics pass → per-doc ranking). Rational idf
+    // N/df instead of ln(N/df): every step is then integer counts and
+    // single IEEE divisions/multiplications that ANY engine reproduces
+    // bit-exactly (ln's last-ulp libm variance would make the ranking
+    // engine-dependent; the ln form is a one-line swap in production and
+    // is per-term rank-equivalent since ln is monotone). Scale shape: tf
+    // is one partial-aggregated groupBy(doc, tok); df aggregates the
+    // (already doc-distinct) tf table by token; the doc count and df
+    // table ride in as broadcasts (vocab ≪ corpus by Heaps' law); top-3
+    // via per-doc window.
+    Q("x12_tfidf", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |       FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rnk, tok, tfidf FROM (
+        |  SELECT doc_id, tok, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
+        |  FROM sc) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode_outer(split(trim(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok").isNotNull)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+          .orderBy("doc_id", "rnk")
+      })
   )
 }

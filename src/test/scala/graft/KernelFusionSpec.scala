@@ -2,7 +2,7 @@ package graft
 
 import graft.plans.KernelFusionRule
 import graft.quality.SimilarityOps
-import graft.tensor.{FloatDot, FloatNorm}
+import graft.tensor.{FloatDot, FloatL2Sq, FloatNorm}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -18,6 +18,24 @@ class KernelFusionSpec extends AnyFunSuite with SparkSuite {
     val after = KernelFusionRule(before)
     assert(after.expressions.exists(_.exists(_.isInstanceOf[FloatDot])))
     assert(after.expressions.exists(_.exists(_.isInstanceOf[FloatNorm])))
+  }
+
+  test("rule rewrites the HOF squared-L2 pattern into FloatL2Sq, results unchanged") {
+    val e = Tables(spark, sf, "embeddings")
+    val df = e.select(col("vec_id"),
+      SimilarityOps.l2sqHof(col("embedding"), reverse(col("embedding"))).as("d"))
+    val before = df.queryExecution.analyzed
+    assert(!before.expressions.exists(_.exists(_.isInstanceOf[FloatL2Sq])))
+    val after = KernelFusionRule(before)
+    assert(after.expressions.exists(_.exists(_.isInstanceOf[FloatL2Sq])))
+    // and the rewrite is bit-preserving end-to-end
+    spark.experimental.extraOptimizations = Seq(KernelFusionRule)
+    try {
+      val fused = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.experimental.extraOptimizations = Nil
+      val plain = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fused == plain)
+    } finally spark.experimental.extraOptimizations = Nil
   }
 
   test("fused session plans produce identical results") {
