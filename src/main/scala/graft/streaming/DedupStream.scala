@@ -36,6 +36,31 @@ object DedupStream {
       .groupBy("text_md5")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Checkpointed dedup-to-files — the RESTART / exactly-once shape a
+    * production ingest runs: emit each distinct content hash once
+    * (`dropDuplicates` keyed on the hash; state lives in the checkpoint),
+    * appending to a parquet directory whose sink transaction log keeps
+    * output exactly-once under micro-batch retry. Stopping the query and
+    * starting a new one on the same checkpoint RESUMES the state — rows
+    * replayed or re-sent across the restart are suppressed, which
+    * StreamingSpec pins by replaying a slice of already-seen documents
+    * after a stop/start. (Bounded corpora need no watermark; an unbounded
+    * deployment ages state with `dropDuplicatesWithinWatermark`.)
+    */
+  def dedupToFiles(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .parquet(inDir)
+      .select(md5(col("text")).as("text_md5"))
+      .dropDuplicates("text_md5")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Run to completion over the (bounded) staged files; complete-mode
     * memory sink, final state as a batch DataFrame.
     */

@@ -109,4 +109,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("restart from checkpoint is exactly-once: replayed rows suppressed across stop/start") {
+    import org.apache.spark.sql.functions._
+    def stageOne(df: org.apache.spark.sql.DataFrame, into: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage")
+      df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("d"))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, into.resolve(name))
+    }
+    val in = java.nio.file.Files.createTempDirectory("restart_in")
+    val out = java.nio.file.Files.createTempDirectory("restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // phase 1: first half of the corpus
+    stageOne(docs.filter(col("doc_id") < 250), in, "0.parquet")
+    val q1 = graft.streaming.DedupStream.dedupToFiles(spark, in.toString, out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // phase 2 AFTER a full stop: second half PLUS a replay of 10
+    // already-emitted docs — the restarted query must suppress them from
+    // recovered state, not re-deduplicate from scratch
+    stageOne(docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 10)), in, "1.parquet")
+    val q2 = graft.streaming.DedupStream.dedupToFiles(spark, in.toString, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).collect().map(_.getString(0)).toSeq
+    val want = docs.select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got.size == want.size, s"expected exactly ${want.size} rows, got ${got.size}")
+    assert(got.toSet == want)
+  }
 }
