@@ -48,4 +48,42 @@ class TensorPropertySpec extends AnyFunSuite with SparkSuite {
       assert(back.toSeq == data.toSeq, s"m=$m len=${data.length}")
     }
   }
+
+  test("law: float_dot/float_norm/float_l2sq equal the sequential-fold model bit-for-bit") {
+    // The kernels' arithmetic contract (left-to-right double-widened fold)
+    // against a plain Scala model, over arbitrary values — the property
+    // the DuckDB oracle parity of every similarity query rests on.
+    graft.tensor.VectorFunctions.register(spark)
+    import spark.implicits._
+    val pairGen: Gen[(Array[Float], Array[Float])] = for {
+      n <- Gen.choose(1, 64)
+      a <- Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f))
+    } yield (a.toArray, b.toArray)
+    val pairs = (0 until 40)
+      .flatMap(i => pairGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    def modelDot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    def modelL2Sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }; acc
+    }
+    def modelNorm(a: Array[Float]): Double =
+      math.sqrt(modelDot(a, a))
+    val df = pairs.toDF("a", "b")
+    val rows = df.selectExpr("a", "b",
+      "float_dot(a, b) AS d", "float_l2sq(a, b) AS l", "float_norm(a) AS n").collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0).toArray
+      val b = r.getSeq[Float](1).toArray
+      // == on Double: bit-identical (no tolerance) is the contract
+      assert(r.getDouble(2) == modelDot(a, b))
+      assert(r.getDouble(3) == modelL2Sq(a, b))
+      assert(r.getDouble(4) == modelNorm(a))
+    }
+  }
 }
