@@ -177,6 +177,32 @@ object EventOps extends OpModule {
             col("ets") <= col("pts") + expr("INTERVAL 6 HOURS"))
           .select(col("user_id"), col("purchase_id"), col("error_id"))
           .orderBy("user_id", "purchase_id", "error_id")
+      }),
+
+    // st3b — the SAME semantics through the custom sorted-interval-join
+    // physical operator (graft.plans.IntervalJoinExec: LogicalPlan +
+    // SparkStrategy + SparkPlan; one linear sweep per key instead of the
+    // declarative plan's per-key residual-filtered nested loop). Shares
+    // st3's oracle SQL — a custom physical operator hash-matched by a
+    // second engine through the driver gate.
+    Q("st3b_interval_join_custom", Some(
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        s.experimental.extraStrategies = Seq(graft.plans.IntervalJoinStrategy)
+        val ev = Tables(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("euser"),
+            col("ts").as("ets"))
+        graft.plans.IntervalJoin.join(p, e, "user_id", "euser", "pts", "ets",
+          0L, 6L * 3600L * 1000000L)
+          .select(col("user_id"), col("purchase_id"), col("error_id"))
+          .orderBy("user_id", "purchase_id", "error_id")
       })
   )
 }
