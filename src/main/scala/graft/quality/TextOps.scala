@@ -514,6 +514,91 @@ object TextOps extends OpModule {
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
           .orderBy("doc_id", "rnk")
+      }),
+
+    // x13 — deterministic source-mixture sampling: hit TARGET LANGUAGE
+    // PROPORTIONS (en .5 / de .2 / fr .15 / es .1 / zh .05) exactly, the
+    // way a pretraining mix is drawn from heterogeneous pools. The
+    // achievable corpus size T = min over langs of available/frac (the
+    // most-constrained pool limits everyone); each lang then keeps
+    // floor(frac·T) docs, selected by the same md5 key-hash order as R1
+    // sampling — a pure function of the doc key, so the drawn mixture is
+    // identical under repartitioning/retries/growth AND reproducible by
+    // DuckDB. One count pass + one per-lang window; the counts table
+    // broadcasts.
+    Q("x13_source_mixture", Some(
+      """WITH m(lang, frac) AS (VALUES
+        |  ('en', 0.5), ('de', 0.2), ('fr', 0.15), ('es', 0.1), ('zh', 0.05)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(min(floor(c.n / m.frac)) AS BIGINT) AS total
+        |      FROM c JOIN m USING (lang)),
+        |k AS (SELECT m.lang, CAST(floor(m.frac * t.total) AS BIGINT) AS keep_n
+        |      FROM m CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY substr(md5(concat_ws('|', doc_id, 'mix/7')), 1, 8), doc_id)
+        |          AS BIGINT) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rn FROM r JOIN k USING (lang)
+        |WHERE r.rn <= k.keep_n ORDER BY lang, rn""".stripMargin),
+      (s, dir) => {
+        val mix = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+        val docs = Tables(s, dir, "documents")
+        val m = s.createDataFrame(mix.map { case (l, f) => (l, f) }).toDF("lang", "frac")
+        val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val t = c.join(m, Seq("lang"))
+          .agg(floor(min(col("n") / col("frac"))).cast("long").as("total"))
+        val k = m.crossJoin(broadcast(t))
+          .select(col("lang"), floor(col("frac") * col("total")).cast("long").as("keep_n"))
+        val r = docs.select(col("doc_id"), col("lang"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang")
+            .orderBy(substring(md5(concat_ws("|", col("doc_id"), lit("mix/7"))), 1, 8),
+              col("doc_id"))).cast("long").as("rn"))
+        r.join(broadcast(k), Seq("lang"))
+          .filter(col("rn") <= col("keep_n"))
+          .select(col("doc_id"), col("lang"), col("rn"))
+          .orderBy("lang", "rn")
+      }),
+
+    // x14 — token-budget corpus selection: within each source, take the
+    // highest-quality documents (x2's quality score) until a per-source
+    // token budget is spent — the greedy quality-ranked selection a
+    // fixed-compute training run makes. Per-SOURCE windows (not global),
+    // so the selection parallelizes by source at any scale; running sum
+    // in BIGINT token counts (exact).
+    Q("x14_budget_select", Some(
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+        |      + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+'))) / 10.0, 1.0) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens, quality,
+        |        CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM q WINDOW w AS (PARTITION BY source ORDER BY quality DESC, doc_id))
+        |SELECT doc_id, source, rnk, cum_tokens FROM r
+        |WHERE cum_tokens <= 1200 ORDER BY source, rnk""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+        val q = Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          (lit(0.5) * (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))) +
+            lit(0.5) * least((length(regexp_replace(col("text"), " ", "")).cast("double") /
+              size(split(trim(col("text")), "\\s+"))) / 10.0, lit(1.0))).as("quality"))
+        q.select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("rnk"),
+          sum(col("n_tokens")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("long").as("cum_tokens"))
+          .filter(col("cum_tokens") <= 1200)
+          .orderBy("source", "rnk")
       })
   )
 }
