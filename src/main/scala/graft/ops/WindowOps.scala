@@ -125,6 +125,28 @@ object WindowOps extends OpModule {
           .groupBy("user_id")
           .agg((sum("new_s") + 1).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy("user_id")
-      })
+      }),
+
+    // st2b — the same sessionization through Spark's NATIVE
+    // session_window aggregate (the batch run of the streaming-capable
+    // built-in; SessionStream's custom flatMapGroupsWithState remains the
+    // arbitrary-state escape hatch). Sessions are merged half-open
+    // [start, last + 30 min) event-time intervals, so the oracle's gap
+    // test in time order is >= (an event landing exactly at last + gap
+    // opens a NEW session) — unlike st2's strict > over event-id order.
+    Q("st2b_session_window", Some(
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"), sum("n").cast("long").as("n_events"))
+        .orderBy("user_id"))
   )
 }

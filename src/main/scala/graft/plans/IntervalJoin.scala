@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * key once with a monotone window-start pointer: O(P_k + E_k + output).
   * On a skewed key (one user with 100k events each side) that is the
   * difference between 10^10 probes and a linear pass — the same reason
-  * Databricks ships a native range join. State held per key is the
+  * production SQL engines ship native range joins. State held per key is the
   * right-side rows of that key only (the same buffering bound as a
   * sort-merge join's duplicate-key match buffer).
   *
