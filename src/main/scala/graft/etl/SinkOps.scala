@@ -40,7 +40,11 @@ object SinkOps extends OpModule {
          |  min($rowFp) AS fp_min, max($rowFp) AS fp_max
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k1_export").toString
+        // one FIXED export dir per source sfDir, overwritten each run — a
+        // fresh createTempDirectory here would leak a full compressed
+        // corpus copy into /tmp on every Verify/Bench execution
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          f"graft_k1_export_${dir.hashCode}%08x").getAbsolutePath
         Tables(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang")
           .option("compression", "gzip").parquet(out)

@@ -159,19 +159,9 @@ object EventOps extends OpModule {
     // equi-key (user) as the join key with the time range as residual —
     // one shuffle by user; no time-bucket explosion needed because the
     // user key already bounds each probe side.
-    Q("st3_interval_join", Some(
-      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
-        |FROM events p JOIN events e
-        |  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error'
-        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
-        |ORDER BY 1, 2, 3""".stripMargin),
+    Q("st3_interval_join", Some(intervalJoinOracleSql),
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-        val p = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
-        val e = ev.filter(col("event_type") === "error")
-          .select(col("event_id").as("error_id"), col("user_id").as("euser"),
-            col("ts").as("ets"))
+        val (p, e) = purchaseErrorSides(s, dir)
         p.join(e, col("user_id") === col("euser") &&
             col("ets") >= col("pts") &&
             col("ets") <= col("pts") + expr("INTERVAL 6 HOURS"))
@@ -185,24 +175,45 @@ object EventOps extends OpModule {
     // declarative plan's per-key residual-filtered nested loop). Shares
     // st3's oracle SQL — a custom physical operator hash-matched by a
     // second engine through the driver gate.
-    Q("st3b_interval_join_custom", Some(
-      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
-        |FROM events p JOIN events e
-        |  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error'
-        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
-        |ORDER BY 1, 2, 3""".stripMargin),
+    Q("st3b_interval_join_custom", Some(intervalJoinOracleSql),
       (s, dir) => {
-        s.experimental.extraStrategies = Seq(graft.plans.IntervalJoinStrategy)
-        val ev = Tables(s, dir, "events")
-        val p = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
-        val e = ev.filter(col("event_type") === "error")
-          .select(col("event_id").as("error_id"), col("user_id").as("euser"),
-            col("ts").as("ets"))
+        // additive, idempotent registration — assignment would clobber
+        // any strategies a library caller already installed
+        if (!s.experimental.extraStrategies.contains(graft.plans.IntervalJoinStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.IntervalJoinStrategy
+        val (p, e) = purchaseErrorSides(s, dir)
         graft.plans.IntervalJoin.join(p, e, "user_id", "euser", "pts", "ets",
           0L, 6L * 3600L * 1000000L)
           .select(col("user_id"), col("purchase_id"), col("error_id"))
           .orderBy("user_id", "purchase_id", "error_id")
       })
   )
+
+  /** Shared st3/st3b oracle. The comparison runs on epoch_us — the events
+    * fixture is TIMESTAMP(NANOS) and the Spark side reads µs-truncated
+    * values, so a raw-ns DuckDB comparison would diverge on pairs whose
+    * order (or exact 6 h boundary) flips below the microsecond (the
+    * j5/st2b convention).
+    */
+  private def intervalJoinOracleSql: String = // def: referenced during qs init above
+    """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+      |FROM events p JOIN events e
+      |  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error'
+      | AND epoch_us(e.ts) >= epoch_us(p.ts)
+      | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Shared st3/st3b sides: purchases (purchase_id, user_id, pts) and
+    * errors (error_id, euser, ets).
+    */
+  private def purchaseErrorSides(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("euser"),
+        col("ts").as("ets"))
+    (p, e)
+  }
 }

@@ -186,6 +186,15 @@ object IntervalJoin {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
     val (lt, rt) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    // self-join guard: the identity output projection binds by exprId, so
+    // a shared attribute (both sides derived from one DataFrame without
+    // re-aliasing) would silently read the LEFT side's values for the
+    // right column. Dataset.join dedups during analysis; this API
+    // bypasses analysis, so it must refuse instead.
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(shared.isEmpty,
+      s"interval join sides share attributes ${shared.toSeq.map(_.name).mkString(", ")} — " +
+        "re-alias one side (e.g. .toDF(renamed columns...)) before joining")
     require(lk.dataType == LongType && rk.dataType == LongType,
       s"interval join keys must be LongType, got ${lk.dataType}/${rk.dataType}")
     Seq(lt, rt).foreach(a => require(

@@ -44,9 +44,7 @@ object CorpusPipeline extends OpModule {
        |scored AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       |    0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
-       |      + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |          / len(regexp_split_to_array(trim(text), '\\s+'))) / 10.0, 1.0) AS quality
+       |    ${TextOps.QualitySql} AS quality
        |  FROM documents WHERE lang = 'en')
        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM scored JOIN survivors USING (doc_id)
@@ -62,12 +60,7 @@ object CorpusPipeline extends OpModule {
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          (lit(0.5) * (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text"))) +
-            lit(0.5) * least(
-              (length(regexp_replace(col("text"), " ", "")).cast("double") /
-                size(split(trim(col("text")), "\\s+"))) / 10.0,
-              lit(1.0))).as("quality"))
+          TextOps.qualityScore(col("text")).as("quality"))
       scored.join(survivors, "doc_id")
         .filter(col("quality") >= MinQuality)
         .groupBy("source")

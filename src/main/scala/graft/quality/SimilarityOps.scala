@@ -108,7 +108,7 @@ object SimilarityOps extends OpModule {
     * exactly; refined means are double already): a left-to-right double
     * fold per row, the same arithmetic as the oracle's list_sum fold.
     */
-  private def centSim(emb: Column, nrm: Column, cemb: Column, cnrm: Column): Column =
+  private[graft] def centSim(emb: Column, nrm: Column, cemb: Column, cnrm: Column): Column =
     aggregate(zip_with(emb, cemb, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x) / (nrm * cnrm)
 

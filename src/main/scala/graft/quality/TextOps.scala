@@ -1,6 +1,7 @@
 package graft.quality
 
 import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over
@@ -16,6 +17,27 @@ import org.apache.spark.sql.functions._
 object TextOps extends OpModule {
 
   private val tok = "array_distinct(split(trim(text), '\\\\s+'))"
+
+  /** x2's quality-score ingredients and the score itself — ONE Spark
+    * definition shared by x2, x14 and pipe1 (CorpusPipeline); a tweak
+    * that misses one consumer would silently de-synchronize the
+    * budget/filter selections from the reported score. The SQL twin is
+    * [[QualitySql]].
+    */
+  private[quality] def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+  private[quality] def avgTokLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      size(split(trim(text), "\\s+"))
+  private[quality] def qualityScore(text: Column): Column =
+    lit(0.5) * alphaRatio(text) +
+      lit(0.5) * least(avgTokLen(text) / 10.0, lit(1.0))
+
+  /** DuckDB fragment computing [[qualityScore]] over a column `text`. */
+  private[quality] val QualitySql: String =
+    "0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))" +
+      " + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)" +
+      " / len(regexp_split_to_array(trim(text), '\\s+'))) / 10.0, 1.0)"
 
   /** Winnowing k-gram hash: polynomial rolling hash mod the Mersenne
     * prime 2^31−1 with base 127 — the classic MOSS-paper construction.
@@ -115,10 +137,8 @@ object TextOps extends OpModule {
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars_calc"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text"))).as("alpha_ratio"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double") /
-            size(split(trim(col("text")), "\\s+"))).as("avg_tok_len"))
+          alphaRatio(col("text")).as("alpha_ratio"),
+          avgTokLen(col("text")).as("avg_tok_len"))
         .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"), col("alpha_ratio"),
           (lit(0.5) * col("alpha_ratio") +
             lit(0.5) * least(col("avg_tok_len") / 10.0, lit(1.0))).as("quality"))
@@ -568,12 +588,10 @@ object TextOps extends OpModule {
     // so the selection parallelizes by source at any scale; running sum
     // in BIGINT token counts (exact).
     Q("x14_budget_select", Some(
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT doc_id, source,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |    0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
-        |      + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |          / len(regexp_split_to_array(trim(text), '\s+'))) / 10.0, 1.0) AS quality
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |    $QualitySql AS quality
         |  FROM documents),
         |r AS (SELECT doc_id, source, n_tokens, quality,
         |        CAST(row_number() OVER w AS BIGINT) AS rnk,
@@ -588,10 +606,7 @@ object TextOps extends OpModule {
           .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
         val q = Tables(s, dir, "documents").select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          (lit(0.5) * (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text"))) +
-            lit(0.5) * least((length(regexp_replace(col("text"), " ", "")).cast("double") /
-              size(split(trim(col("text")), "\\s+"))) / 10.0, lit(1.0))).as("quality"))
+          qualityScore(col("text")).as("quality"))
         q.select(col("doc_id"), col("source"),
           row_number().over(w).cast("long").as("rnk"),
           sum(col("n_tokens")).over(w.rowsBetween(

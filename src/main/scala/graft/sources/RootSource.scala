@@ -88,31 +88,45 @@ class RootSource extends FileDataSourceV2 {
     new CaseInsensitiveStringMap(m)
   }
 
-  private def table(options: CaseInsensitiveStringMap,
-      userSchema: Option[StructType]): ParquetTable = {
-    val paths = resolvedPaths(options)
-    ParquetTable(getTableName(options, paths), sparkSession,
-      parquetOptions(options), paths, userSchema, fallbackFileFormat)
+  /** Validated product restriction of a full schema (the reference's
+    * set_data_to_read/specify_data_read contract: asking for a missing
+    * product is an error, not a silent empty column).
+    */
+  private def restrict(full: StructType, products: String): StructType = {
+    val want = products.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val have = full.fieldNames.toSet
+    val missing = want.filterNot(have)
+    require(missing.isEmpty,
+      s"products not in store: ${missing.mkString(", ")} (have: ${full.fieldNames.mkString(", ")})")
+    StructType(want.map(full(_)))
   }
 
   override def getTable(options: CaseInsensitiveStringMap): Table = {
-    val base = table(options, None)
+    // resolve paths (manifest reads, comma-lists) and options ONCE; the
+    // products-restricted table reuses them, paying only the base
+    // table's schema inference (the restricted one gets its schema
+    // explicitly, so no second footer pass)
+    val paths = resolvedPaths(options)
+    val popts = parquetOptions(options)
+    def build(userSchema: Option[StructType]) = ParquetTable(
+      getTableName(options, paths), sparkSession, popts, paths, userSchema,
+      fallbackFileFormat)
     Option(options.get("products")) match {
-      case None => base
-      case Some(ps) =>
-        val want = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val full = base.schema
-        val have = full.fieldNames.toSet
-        val missing = want.filterNot(have)
-        require(missing.isEmpty,
-          s"products not in store: ${missing.mkString(", ")} (have: ${full.fieldNames.mkString(", ")})")
-        // restricted schema = column pruning before scan planning
-        table(options, Some(StructType(want.map(full(_)))))
+      case None => build(None)
+      case Some(ps) => build(Some(restrict(build(None).schema, ps)))
     }
   }
 
-  override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
-    table(options, Some(schema))
+  override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table = {
+    // a user-supplied schema composes with products the same way (and
+    // keeps the missing-product validation) instead of silently ignoring
+    // the option
+    val paths = resolvedPaths(options)
+    val effective = Option(options.get("products"))
+      .map(restrict(schema, _)).getOrElse(schema)
+    ParquetTable(getTableName(options, paths), sparkSession,
+      parquetOptions(options), paths, Some(effective), fallbackFileFormat)
+  }
 }
 
 object RootSource {

@@ -24,17 +24,19 @@ object AssignStream {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", LongType)))
 
-  /** (cent, cemb, cnrm) literals collected from the batch table — the
-    * static side of the stream-static pattern.
+  /** (cent, cemb, cnrm) literals collected from the LLOYD-REFINED
+    * centroid table — the SAME centroids knnIvf's inverted file is built
+    * from (seed centroids here would silently file streamed vectors into
+    * lists the batch index never probes). Static side of the
+    * stream-static pattern; array<double> cells, as the refined means
+    * are.
     */
-  private def centroidLits(spark: SparkSession, dir: String, nCentroids: Int): Seq[(Long, Array[Float], Double)] = {
+  private def centroidLits(spark: SparkSession, dir: String, nCentroids: Int): Seq[(Long, Array[Double], Double)] = {
     graft.tensor.VectorFunctions.register(spark)
-    graft.Tables(spark, dir, "embeddings")
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("embedding"),
-        graft.quality.SimilarityOps.l2norm(col("embedding")).as("nrm"))
+    graft.quality.SimilarityOps.ivfRefinedCentroids(spark, dir, nCentroids)
+      .select(col("cent"), col("cemb"), col("cnrm"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
   }
 
@@ -48,11 +50,13 @@ object AssignStream {
   def nearestCentroid(spark: SparkSession, dir: String, emb: Column,
       nCentroids: Int = 16): Column = {
     graft.tensor.VectorFunctions.register(spark)
-    val dot = graft.quality.SimilarityOps.dot(_, _)
     val nrm = graft.quality.SimilarityOps.l2norm(emb)
     val cands: Seq[Column] = centroidLits(spark, dir, nCentroids).map { case (id, cemb, cnrm) =>
-      val pc = array(cemb.toIndexedSeq.map(lit): _*).cast("array<float>")
-      struct((dot(emb, pc) / (nrm * lit(cnrm))).as("csim"), lit(-id).as("negcent"))
+      // same centSim arithmetic as the batch assignment (HOF fold over
+      // the float row vector × double centroid literal)
+      val pc = array(cemb.toIndexedSeq.map(lit): _*)
+      struct(graft.quality.SimilarityOps.centSim(emb, nrm, pc, lit(cnrm)).as("csim"),
+        lit(-id).as("negcent"))
     }
     -array_max(array(cands: _*)).getField("negcent")
   }

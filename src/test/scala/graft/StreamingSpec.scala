@@ -50,21 +50,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val streamed = graft.streaming.AssignStream
       .runToCompletion(spark, sf, dir.toString, "assign_test")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // batch twin: the window-ranked assignment exactly as knnIvf builds it
+    // batch twin: the window-ranked assignment exactly as knnIvf builds
+    // it — over the LLOYD-REFINED centroids (the actual inverted file)
     graft.tensor.VectorFunctions.register(spark)
     val base = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"),
         quality.SimilarityOps.l2norm(col("embedding")).as("nrm"))
-    val cents = base.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val cents = quality.SimilarityOps.ivfRefinedCentroids(spark, sf, 16)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)
     val batch = base.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        quality.SimilarityOps.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("csim", quality.SimilarityOps.centSim(
+        col("embedding"), col("nrm"), col("cemb"), col("cnrm")))
       .withColumn("crn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("crn") === 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      .select(col("vec_id"), col("cent"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
