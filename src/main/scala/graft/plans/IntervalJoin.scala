@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Whole-operator Catalyst extension (SURVEY §2.12, the (c) path of the
@@ -77,7 +78,14 @@ case class IntervalJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numBufferedRows" -> SQLMetrics.createMetric(sparkContext,
+      "right rows buffered (peak per key is the operator's memory bound)"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val outRows = longMetric("numOutputRows")
+    val bufRows = longMetric("numBufferedRows")
     val lo = loMicros
     val hi = hiMicros
     val out = output
@@ -119,7 +127,7 @@ case class IntervalJoinExec(
             else if (hk.asInstanceOf[Long] == k) {
               val r = rBuf.next().copy()
               val ts = rTsEval.eval(r)
-              if (ts != null) { rrows += r; rts += ts.asInstanceOf[Long] }
+              if (ts != null) { rrows += r; rts += ts.asInstanceOf[Long]; bufRows += 1 }
             } else done = true
           }
           curKey = k; haveKey = true; start = 0
@@ -159,6 +167,7 @@ case class IntervalJoinExec(
           positioned = false
           val out = resultProj(joiner(lRow, rrows(idx)))
           idx += 1
+          outRows += 1
           out
         }
       }
