@@ -42,9 +42,26 @@ object SinkOps extends OpModule {
       (s, dir) => {
         // one FIXED export dir per source sfDir, overwritten each run — a
         // fresh createTempDirectory here would leak a full compressed
-        // corpus copy into /tmp on every Verify/Bench execution
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          f"graft_k1_export_${dir.hashCode}%08x").getAbsolutePath
+        // corpus copy into /tmp on every Verify/Bench execution. The path
+        // is keyed on an md5 of the ABSOLUTE source path (hashCode could
+        // collide two sfDirs into one silently-shared dir) and lives under
+        // a per-user 0700 subdirectory (a predictable world-shared /tmp
+        // name is symlink-squattable on multi-user hosts). Two JVMs
+        // verifying the SAME sfDir concurrently still share the dir — an
+        // accepted trade for not leaking a corpus copy per run.
+        val abs = new java.io.File(dir).getAbsolutePath
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val userRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_${System.getProperty("user.name")}")
+        userRoot.mkdirs()
+        try {
+          import java.nio.file.attribute.PosixFilePermissions
+          java.nio.file.Files.setPosixFilePermissions(userRoot.toPath,
+            PosixFilePermissions.fromString("rwx------"))
+        } catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+        val out = new java.io.File(userRoot, s"k1_export_$digest").getAbsolutePath
         Tables(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang")
           .option("compression", "gzip").parquet(out)

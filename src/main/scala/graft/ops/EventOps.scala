@@ -177,18 +177,44 @@ object EventOps extends OpModule {
     // second engine through the driver gate.
     Q("st3b_interval_join_custom", Some(intervalJoinOracleSql),
       (s, dir) => {
-        // additive, idempotent registration — assignment would clobber
-        // any strategies a library caller already installed
-        if (!s.experimental.extraStrategies.contains(graft.plans.IntervalJoinStrategy))
-          s.experimental.extraStrategies =
-            s.experimental.extraStrategies :+ graft.plans.IntervalJoinStrategy
+        // IntervalJoinStrategy comes from session setup (GraftExtensions
+        // in Verify/Bench/specs) — a query must not mutate session-global
+        // planner state
         val (p, e) = purchaseErrorSides(s, dir)
         graft.plans.IntervalJoin.join(p, e, "user_id", "euser", "pts", "ets",
           0L, 6L * 3600L * 1000000L)
           .select(col("user_id"), col("purchase_id"), col("error_id"))
           .orderBy("user_id", "purchase_id", "error_id")
+      }),
+
+    // st3c — LEFT OUTER through the same custom operator: every purchase
+    // preserved, purchases with no error in the following 6 h padded with
+    // error_id = -1 (COALESCE rather than NULL output keeps the driver
+    // compare away from engine-specific NULL sort order).
+    Q("st3c_interval_join_outer", Some(intervalJoinOuterOracleSql),
+      (s, dir) => {
+        val (p, e) = purchaseErrorSides(s, dir)
+        graft.plans.IntervalJoin.join(p, e, "user_id", "euser", "pts", "ets",
+          0L, 6L * 3600L * 1000000L, joinType = "left_outer")
+          .select(col("user_id"), col("purchase_id"),
+            coalesce(col("error_id"), lit(-1L)).as("error_id"))
+          .orderBy("user_id", "purchase_id", "error_id")
       })
   )
+
+  /** st3c oracle: the event_type predicates must live in the subqueries —
+    * in a LEFT JOIN an ON-clause filter on the LEFT side would not filter
+    * (it only fails the match and pads), silently changing semantics.
+    */
+  private def intervalJoinOuterOracleSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+      |  CAST(coalesce(e.event_id, -1) AS BIGINT) AS error_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND epoch_us(e.ts) >= epoch_us(p.ts)
+      | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000
+      |ORDER BY 1, 2, 3""".stripMargin
 
   /** Shared st3/st3b oracle. The comparison runs on epoch_us — the events
     * fixture is TIMESTAMP(NANOS) and the Spark side reads µs-truncated

@@ -1,12 +1,14 @@
 package graft.plans
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSql}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, GraftRowBuffer, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -26,23 +28,39 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * key once with a monotone window-start pointer: O(P_k + E_k + output).
   * On a skewed key (one user with 100k events each side) that is the
   * difference between 10^10 probes and a linear pass — the same reason
-  * production SQL engines ship native range joins. State held per key is the
-  * right-side rows of that key only (the same buffering bound as a
-  * sort-merge join's duplicate-key match buffer).
+  * production SQL engines ship native range joins.
+  *
+  * Memory bound: the right-side rows of the CURRENT key are held in a
+  * spill-capable [[GraftRowBuffer]] (Spark's own
+  * `ExternalAppendOnlyUnsafeRowArray`, the structure sort-merge join uses
+  * for its duplicate-key match buffer) governed by the SMJ thresholds
+  * `spark.sql.sortMergeJoinExec.buffer.{in.memory,spill}.threshold` — a
+  * hot key (a bot user with tens of millions of events inside the window)
+  * degrades to disk instead of OOMing the executor. Replaying a spilled
+  * buffer from the window-start index costs a linear skip per left row,
+  * the identical contract to SMJ's spilled match-buffer replay.
+  *
+  * Join types: INNER (null keys/timestamps match nothing) and LEFT OUTER
+  * (every left row preserved; unmatched or null-keyed left rows emit one
+  * null-padded output row, per SQL LEFT JOIN semantics).
   *
   * Scope contract (checked at construction): key is LongType, timestamps
-  * are TimestampType/LongType (micros), offsets in micros, inner join,
-  * null keys/timestamps match nothing. IntervalJoinSpec pins equality
-  * with the declarative plan on real data and on adversarial random
-  * fixtures, and that the physical plan contains no residual-filtered
-  * nested loop.
+  * are TimestampType/LongType (micros), offsets in micros.
+  * IntervalJoinSpec pins equality with the declarative plan on real data
+  * and on adversarial random fixtures (both join types), spill-threshold
+  * behavior on a hot key, and that the physical plan contains no
+  * residual-filtered nested loop.
   */
 case class IntervalJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    loMicros: Long, hiMicros: Long) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    loMicros: Long, hiMicros: Long,
+    joinType: JoinType = Inner) extends BinaryNode {
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -50,8 +68,8 @@ case class IntervalJoinPlan(
 
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, rk, lt, rt, lo, hi) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi) :: Nil
+    case IntervalJoinPlan(l, r, lk, rk, lt, rt, lo, hi, jt) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, jt) :: Nil
     case _ => Nil
   }
 }
@@ -60,9 +78,13 @@ case class IntervalJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    loMicros: Long, hiMicros: Long) extends BinaryExecNode {
+    loMicros: Long, hiMicros: Long,
+    joinType: JoinType) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -81,11 +103,17 @@ case class IntervalJoinExec(
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numBufferedRows" -> SQLMetrics.createMetric(sparkContext,
-      "right rows buffered (peak per key is the operator's memory bound)"))
+      "right rows buffered (total across keys)"),
+    "peakBufferedRows" -> SQLMetrics.createMetric(sparkContext,
+      "peak right rows buffered in one key (per-task max; driver total sums tasks)"),
+    "spillSize" -> SQLMetrics.createSizeMetric(sparkContext,
+      "bytes spilled by the right-side key buffer"))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val bufRows = longMetric("numBufferedRows")
+    val peakRows = longMetric("peakBufferedRows")
+    val spillSize = longMetric("spillSize")
     val lo = loMicros
     val hi = hiMicros
     val out = output
@@ -95,6 +123,12 @@ case class IntervalJoinExec(
     val rk = rightKey
     val lt = leftTs
     val rt = rightTs
+    val leftOuter = joinType == LeftOuter
+    // SMJ's own buffer thresholds govern the per-key buffer: rows in heap
+    // up to the in-memory threshold, then task-managed pages, then disk.
+    val inMemThreshold = conf.sortMergeJoinExecBufferInMemoryThreshold
+    val spillThreshold = conf.sortMergeJoinExecBufferSpillThreshold
+    val spillSizeThreshold = conf.sortMergeJoinExecBufferSpillSizeThreshold
     left.execute().zipPartitions(right.execute()) { (lIter0, rIter0) =>
       val lKeyEval = BindReferences.bindReference(lk, lOut)
       val lTsEval = BindReferences.bindReference(lt, lOut)
@@ -102,58 +136,96 @@ case class IntervalJoinExec(
       val rTsEval = BindReferences.bindReference(rt, rOut)
       val joiner = new JoinedRow
       val resultProj = UnsafeProjection.create(out, out)
+      // the buffer stores UnsafeRows; child rows after the required sort
+      // usually are already, but project defensively (identity layout)
+      val toUnsafe = UnsafeProjection.create(rOut, rOut)
+      val nullRight = new GenericInternalRow(rOut.size) // all-null pad row
+      val keyBuf = new GraftRowBuffer(inMemThreshold, spillThreshold, spillSizeThreshold)
+      val tc = TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        spillSize += keyBuf.spillSizeBytes
+        keyBuf.clear() // releases task memory + deletes spill files
+      }
       val lBuf = lIter0
       val rBuf = rIter0.buffered
       new Iterator[InternalRow] {
-        // right rows of the current key, ts-ascending (copies — the
-        // child's rows are reused buffers). The per-key memory bound.
-        private val rts = new scala.collection.mutable.ArrayBuffer[Long]
-        private val rrows = new scala.collection.mutable.ArrayBuffer[InternalRow]
         private var haveKey = false
         private var curKey = 0L
+        private var taskPeak = 0L
         private var lRow: InternalRow = _
         private var lTsV = 0L
-        private var start = 0 // monotone window-start pointer within a key
-        private var idx = 0
+        // monotone window-start pointer within a key: rows before `start`
+        // are below every remaining left row's lower bound (left ts asc)
+        private var start = 0
+        private var rIt: Iterator[UnsafeRow] = _ // scan for the current left row
+        private var scanning = false
+        private var lMatched = false
+        // positioned output: candidate right row, or a null pad (left outer)
+        private var candidate: InternalRow = _
+        private var padRight = false
         private var positioned = false
 
         private def loadKey(k: Long): Unit = {
-          rts.clear(); rrows.clear()
+          keyBuf.clear()
           var done = false
           while (!done && rBuf.hasNext) {
             val hk = rKeyEval.eval(rBuf.head)
             if (hk == null) { rBuf.next() } // null keys match nothing
             else if (hk.asInstanceOf[Long] < k) rBuf.next()
             else if (hk.asInstanceOf[Long] == k) {
-              val r = rBuf.next().copy()
-              val ts = rTsEval.eval(r)
-              if (ts != null) { rrows += r; rts += ts.asInstanceOf[Long]; bufRows += 1 }
+              val r = rBuf.next()
+              // null ts matches nothing; add() copies/spills the row, so
+              // passing the child's reused buffer is safe
+              if (rTsEval.eval(r) != null) { keyBuf.add(toUnsafe(r)); bufRows += 1 }
             } else done = true
           }
           curKey = k; haveKey = true; start = 0
+          if (keyBuf.length > taskPeak) {
+            taskPeak = keyBuf.length
+            peakRows.set(taskPeak)
+          }
         }
 
-        /** Position (lRow, idx) at the next match WITHOUT materializing a
-          * row — materialization happens only in next(), into the reused
+        /** Position the next output WITHOUT materializing a row —
+          * materialization happens only in next(), into the reused
           * projection buffer, per the iterator-row-reuse contract. (A
           * lookahead that projected eagerly would clobber the row the
           * consumer is still holding.)
           */
         private def findNext(): Boolean = {
           while (true) {
-            if (lRow != null && idx < rrows.length && rts(idx) <= lTsV + hi) {
-              return true // entries from `start` are ≥ lTsV + lo by pruning
+            if (scanning) {
+              // sweep the current left row's window [lTsV+lo, lTsV+hi]:
+              // rows are ts-ascending, so the scan is below-window rows
+              // (advance `start`), then matches, then one past-window row
+              var live = true
+              while (live && rIt.hasNext) {
+                val r = rIt.next()
+                val ts = rTsEval.eval(r).asInstanceOf[Long] // nulls filtered at load
+                if (ts < lTsV + lo) start += 1
+                else if (ts <= lTsV + hi) {
+                  candidate = r; padRight = false; lMatched = true
+                  return true
+                } else live = false
+              }
+              scanning = false
+              if (leftOuter && !lMatched) { padRight = true; return true }
             }
-            if (!lBuf.hasNext) { lRow = null; return false }
+            if (!lBuf.hasNext) return false
             lRow = lBuf.next()
             val k = lKeyEval.eval(lRow)
             val ts = lTsEval.eval(lRow)
-            if (k == null || ts == null) { lRow = null } // matches nothing
-            else {
+            lMatched = false
+            if (k == null || ts == null) {
+              // matches nothing; LEFT OUTER still preserves the row
+              if (leftOuter) { padRight = true; return true }
+            } else {
               lTsV = ts.asInstanceOf[Long]
               if (!haveKey || k.asInstanceOf[Long] != curKey) loadKey(k.asInstanceOf[Long])
-              while (start < rts.length && rts(start) < lTsV + lo) start += 1
-              idx = start
+              // a spilled buffer replays with a linear skip to `start`,
+              // the same replay contract as SMJ's spilled match buffer
+              rIt = keyBuf.generateIterator(start)
+              scanning = true
             }
           }
           false // unreachable
@@ -165,10 +237,10 @@ case class IntervalJoinExec(
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException("empty interval-join iterator")
           positioned = false
-          val out = resultProj(joiner(lRow, rrows(idx)))
-          idx += 1
+          val r = if (padRight) nullRight else candidate
+          val res = resultProj(joiner(lRow, r))
           outRows += 1
-          out
+          res
         }
       }
     }
@@ -181,13 +253,18 @@ case class IntervalJoinExec(
 
 /** User-facing API: `IntervalJoin.join(left, right, "user_id", "user_id",
   * "pts", "ets", lo, hi)` — requires [[IntervalJoinStrategy]] in the
-  * session (via [[GraftExtensions]] or
-  * `spark.experimental.extraStrategies`).
+  * session (register once at session setup via [[GraftExtensions]]:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`; without it
+  * planning fails with "No plan for IntervalJoinPlan").
   */
 object IntervalJoin {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      loMicros: Long, hiMicros: Long): DataFrame = {
+      loMicros: Long, hiMicros: Long, joinType: String = "inner"): DataFrame = {
+    val jt = JoinType(joinType)
+    require(jt == Inner || jt == LeftOuter,
+      s"interval join supports inner and left_outer, got $joinType")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -210,6 +287,6 @@ object IntervalJoin {
       a.dataType == TimestampType || a.dataType == LongType,
       s"interval join timestamps must be TimestampType or LongType, got ${a.dataType}"))
     GraftSql.ofRows(left.sparkSession,
-      IntervalJoinPlan(lPlan, rPlan, lk, rk, lt, rt, loMicros, hiMicros))
+      IntervalJoinPlan(lPlan, rPlan, lk, rk, lt, rt, loMicros, hiMicros, jt))
   }
 }

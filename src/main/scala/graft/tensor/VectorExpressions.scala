@@ -24,9 +24,18 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 
   // Null contract matches the HOF form `aggregate(zip_with(a, b, *), 0d, +)`
   // exactly: unequal-length inputs yield NULL (zip_with pads the shorter
-  // array with nulls, which propagate through the sum), so the
-  // KernelFusionRule rewrite is result-preserving on ragged data too.
+  // array with nulls, which propagate through the sum), and a null ELEMENT
+  // anywhere yields NULL (the null propagates through `+`), so the
+  // KernelFusionRule rewrite is result-preserving on ragged and
+  // null-holed data alike. The element guard is only emitted when the
+  // static type says elements can be null — containsNull=false inputs
+  // keep the branch-free loop.
   override def nullable: Boolean = true
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -40,9 +49,13 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val checkNulls = elemsNullable
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     acc
   }
 
@@ -51,6 +64,9 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullGuard = if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -58,9 +74,10 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -69,10 +86,21 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
-/** `float_norm(a)` — L2 norm with the same fold contract. */
+/** `float_norm(a)` — L2 norm with the same fold contract (a null element
+  * yields NULL, matching `sqrt(aggregate(transform(a, x -> x*x), 0d, +))`
+  * where the null propagates through the sum; guard emitted only for
+  * containsNull=true inputs).
+  */
 case class FloatNorm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -82,9 +110,11 @@ case class FloatNorm(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val checkNulls = elemsNullable
     var acc = 0.0
     var i = 0
     while (i < x.numElements()) {
+      if (checkNulls && x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble; acc += v * v; i += 1
     }
     math.sqrt(acc)
@@ -95,13 +125,17 @@ case class FloatNorm(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val nullGuard = if (elemsNullable)
+        s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |double $acc = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $nullGuard
          |  double $v = (double) $a.getFloat($i);
          |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
        """.stripMargin
     })
 
@@ -110,14 +144,20 @@ case class FloatNorm(child: Expression) extends UnaryExpression {
 
 /** `float_l2sq(a, b)` — squared Euclidean distance, same fold contract:
   * left-to-right sum of `((double)a[i] - (double)b[i])²`. Null on
-  * unequal lengths (the zip_with contract, as FloatDot). The kernel under
-  * every product-quantization encode/ADC step (nn5).
+  * unequal lengths and on any null element (the zip_with contract, as
+  * FloatDot; guard emitted only for containsNull=true inputs). The kernel
+  * under every product-quantization encode/ADC step (nn5).
   */
 case class FloatL2Sq(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
   override def nullable: Boolean = true
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -131,9 +171,11 @@ case class FloatL2Sq(left: Expression, right: Expression) extends BinaryExpressi
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val checkNulls = elemsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -147,6 +189,9 @@ case class FloatL2Sq(left: Expression, right: Expression) extends BinaryExpressi
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val nullGuard = if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -154,10 +199,11 @@ case class FloatL2Sq(left: Expression, right: Expression) extends BinaryExpressi
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.plans.{IntervalJoin, IntervalJoinStrategy}
+import graft.plans.{GraftExtensions, IntervalJoin}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -14,10 +14,10 @@ object SkewIntervalDemo {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new GraftExtensions) // session-setup registration
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.experimental.extraStrategies = Seq(IntervalJoinStrategy)
     // one hot key (0), timestamps dense so windows stay small
     val l = spark.range(n).select(lit(0L).as("k"), (col("id") * 3).as("t"))
     val r = spark.range(n).select(lit(0L).as("k2"), (col("id") * 3 + 1).as("t2"))

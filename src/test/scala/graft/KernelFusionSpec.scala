@@ -28,31 +28,36 @@ class KernelFusionSpec extends AnyFunSuite with SparkSuite {
     assert(!before.expressions.exists(_.exists(_.isInstanceOf[FloatL2Sq])))
     val after = KernelFusionRule(before)
     assert(after.expressions.exists(_.exists(_.isInstanceOf[FloatL2Sq])))
-    // and the rewrite is bit-preserving end-to-end
-    spark.experimental.extraOptimizations = Seq(KernelFusionRule)
-    try {
-      val fused = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      spark.experimental.extraOptimizations = Nil
-      val plain = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(fused == plain)
-    } finally spark.experimental.extraOptimizations = Nil
+    // and the rewrite is bit-preserving end-to-end: the session rule
+    // (GraftExtensions) fuses the collect below, so compare against a
+    // Scala-side left-to-right fold — the independent ground truth
+    val fused = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = e.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val a = r.getSeq[Float](1)
+      val b = a.reverse
+      r.getLong(0) -> a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        val d = x.toDouble - y.toDouble; s + d * d
+      }
+    }.toMap
+    assert(fused == want) // bit-identical
   }
 
   test("fused session plans produce identical results") {
-    spark.experimental.extraOptimizations = Seq(KernelFusionRule)
-    try {
-      val e = Tables(spark, sf, "embeddings")
-      val df = e.select(col("vec_id"),
-        SimilarityOps.dotHof(col("embedding"), col("embedding")).as("d"))
-      val plan = df.queryExecution.optimizedPlan.toString
-      assert(plan.toLowerCase.contains("floatdot") || plan.contains("float_dot"), plan)
-      val fused = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      spark.experimental.extraOptimizations = Nil
-      val plain = e.select(col("vec_id"),
-        SimilarityOps.dotHof(col("embedding"), col("embedding")).as("d"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(fused == plain) // bit-identical
-    } finally spark.experimental.extraOptimizations = Nil
+    // GraftExtensions injects KernelFusionRule session-wide, so the HOF
+    // form plans straight into the kernel…
+    val e = Tables(spark, sf, "embeddings")
+    val df = e.select(col("vec_id"),
+      SimilarityOps.dotHof(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("floatdot") || plan.contains("float_dot"), plan)
+    // …and the kernel's fold is bit-identical to an independent
+    // left-to-right Scala fold of the same arrays
+    val fused = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = e.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val a = r.getSeq[Float](1)
+      r.getLong(0) -> a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+    }.toMap
+    assert(fused == want) // bit-identical
   }
 
   test("GraftExtensions injection applies cleanly to a fresh extensions context") {

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 trait SparkSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .withExtensions(new graft.plans.GraftExtensions) // kernels + IntervalJoinStrategy
     .config("spark.sql.warehouse.dir",
       s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
     .config("spark.sql.shuffle.partitions", "4")

@@ -59,4 +59,28 @@ class VectorKernelSpec extends AnyFunSuite with SparkSuite {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // both NULL on ragged
     assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
   }
+
+  test("null ELEMENTS yield NULL in all three kernels, matching the HOF null propagation") {
+    // The HOF forms return NULL when any element is null (the null
+    // propagates through the `+` fold), so the kernels must too —
+    // otherwise the KernelFusionRule rewrite would silently change
+    // results on null-holed arrays (round-4 ADVICE finding).
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 1f, 1f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("float_dot", col("a"), col("b")).as("dot"),
+      call_function("float_l2sq", col("a"), col("b")).as("l2sq"),
+      call_function("float_norm", col("a")).as("norm"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("dot_hof"),
+      SimilarityOps.l2sqHof(col("a"), col("b")).as("l2sq_hof"),
+      SimilarityOps.l2normHof(col("a")).as("norm_hof")).collect()
+    for (i <- 0 until 6) assert(rows(0).isNullAt(i), s"col $i should be NULL on a null element")
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(3) == 11.0)
+    assert(rows(1).getDouble(1) == 8.0 && rows(1).getDouble(4) == 8.0)
+    assert(!rows(1).isNullAt(2) && rows(1).getDouble(2) == rows(1).getDouble(5))
+  }
 }
