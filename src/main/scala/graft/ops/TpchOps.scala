@@ -144,6 +144,53 @@ object TpchOps extends OpModule {
           .groupBy("n_name")
           .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
+    // Q17 small-quantity-order shape: lineitem rows below 0.2× their
+    // part's average quantity, per brand. THE CORRELATED-SUBQUERY QUERY —
+    // the Spark side goes through spark.sql ON PURPOSE so Catalyst's
+    // subquery decorrelation actually runs (a hand-built aggregate+join
+    // would prove nothing): RewriteCorrelatedScalarSubquery turns each
+    // scalar subquery into a per-partkey Aggregate + equi-join (the count
+    // one left-outer with the COUNT-bug zero-default projection). The twin
+    // count/sum subqueries come out as TWO column-pruned aggregates over
+    // lineitem — Catalyst 4.1's MergeScalarSubqueries does not merge this
+    // correlated pair — so the cost at scale is two keyed shuffles of
+    // 2-column projections, still O(rows), never a per-row re-scan
+    // (Q17DecorrelationSpec pins the rewritten plan shape).
+    //
+    // The threshold `qty < 0.2 * avg(qty)` is compared cross-multiplied —
+    // `5 * qty * count < sum` — because 0.2 has no exact binary
+    // representation and the engines' avg pipelines differ (Spark decimal
+    // avg vs DuckDB double avg), so a boundary row (integer quantities
+    // make avg=25 → threshold 5 exactly representable-adjacent) could
+    // flip between engines. Cross-multiplied, both sides are exact: the
+    // decimal sum is order-free, and even where DuckDB's width promotion
+    // falls back to double, the products here are integral and ≪ 2^53,
+    // hence exactly representable.
+    Q("tpch_q17", Some(
+      """SELECT p.p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 *
+        |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4))) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q17_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("graft_q17_part")
+        s.sql(
+          """SELECT p.p_brand, count(*) AS n_small,
+            |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+            |FROM graft_q17_lineitem l JOIN graft_q17_part p ON l.l_partkey = p.p_partkey
+            |WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 *
+            |      (SELECT count(*) FROM graft_q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4))) FROM graft_q17_lineitem l2
+            |       WHERE l2.l_partkey = l.l_partkey)
+            |GROUP BY p.p_brand
+            |ORDER BY p.p_brand""".stripMargin)
       })
   )
 }
