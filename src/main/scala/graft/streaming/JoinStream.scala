@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
 object JoinStream {
 
   /** @param watermark allowed event-time lateness. Production keeps this
-    *   small (minutes) so join state stays tight; the spec passes a value
-    *   wider than the fixture's whole time span so its DELIBERATELY
-    *   out-of-order replay (maxFilesPerTrigger=1 over id-interleaved
-    *   files) exercises the cross-batch state buffers without any
-    *   late-drop — the streamed result must then equal the batch twin
-    *   exactly.
+    *   small (minutes) so join state stays tight; the equality spec passes
+    *   a value wider than the fixture's whole time span so its
+    *   DELIBERATELY out-of-order replay (maxFilesPerTrigger=1 over
+    *   id-interleaved files) exercises the cross-batch state buffers
+    *   without any late-drop — the streamed result must then equal the
+    *   batch twin exactly. The complementary tight-watermark spec
+    *   (StreamingSpec "tight watermark actually drops late rows") pins the
+    *   drop side: a planted behind-watermark error is excluded from the
+    *   streamed result while the batch twin matches it.
     * @param maxFilesPerTrigger file-source throttle; Some(1) forces one
     *   file per micro-batch (the multi-batch path), None lets the source
     *   take everything available at once.

@@ -111,6 +111,66 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch)
   }
 
+  test("tight watermark actually drops late rows: streamed = batch minus the planted late match") {
+    // Every other streaming test deliberately uses a watermark wider than
+    // the fixture span, so the watermark-past-drop mechanism — the thing
+    // the finite-state claim rests on — never fires in them. This fixture
+    // makes it fire deterministically: phase 1 advances the watermark ~47 h
+    // past a purchase, phase 2 then delivers an error that WOULD match it
+    // (batch says so) but arrives later than the watermark allows — the
+    // stream must drop it, and must still emit phase 2's on-time pair.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val NsH = 3600L * 1000000000L
+    val NsM = 60L * 1000000000L
+    val T0 = 1600000000L * 1000000000L // ns epoch
+    def mkEvents(rows: Seq[(Long, Long, Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ts, u, tpe) =>
+          Row(id, ts, u, tpe, 0.0, "{}") }, 1),
+        EventStream.eventSchema)
+    val phase1 = Seq(
+      (101L, T0, 1L, "purchase"),
+      (201L, T0 + 10 * NsM, 1L, "error"),              // on-time match for 101
+      (109L, T0 + 48 * NsH, 9L, "purchase"),           // advances the watermark
+      (209L, T0 + 48 * NsH + 10 * NsM, 9L, "error"))   // on-time match for 109
+    val phase2 = Seq(
+      (202L, T0 + 30 * NsM, 1L, "error"),              // LATE: in-window for 101, behind watermark
+      (103L, T0 + 47 * NsH + 30 * NsM, 3L, "purchase"),
+      (203L, T0 + 47 * NsH + 40 * NsM, 3L, "error"))   // on-time match for 103
+    val in = java.nio.file.Files.createTempDirectory("late_join_in")
+    def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("late_stage")
+      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("d"))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, in.resolve(name))
+    }
+    stage(phase1, "0.parquet")
+    val q = graft.streaming.JoinStream
+      .purchaseErrorJoin(spark, in.toString, watermark = "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("late_join_test").start()
+    q.processAllAvailable() // batch 1: watermark → ~T0+47h
+    stage(phase2, "1.parquet")
+    q.processAllAvailable() // batch 2: late error must be dropped
+    q.stop()
+    val streamed = spark.table("late_join_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin over the SAME combined data matches the late pair too
+    val all = mkEvents(phase1 ++ phase2)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val e = all.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id").as("eu"), col("ts").as("ets"))
+    val batch = p.join(e, col("pu") === col("eu") &&
+        col("ets") >= col("pts") && col("ets") <= col("pts") + expr("INTERVAL 6 HOURS"))
+      .select(col("pu"), col("pid"), col("eid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 101L, 201L), (9L, 109L, 209L), (3L, 103L, 203L)))
+    assert(batch == streamed + ((1L, 101L, 202L))) // the drop, pinned exactly
+  }
+
   test("restart from checkpoint is exactly-once: replayed rows suppressed across stop/start") {
     import org.apache.spark.sql.functions._
     def stageOne(df: org.apache.spark.sql.DataFrame, into: java.nio.file.Path, name: String): Unit = {
