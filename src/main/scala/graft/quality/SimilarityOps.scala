@@ -499,9 +499,10 @@ object SimilarityOps extends OpModule {
     // Product-quantization ANN (nn5) — the memory-scale path an ANN index
     // takes at 100 TB: each 64-dim float vector (256 B) compresses to m=4
     // one-byte codes by snapping each 16-dim subvector to its nearest of
-    // 8 per-subspace centroids (subvectors of seed vectors 0..7; a Lloyd
-    // round slots in exactly as nn3's), and query distance is the classic
-    // ADC sum of per-subspace lookup-table entries. Spark shape: the
+    // 8 per-subspace centroids (seed subvectors of vectors 0..7 refined
+    // by one Lloyd round — pqRefinedCodebook, nn3's pattern), and query
+    // distance is the classic ADC sum of per-subspace lookup-table
+    // entries. Spark shape: the
     // 32-row codebook broadcasts; encoding is one explode(m=4) +
     // broadcast join + partial-aggregated argmin (min over (d2, cid)
     // structs — no window, no extra shuffle); ADC joins the codes against
@@ -538,11 +539,49 @@ object SimilarityOps extends OpModule {
     .select(col("vec_id"), posexplode_outer(array((0 until PqM).map(si =>
       slice(col("embedding"), si * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "subv")))
 
-  /** PQ encode + ADC top-k search. */
-  def knnPq(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+  /** One Lloyd refinement round over the PQ seed codebook (parity with
+    * nn3's refined IVF, closing VERDICT r4 #6): assign every subvector to
+    * its nearest seed centroid within its subspace, then the
+    * per-(subspace, cluster) element-wise means are the refined codebook.
+    * The mean accumulates in DECIMAL(38,12) — exact, order-free,
+    * DuckDB-replayable (the nn3 pattern) — and the refined centroid
+    * rounds back to FLOAT so the hot encode path keeps the codegen
+    * float_l2sq kernel; double→float is IEEE round-to-nearest on both
+    * engines, so the oracle replays it with a plain CAST. Scale shape:
+    * one broadcast of the 32-row seed table, one partial-aggregated
+    * argmin, one keyed mean over 4·8·16 = 512 groups.
+    */
+  private[graft] def pqRefinedCodebook(s: SparkSession, dir: String): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
     val subs = pqSubspaces(Tables(s, dir, "embeddings"))
-    val cents = pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < PqK))
+    val seeds = pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("cid"), col("s"), col("subv").as("cent"))
+    val assigned = subs.join(broadcast(seeds), Seq("s"))
+      .withColumn("d2", l2sq(col("subv"), col("cent")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"),
+        first(col("subv")).as("subv")) // constant within the (vec_id, s) group
+    assigned
+      .select(col("s"), col("cid"), posexplode(col("subv")).as(Seq("pos", "v")))
+      .groupBy("s", "cid", "pos")
+      .agg((sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+        / count(lit(1))).as("mean"))
+      .groupBy("s", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x.getField("mean").cast("float")).as("cent"))
+  }
+
+  /** PQ encode + ADC top-k search. `refined = false` keeps the raw seed
+    * codebook — only SimilaritySpec uses it, to pin that the Lloyd round
+    * does not lose recall.
+    */
+  def knnPq(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      refined: Boolean = true): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val subs = pqSubspaces(Tables(s, dir, "embeddings"))
+    val cents = if (refined) pqRefinedCodebook(s, dir)
+    else pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < PqK))
       .select(col("vec_id").as("cid"), col("s"), col("subv").as("cent"))
     // encode: nearest centroid per (vector, subspace); min over (d2, cid)
     // structs = deterministic argmin with id tie-break, partial-aggregated
@@ -569,11 +608,14 @@ object SimilarityOps extends OpModule {
   }
 
   /** DuckDB twin of [[knnPq]] (nQueries=3, k=10, m=4×16 dims, 8
-    * centroids/subspace): `sub` replays the subvector explode with list
-    * slicing, `d` the encode distances with the same subtract-square
-    * sequential fold as the float_l2sq kernel, `codes` the (d2, cid)
-    * argmin, `dtab` the query lookup tables, and `adc` the DECIMAL(38,12)
-    * order-free per-candidate sum.
+    * centroids/subspace, one Lloyd round): `sub` replays the subvector
+    * explode with list slicing; `seed`/`d0`/`a0` the seed assignment with
+    * the same subtract-square sequential fold as the float_l2sq kernel;
+    * `pe`/`m`/`cent` the per-(subspace, cluster, position) DECIMAL(38,12)
+    * mean rounded back to FLOAT (the refined codebook); then `d`/`codes`
+    * the (d2, cid) argmin encode against the refined centroids, `dtab`
+    * the query lookup tables, and `adc` the DECIMAL(38,12) order-free
+    * per-candidate sum.
     */
   private def pqOracleSql: String = {
     val l2 = "list_sum(list_transform(list_zip(%s, %s), " +
@@ -583,7 +625,22 @@ object SimilarityOps extends OpModule {
     s"""WITH sub AS (
        |  SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS subv
        |  FROM embeddings, range(4) r(s)),
-       |cent AS (SELECT vec_id AS cid, s, subv AS cent FROM sub WHERE vec_id < 8),
+       |seed AS (SELECT vec_id AS cid, s, subv AS cent FROM sub WHERE vec_id < 8),
+       |d0 AS (SELECT b.vec_id, b.s, b.subv, c.cid, ${l2.format("b.subv", "c.cent")} AS d2
+       |       FROM sub b JOIN seed c USING (s)),
+       |a0 AS (SELECT vec_id, s, subv, cid FROM (
+       |         SELECT vec_id, s, subv, cid,
+       |                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+       |         FROM d0) WHERE rn = 1),
+       |pe AS (SELECT s, cid, unnest(list_transform(range(1, len(subv) + 1),
+       |         i -> {'pos': i, 'val': subv[i]})) AS u FROM a0),
+       |m AS (SELECT s, cid, u.pos AS pos,
+       |        CAST(sum(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+       |          / count(*) AS mean
+       |      FROM pe GROUP BY s, cid, u.pos),
+       |cent AS (SELECT s, cid, list_transform(list(mean ORDER BY pos),
+       |           x -> CAST(x AS FLOAT)) AS cent
+       |         FROM m GROUP BY s, cid),
        |d AS (SELECT b.vec_id, b.s, c.cid, $dSub AS d2
        |      FROM sub b JOIN cent c USING (s)),
        |codes AS (SELECT vec_id, s, cid AS code FROM (

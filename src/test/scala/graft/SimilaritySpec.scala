@@ -94,5 +94,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val hit = pq.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
     info(s"PQ recall: $hit of ${exact.size}")
     assert(hit >= 6, s"PQ recalled only $hit of ${exact.size} exact-L2 pairs")
+    // the Lloyd round must not LOSE recall vs the raw seed codebook (the
+    // whole point of refining — k-means strictly reduces quantization
+    // error, which is what ADC ranks by)
+    val pqSeed = SimilarityOps.knnPq(spark, sf, nQueries = 3, k = 10, refined = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    info(s"PQ recall seed codebook: $pqSeed, refined: $hit")
+    assert(hit >= pqSeed,
+      s"Lloyd-refined codebook recalled $hit < seed codebook's $pqSeed")
   }
 }
