@@ -6,27 +6,121 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payload columns with typed
-  * metadata, decoded partition-wise. The real decode (image/audio codecs)
-  * is STUBBED with a deterministic fake — no media libraries exist in this
-  * environment — but the Spark-side contract is real: binary column
-  * ingestion, per-partition batched decode (the Scala analog of
-  * `mapInPandas`), explicit output schema, and chunk accounting.
+  * metadata, decoded partition-wise. The decode is REAL for two trivial
+  * containers parseable in pure JVM — PPM (P6) images and WAV (RIFF/PCM)
+  * audio — and falls back to a deterministic byte-derived pseudo-decode
+  * for anything else (heavier codecs — JPEG, MP3 — would slot into the
+  * same dispatch; those libraries don't exist in this environment). The
+  * Spark-side contract is the point either way: binary column ingestion,
+  * per-partition batched decode (the Scala analog of `mapInPandas`),
+  * explicit output schema, and chunk accounting.
   */
 object Multimodal extends OpModule {
 
-  /** Output schema of the (stubbed) decoder. */
+  /** Output schema of the decoder. `width`/`height` are image dims for
+    * ppm, (channels, bits/sample) for wav, byte-derived pseudo-dims for
+    * raw; `mean_intensity` is the mean pixel byte (ppm), mean |sample|
+    * (wav), or mean payload byte (raw).
+    */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("payload_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("mean_intensity", DoubleType, nullable = false)))
 
-  /** Partition-wise batched decode of a binary payload column.
-    *
-    * STUB: a real implementation would hand each batch to an image/audio
-    * codec; here the "decode" derives deterministic fake metadata from the
-    * bytes so the plumbing (schema, batching, partitioning) is testable.
+  /** Real PPM P6 parse: `P6 <ws> width <ws> height <ws> maxval <single
+    * ws> <w*h*3 raw RGB bytes>`, `#` comments allowed in the header.
+    * Returns (width, height, mean over the pixel bytes), or None if the
+    * container is malformed or truncated.
+    */
+  private[graft] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else in = false
+      }
+    }
+    def token(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      if (i == start) None
+      else Some(new String(bytes, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- token(); h <- token(); maxval <- token()
+      if w > 0 && h > 0 && maxval > 0 && maxval < 65536
+      // exactly ONE whitespace byte separates header from raster
+      if i < bytes.length && { i += 1; true }
+      bytesPerSample = if (maxval < 256) 1 else 2
+      n = w * h * 3 * bytesPerSample
+      if bytes.length - i >= n
+    } yield {
+      var sum = 0L
+      var j = i
+      if (bytesPerSample == 1) { while (j < i + n) { sum += bytes(j) & 0xff; j += 1 } }
+      else { while (j < i + n) { sum += ((bytes(j) & 0xff) << 8) | (bytes(j + 1) & 0xff); j += 2 } }
+      (w, h, sum.toDouble / (w * h * 3))
+    }
+  }
+
+  /** Real WAV RIFF parse: `RIFF <size> WAVE` then chunks; reads PCM
+    * format from the `fmt ` chunk (channels, bits/sample) and decodes the
+    * `data` chunk — mean |sample| for 16-bit signed little-endian PCM,
+    * mean unsigned byte for 8-bit. None if malformed.
+    */
+  private[graft] def parseWav(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var channels, bits = -1
+    var dataOff, dataLen = -1L
+    while (i + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(i)
+      val len = u32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+        channels = u16(i + 8 + 2)
+        bits = u16(i + 8 + 14)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(len, bytes.length - dataOff)
+      }
+      if (len < 0 || len > bytes.length) i = bytes.length // malformed: stop
+      else i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None
+    val (off, len) = (dataOff.toInt, dataLen.toInt)
+    if (bits == 8) {
+      if (len == 0) return Some((channels, bits, 0.0))
+      var sum = 0L; var j = off
+      while (j < off + len) { sum += bytes(j) & 0xff; j += 1 }
+      Some((channels, bits, sum.toDouble / len))
+    } else {
+      val n = len / 2
+      if (n == 0) return Some((channels, bits, 0.0))
+      var sum = 0L; var j = off
+      while (j + 1 < off + len) {
+        val s = ((bytes(j) & 0xff) | (bytes(j + 1) << 8)).toShort
+        sum += math.abs(s.toInt); j += 2
+      }
+      Some((channels, bits, sum.toDouble / n))
+    }
+  }
+
+  /** Partition-wise batched decode of a binary payload column: dispatch
+    * on the container magic (PPM `P6`, WAV `RIFF…WAVE`), REAL parse for
+    * both, deterministic byte-derived pseudo-decode for everything else
+    * (`format = "raw"` — where a JPEG codec would go).
     */
   def decodeBinary(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -37,24 +131,31 @@ object Multimodal extends OpModule {
           batch.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val w = (bytes.headOption.getOrElse(0: Byte) & 0xff) + 1
-            val h = (bytes.lift(1).getOrElse(0: Byte) & 0xff) + 1
-            val mean =
-              if (bytes.isEmpty) 0.0
-              else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-            Row(id, bytes.length.toLong, w, h, mean)
+            val (fmt, w, h, mean) = parsePpm(bytes) match {
+              case Some((w, h, m)) => ("ppm", w, h, m)
+              case None => parseWav(bytes) match {
+                case Some((ch, bits, m)) => ("wav", ch, bits, m)
+                case None =>
+                  val w = (bytes.headOption.getOrElse(0: Byte) & 0xff) + 1
+                  val h = (bytes.lift(1).getOrElse(0: Byte) & 0xff) + 1
+                  val m = if (bytes.isEmpty) 0.0
+                  else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+                  ("raw", w, h, m)
+              }
+            }
+            Row(id, fmt, bytes.length.toLong, w, h, mean)
           }
         }
       }
     spark.createDataFrame(rdd, decodedSchema)
   }
 
-  /** Resize / frame-sample stub over decoded metadata: halves the fake
+  /** Resize / frame-sample stage over decoded metadata: halves the
     * dimensions and keeps every `stride`-th chunk — the Spark-side plan
-    * shape of a media downsampling stage (the codec itself is stubbed).
+    * shape of a media downsampling stage.
     */
   def resizeStub(decoded: DataFrame, stride: Int): DataFrame =
-    decoded.select(col("doc_id"),
+    decoded.select(col("doc_id"), col("format"),
       (col("width") / 2).cast("int").as("width"),
       (col("height") / 2).cast("int").as("height"),
       expr(s"payload_bytes div $stride").as("sampled_bytes"),
