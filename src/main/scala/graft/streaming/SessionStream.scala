@@ -31,10 +31,24 @@ object SessionStream {
   def sessionize(
       key: Long,
       rows: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[UserSessions] =
+    sessionizeMetered(None)(key, rows, state)
+
+  /** [[sessionize]] with an optional per-key peak accumulator. The
+    * `rows.toSeq` sort buffer is this operator's REAL memory bound — the
+    * cross-batch GroupState is a fixed (count, lastTs) pair, but one hot
+    * key's events within one micro-batch all materialize here, so that
+    * count is the number a skew investigation needs (the streaming
+    * mirror of IntervalJoinExec's peakBufferedRows SQLMetric).
+    */
+  def sessionizeMetered(peak: Option[StateMetrics.MaxAccumulator])(
+      key: Long,
+      rows: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[UserSessions] = {
     // within a micro-batch rows are unordered; order by event id (the
     // reference's entry order) before applying the gap rule
     val sorted = rows.toSeq.sortBy(_.event_id)
+    peak.foreach(_.add(sorted.length.toLong))
     var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
     var n = 0L
     sorted.foreach { e =>
@@ -49,9 +63,18 @@ object SessionStream {
   /** Run the stateful sessionizer over a directory of events parquet and
     * return the final per-user session counts (memory sink, bounded input).
     */
-  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runWithStateReport(spark, dir, queryName)._1
+
+  /** [[runToCompletion]] plus the state observability a production run
+    * monitors: per-key peak batch buffering and state-store totals.
+    */
+  def runWithStateReport(spark: SparkSession, dir: String,
+      queryName: String): (DataFrame, StreamStateReport) = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val peak = new StateMetrics.MaxAccumulator
+    spark.sparkContext.register(peak, s"$queryName.peakEventsPerKeyBatch")
     val evs = spark.readStream
       .schema(EventStream.eventSchema)
       .parquet(dir)
@@ -59,17 +82,20 @@ object SessionStream {
       .as[Ev]
     val sessions = evs
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sessionize)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        sessionizeMetered(Some(peak)))
     val q = sessions.writeStream
       .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()
     q.processAllAvailable()
+    val (stateRows, stateMem) = StateMetrics.stateStoreTotals(q)
     q.stop()
     // update mode emits one row per (user, batch); keep the latest state
-    spark.table(queryName)
+    val df = spark.table(queryName)
       .groupBy("user_id")
       .agg(max("n_sessions").as("n_sessions"), sum("n_events").as("n_events"))
+    (df, StreamStateReport(peak.value, stateRows, stateMem))
   }
 }

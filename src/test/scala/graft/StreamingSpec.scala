@@ -75,12 +75,21 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val streamed = graft.streaming.SessionStream
-      .runToCompletion(spark, dir.toString, "sess_test")
+    val (df, report) = graft.streaming.SessionStream
+      .runWithStateReport(spark, dir.toString, "sess_test")
+    val streamed = df
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = ops.WindowOps.qs.find(_.name == "st2_sessionize").get.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch)
+    // state observability: the per-key peak is the hottest user's batch
+    // event count, state rows = one per user (the fixed-size GroupState)
+    val perUser = Tables(spark, sf, "events")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(report.peakPerKey == perUser.max,
+      s"peakPerKey ${report.peakPerKey} != hottest user's ${perUser.max}")
+    assert(report.stateRows == perUser.length.toLong)
+    assert(report.stateMemoryBytes > 0L)
   }
 
   test("stream-stream interval join equals the batch st3_interval_join twin") {
