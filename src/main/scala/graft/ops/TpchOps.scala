@@ -146,6 +146,39 @@ object TpchOps extends OpModule {
           .orderBy(col("revenue").desc, col("n_name"))
       }),
 
+    // Q4 order-priority-checking shape: THE EXISTS-SUBQUERY QUERY — the
+    // predicate-subquery half of the decorrelation surface (tpch_q17
+    // covers the scalar half). Through spark.sql on purpose:
+    // RewritePredicateSubquery turns the correlated EXISTS (equality on
+    // the order key PLUS a correlated l_shipdate > o_orderdate
+    // inequality) into a LEFT SEMI hash join — one keyed shuffle, no
+    // per-row re-scan (Q17DecorrelationSpec pins the plan). Timestamps
+    // compare exactly, so no float boundary hazard exists cross-engine.
+    Q("tpch_q4", Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("graft_q4_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q4_lineitem")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS order_count
+            |FROM graft_q4_orders o
+            |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            |  AND EXISTS (SELECT 1 FROM graft_q4_lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey
+            |                AND l.l_shipdate > o.o_orderdate)
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      }),
+
     // Q17 small-quantity-order shape: lineitem rows below 0.2× their
     // part's average quantity, per brand. THE CORRELATED-SUBQUERY QUERY —
     // the Spark side goes through spark.sql ON PURPOSE so Catalyst's

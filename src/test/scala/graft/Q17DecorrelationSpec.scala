@@ -49,4 +49,22 @@ class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
     // and the result itself is non-empty at the test scale
     assert(df.limit(1).collect().nonEmpty)
   }
+
+  test("tpch_q4's correlated EXISTS decorrelates to a left semi join") {
+    import org.apache.spark.sql.catalyst.expressions.Exists
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q4").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val residual = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect { case e: Exists => e })
+    }.flatten
+    assert(residual.isEmpty, s"EXISTS not decorrelated:\n$opt")
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no left semi join in the rewritten plan:\n$opt")
+    // the correlated inequality must ride the semi join as its condition,
+    // not re-execute per row
+    assert(semis.exists(_.condition.exists(_.toString.contains("l_shipdate"))),
+      s"correlated inequality not in the join condition:\n$opt")
+    assert(df.limit(1).collect().nonEmpty)
+  }
 }
