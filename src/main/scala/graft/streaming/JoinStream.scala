@@ -35,9 +35,19 @@ object JoinStream {
     *   file per micro-batch (the multi-batch path), None lets the source
     *   take everything available at once.
     */
+  /** @param joinType `inner` (matches emit immediately) or `left_outer`
+    *   — the streamed twin of the batch st3c: a purchase with no error
+    *   inside its window emits a null-padded row, but only once the
+    *   error-side watermark has passed `p_ts + 6 h` and Spark can PROVE
+    *   no match can still arrive. Outer results are therefore
+    *   watermark-gated: on a bounded stream the trailing unmatched rows
+    *   need a later watermark-advancing event (or they stay buffered) —
+    *   the StreamingSpec fixture plants sentinels for exactly that.
+    */
   def purchaseErrorJoin(spark: SparkSession, dir: String,
       watermark: String = "10 minutes",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      joinType: String = "inner"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String, pre: String): DataFrame = {
       val rd = spark.readStream.schema(EventStream.eventSchema)
@@ -50,7 +60,8 @@ object JoinStream {
         .withWatermark(s"${pre}_ts", watermark)
     }
     side("purchase", "p").join(side("error", "e"),
-      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 6 HOURS"))
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 6 HOURS"),
+      joinType)
       .select(col("p_user").as("user_id"), col("p_id").as("purchase_id"),
         col("e_id").as("error_id"))
   }
@@ -60,8 +71,10 @@ object JoinStream {
     */
   def runToCompletion(spark: SparkSession, dir: String, queryName: String,
       watermark: String = "10 minutes",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val q = purchaseErrorJoin(spark, dir, watermark, maxFilesPerTrigger).writeStream
+      maxFilesPerTrigger: Option[Int] = None,
+      joinType: String = "inner"): DataFrame = {
+    val q = purchaseErrorJoin(spark, dir, watermark, maxFilesPerTrigger, joinType)
+      .writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)

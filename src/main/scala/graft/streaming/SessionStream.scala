@@ -14,11 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * when the source delivers each user's events in event-id order across
   * batches (one file, or files split on event-id boundaries — the
   * StreamingSpec case). A source that interleaves a user's events across
-  * out-of-order micro-batches needs event-time state instead: buffer in
-  * `GroupState` with an `EventTimeTimeout` watermark and emit sessions on
-  * timeout, at the cost of holding a per-user buffer until the watermark
-  * passes. The bounded-state version here is the right default for
-  * replaying staged event logs, which arrive ordered.
+  * out-of-order micro-batches needs event-time state instead — that is
+  * [[sessionizeEventTime]] below (`EventTimeTimeout` + watermark-gated
+  * session close; spec-pinned equal to the batch sessions under a
+  * deliberately time-reversed cross-batch replay), at the cost of
+  * holding the open-session buffer until the watermark passes. The
+  * processing-order version stays the right default for replaying staged
+  * event logs, which arrive ordered; the event-time version is the scale
+  * path for live out-of-order sources.
   */
 object SessionStream {
 
@@ -58,6 +61,89 @@ object SessionStream {
     }
     state.update(st)
     Iterator.single(UserSessions(key, st.nSessions, n))
+  }
+
+  case class EvT(user_id: Long, event_id: Long, us: Long, ets: java.sql.Timestamp)
+  case class ClosedSession(user_id: Long, start_us: Long, n_events: Long)
+
+  /** EVENT-TIME sessionization — the out-of-order-safe variant this
+    * file's ordering contract (above) names as the scale path. Events
+    * buffer in `GroupState` until the WATERMARK proves a session closed:
+    * a gap-separated run whose `last + gap < watermark` can never gain
+    * or lose a member (any future arrival has `ts ≥ watermark`, which is
+    * past the gap), so it emits exactly once, regardless of how arrivals
+    * interleave across micro-batches. State per user is only the events
+    * of still-open sessions — bounded by the gap + allowed lateness
+    * window, NOT by stream length; `EventTimeTimeout` re-invokes the
+    * function when the watermark passes the open tail so quiet users
+    * still flush without new input.
+    */
+  def sessionizeEventTime(
+      key: Long,
+      rows: Iterator[EvT],
+      state: GroupState[List[Long]]): Iterator[ClosedSession] = {
+    val prior = state.getOption.getOrElse(Nil)
+    val buf = if (state.hasTimedOut) prior else prior ++ rows.map(_.us)
+    val sorted = buf.sorted
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // split the sorted times into gap-separated sessions
+    val sessions = scala.collection.mutable.ListBuffer[Vector[Long]]()
+    var cur = Vector.empty[Long]
+    sorted.foreach { t =>
+      if (cur.nonEmpty && t - cur.last > GapUs) { sessions += cur; cur = Vector.empty }
+      cur = cur :+ t
+    }
+    if (cur.nonEmpty) sessions += cur
+    val (closed, open) = sessions.partition(s => s.last + GapUs < wmUs)
+    val remaining = open.flatten.toList
+    if (remaining.isEmpty) state.remove()
+    else {
+      state.update(remaining)
+      // wake when the watermark passes the open tail's close point (+1 ms
+      // so an exact-boundary timeout still satisfies `> watermark`)
+      state.setTimeoutTimestamp(remaining.max / 1000L + GapUs / 1000L + 1L)
+    }
+    closed.iterator.map(s => ClosedSession(key, s.head, s.length.toLong))
+  }
+
+  /** Start the event-time sessionizer (memory sink, append mode): one
+    * output row per CLOSED session. Returns the running query + table
+    * name so callers can stage files between drains. On bounded input
+    * the final open sessions only flush if a later event advances the
+    * watermark past them — production streams advance naturally; test
+    * fixtures plant a sentinel.
+    */
+  def startEventTime(spark: SparkSession, dir: String, queryName: String,
+      watermark: String = "10 minutes")
+      : (org.apache.spark.sql.streaming.StreamingQuery, String) = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.readStream
+      .schema(EventStream.eventSchema)
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      .withWatermark("ets", watermark)
+      .as[EvT]
+    val closed = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionizeEventTime)
+    val q = closed.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    (q, queryName)
+  }
+
+  /** Drain [[startEventTime]] over the (bounded) staged files. */
+  def runEventTimeToCompletion(spark: SparkSession, dir: String, queryName: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val (q, table) = startEventTime(spark, dir, queryName, watermark)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
   }
 
   /** Run the stateful sessionizer over a directory of events parquet and

@@ -92,6 +92,70 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(report.stateMemoryBytes > 0L)
   }
 
+  test("event-time sessionization closes sessions correctly under a time-REVERSED cross-batch replay") {
+    // the processing-order sessionizer explicitly documents it needs
+    // in-order cross-batch arrival; this is the out-of-order case it
+    // can't handle: each user's LATER events arrive in the FIRST batch.
+    // The event-time version must still produce exactly the batch
+    // sessions, because membership is decided by watermark, not arrival.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val NsM = 60L * 1000000000L
+    val NsD = 24L * 3600L * 1000000000L
+    val T0 = 1600000000L * 1000000000L
+    def mkEvents(rows: Seq[(Long, Long, Long)]) = // (event_id, ts, user)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ts, u) =>
+          Row(id, ts, u, "click", 0.0, "{}") }, 1),
+        EventStream.eventSchema)
+    // u1: T0, T0+10m | gap | T0+50m  → 2 sessions (sizes 2, 1)
+    // u2: T0+5m, T0+20m               → 1 session (size 2)
+    val early = Seq((1L, T0, 1L), (2L, T0 + 10 * NsM, 1L), (10L, T0 + 5 * NsM, 2L))
+    val late = Seq((3L, T0 + 50 * NsM, 1L), (11L, T0 + 20 * NsM, 2L))
+    val sentinel = Seq((99L, T0 + 10 * NsD, 99L)) // advances the watermark, closes all
+    val in = java.nio.file.Files.createTempDirectory("evt_sess_in")
+    def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("evt_stage")
+      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("d"))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, in.resolve(name))
+    }
+    // REVERSED: the late events land in batch 1, the early ones in batch
+    // 2, staged between drains (watermark 2h keeps the reversed arrivals
+    // on-time; only the sentinel closes sessions)
+    stage(late, "0.parquet")
+    val (query, tableName) = graft.streaming.SessionStream
+      .startEventTime(spark, in.toString, "evt_sess_test", watermark = "2 hours")
+    query.processAllAvailable()
+    stage(early, "1.parquet")
+    query.processAllAvailable()
+    stage(sentinel, "2.parquet")
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table(tableName).collect()
+      .filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: gap-split sessions over the SAME events
+    import org.apache.spark.sql.expressions.Window
+    val all = mkEvents(early ++ late).select(col("user_id"),
+      expr("ts div 1000").as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val batch = all
+      .withColumn("new_s", when(col("us") - lag("us", 1).over(w) >
+        graft.streaming.SessionStream.GapUs || lag("us", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("start_us"), count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, T0 / 1000, 2L), (1L, (T0 + 50 * NsM) / 1000, 1L),
+      (2L, (T0 + 5 * NsM) / 1000, 2L)))
+  }
+
   test("stream-stream interval join equals the batch st3_interval_join twin") {
     // two files → the two sides' micro-batches interleave, exercising
     // both join-state buffers, not just a single-batch fast path
@@ -178,6 +242,65 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == Set((1L, 101L, 201L), (9L, 109L, 209L), (3L, 103L, 203L)))
     assert(batch == streamed + ((1L, 101L, 202L))) // the drop, pinned exactly
+  }
+
+  test("stream-stream LEFT OUTER interval join: pads emit once the watermark proves no match") {
+    // streamed twin of the batch st3c: unmatched purchases must surface
+    // as null-padded rows, but ONLY after the error-side watermark passes
+    // p_ts + 6h (Spark can then prove no match can still arrive). A
+    // bounded stream therefore needs a trailing watermark-advancing
+    // event, or the pads stay buffered forever — the sentinel pair here.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val NsH = 3600L * 1000000000L
+    val NsD = 24L * NsH
+    val T0 = 1600000000L * 1000000000L
+    def mkEvents(rows: Seq[(Long, Long, Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ts, u, tpe) =>
+          Row(id, ts, u, tpe, 0.0, "{}") }, 1),
+        EventStream.eventSchema)
+    val main = Seq(
+      (101L, T0, 1L, "purchase"), (201L, T0 + NsH, 1L, "error"), // match
+      (102L, T0, 2L, "purchase"),                                 // no error → pad
+      (203L, T0 + NsH, 3L, "error"))                              // right-only, dropped
+    val sentinels = Seq(                                          // advance both watermarks
+      (109L, T0 + 90 * NsD, 9L, "purchase"),
+      (209L, T0 + 90 * NsD + NsH, 9L, "error"))
+    val in = java.nio.file.Files.createTempDirectory("outer_join_in")
+    def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("outer_stage")
+      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("d"))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, in.resolve(name))
+    }
+    stage(main, "0.parquet")
+    val q = graft.streaming.JoinStream
+      .purchaseErrorJoin(spark, in.toString, watermark = "1 hour",
+        joinType = "left_outer").writeStream
+      .outputMode("append").format("memory").queryName("outer_join_test").start()
+    q.processAllAvailable()
+    stage(sentinels, "1.parquet")
+    q.processAllAvailable() // watermark advance flushes the u2 pad
+    q.stop()
+    val streamed = spark.table("outer_join_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // batch twin over the same combined input
+    val all = mkEvents(main ++ sentinels)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val e = all.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id").as("eu"), col("ts").as("ets"))
+    val batch = p.join(e, col("pu") === col("eu") &&
+        col("ets") >= col("pts") && col("ets") <= col("pts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+      .select(col("pu"), col("pid"), coalesce(col("eid"), lit(-1L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 101L, 201L), (2L, 102L, -1L), (9L, 109L, 209L)))
+    assert(streamed == batch) // streamed left outer == batch left outer
   }
 
   test("restart from checkpoint is exactly-once: replayed rows suppressed across stop/start") {
