@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, GraftRowBuffer, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -44,12 +45,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (every left row preserved; unmatched or null-keyed left rows emit one
   * null-padded output row, per SQL LEFT JOIN semantics).
   *
-  * Scope contract (checked at construction): key is LongType, timestamps
-  * are TimestampType/LongType (micros), offsets in micros.
-  * IntervalJoinSpec pins equality with the declarative plan on real data
-  * and on adversarial random fixtures (both join types), spill-threshold
-  * behavior on a hot key, and that the physical plan contains no
-  * residual-filtered nested loop.
+  * Scope contract (checked at construction): key is any ORDERABLE type
+  * with identical types both sides (the sweep compares keys through the
+  * type's interpreted ordering — string user ids are as common as
+  * numeric ones), timestamps are TimestampType/LongType (micros),
+  * offsets in micros. IntervalJoinSpec pins equality with the
+  * declarative plan on real data and on adversarial random fixtures
+  * (both join types, long and string keys), spill-threshold behavior on
+  * a hot key, and that the physical plan contains no residual-filtered
+  * nested loop.
   */
 case class IntervalJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -134,6 +138,7 @@ case class IntervalJoinExec(
       val lTsEval = BindReferences.bindReference(lt, lOut)
       val rKeyEval = BindReferences.bindReference(rk, rOut)
       val rTsEval = BindReferences.bindReference(rt, rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(lk.dataType)
       val joiner = new JoinedRow
       val resultProj = UnsafeProjection.create(out, out)
       // the buffer stores UnsafeRows; child rows after the required sort
@@ -150,7 +155,7 @@ case class IntervalJoinExec(
       val rBuf = rIter0.buffered
       new Iterator[InternalRow] {
         private var haveKey = false
-        private var curKey = 0L
+        private var curKey: Any = null
         private var taskPeak = 0L
         private var lRow: InternalRow = _
         private var lTsV = 0L
@@ -165,21 +170,26 @@ case class IntervalJoinExec(
         private var padRight = false
         private var positioned = false
 
-        private def loadKey(k: Long): Unit = {
+        private def loadKey(k: Any): Unit = {
           keyBuf.clear()
           var done = false
           while (!done && rBuf.hasNext) {
             val hk = rKeyEval.eval(rBuf.head)
             if (hk == null) { rBuf.next() } // null keys match nothing
-            else if (hk.asInstanceOf[Long] < k) rBuf.next()
-            else if (hk.asInstanceOf[Long] == k) {
-              val r = rBuf.next()
-              // null ts matches nothing; add() copies/spills the row, so
-              // passing the child's reused buffer is safe
-              if (rTsEval.eval(r) != null) { keyBuf.add(toUnsafe(r)); bufRows += 1 }
-            } else done = true
+            else {
+              val c = keyOrd.compare(hk, k)
+              if (c < 0) rBuf.next()
+              else if (c == 0) {
+                val r = rBuf.next()
+                // null ts matches nothing; add() copies/spills the row, so
+                // passing the child's reused buffer is safe
+                if (rTsEval.eval(r) != null) { keyBuf.add(toUnsafe(r)); bufRows += 1 }
+              } else done = true
+            }
           }
-          curKey = k; haveKey = true; start = 0
+          // copy the key value — for types like UTF8String, eval returns a
+          // view into the child's reused row buffer
+          curKey = InternalRow.copyValue(k); haveKey = true; start = 0
           if (keyBuf.length > taskPeak) {
             taskPeak = keyBuf.length
             peakRows.set(taskPeak)
@@ -221,7 +231,7 @@ case class IntervalJoinExec(
               if (leftOuter) { padRight = true; return true }
             } else {
               lTsV = ts.asInstanceOf[Long]
-              if (!haveKey || k.asInstanceOf[Long] != curKey) loadKey(k.asInstanceOf[Long])
+              if (!haveKey || keyOrd.compare(k, curKey) != 0) loadKey(k)
               // a spilled buffer replays with a linear skip to `start`,
               // the same replay contract as SMJ's spilled match buffer
               rIt = keyBuf.generateIterator(start)
@@ -281,8 +291,10 @@ object IntervalJoin {
     require(shared.isEmpty,
       s"interval join sides share attributes ${shared.toSeq.map(_.name).mkString(", ")} — " +
         "re-alias one side (e.g. .toDF(renamed columns...)) before joining")
-    require(lk.dataType == LongType && rk.dataType == LongType,
-      s"interval join keys must be LongType, got ${lk.dataType}/${rk.dataType}")
+    require(lk.dataType == rk.dataType,
+      s"interval join keys must have matching types, got ${lk.dataType}/${rk.dataType}")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(lk.dataType),
+      s"interval join key type ${lk.dataType} is not orderable")
     Seq(lt, rt).foreach(a => require(
       a.dataType == TimestampType || a.dataType == LongType,
       s"interval join timestamps must be TimestampType or LongType, got ${a.dataType}"))

@@ -110,6 +110,29 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
     assert(declarative(l, r, 0L, 5L, "left_outer").collect().length == 3)
   }
 
+  test("string keys sweep correctly through the interpreted ordering") {
+    import spark.implicits._
+    // duplicate string keys, ties, one key absent on the right — the
+    // key-change detection must compare VALUES (UTF8String views into
+    // reused row buffers), not references
+    val l = Seq(("alice", 0L), ("alice", 10L), ("bob", 5L), ("carol", 1L))
+      .toDF("k", "t")
+    val r = Seq(("alice", 3L), ("alice", 12L), ("bob", 6L), ("dave", 7L))
+      .toDF("k2", "t2")
+    def norm(df: DataFrame) = df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val custom = norm(IntervalJoin.join(l, r, "k", "k2", "t", "t2", 0L, 5L))
+    val want = norm(declarative(l, r, 0L, 5L))
+    assert(custom == want)
+    assert(custom.nonEmpty)
+    // left outer with string keys: carol has no match and must pad
+    val outer = IntervalJoin.join(l, r, "k", "k2", "t", "t2", 0L, 5L, "left_outer")
+      .collect()
+    assert(outer.length == declarative(l, r, 0L, 5L, "left_outer").collect().length)
+    assert(outer.exists(x => x.getString(0) == "carol" && x.isNullAt(2)))
+  }
+
   test("hot key spills to disk past the SMJ thresholds and stays correct") {
     import spark.implicits._
     // one hot key carrying 4000 right rows (≫ spill threshold), plus a
