@@ -61,6 +61,34 @@ object DedupStream {
       .outputMode("append")
       .start()
 
+  /** Schema for the watermark-aged variant: a crawl stream where each
+    * fetched document carries its crawl time.
+    */
+  val crawlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("crawl_ts", TimestampType)))
+
+  /** Watermark-AGED streaming dedup — `dropDuplicatesWithinWatermark` on
+    * the content hash, the unbounded-deployment path named in
+    * [[dedupToFiles]]'s scaladoc: state per distinct hash lives only
+    * until the watermark passes its event time + the allowed lateness,
+    * so the hash space never has to fit in the state store forever. The
+    * contract trade (spec-pinned): a duplicate recrawled WITHIN the
+    * window is suppressed; one recrawled after its original's state aged
+    * out emits again — the right semantics when duplicates cluster in
+    * time (recrawls, retry storms) and exactly-once-forever would cost
+    * unbounded state.
+    */
+  def dedupCrawlWithinWatermark(spark: SparkSession, dir: String,
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream
+      .schema(crawlSchema)
+      .parquet(dir)
+      .select(md5(col("text")).as("text_md5"), col("doc_id"), col("crawl_ts"))
+      .withWatermark("crawl_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Run to completion over the (bounded) staged files; complete-mode
     * memory sink, final state as a batch DataFrame.
     */

@@ -303,6 +303,52 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch) // streamed left outer == batch left outer
   }
 
+  test("watermark-aged dedup: in-window duplicates suppressed, aged-out ones re-emit") {
+    // the bounded-state trade of dropDuplicatesWithinWatermark, observed:
+    // state for a content hash ages out once the watermark passes its
+    // event time + delay, so memory is bounded by the lateness window
+    // (not corpus size) at the cost of re-emitting a duplicate that
+    // returns after the window.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val H = 3600L * 1000000L // µs
+    val M = 60L * 1000000L
+    val T0 = 1600000000L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    def mkDocs(rows: Seq[(Long, String, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, text, us) =>
+          Row(id, text, ts(us)) }, 1),
+        graft.streaming.DedupStream.crawlSchema)
+    val in = java.nio.file.Files.createTempDirectory("wm_dedup_in")
+    def stage(rows: Seq[(Long, String, Long)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wm_dedup_stage")
+      mkDocs(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("d"))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, in.resolve(name))
+    }
+    stage(Seq((1L, "aaa", T0), (2L, "bbb", T0)), "0.parquet")
+    val q = graft.streaming.DedupStream
+      .dedupCrawlWithinWatermark(spark, in.toString, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_dedup_test").start()
+    q.processAllAvailable()
+    // recrawl of "aaa" 10 min later: WITHIN the window → suppressed;
+    // "ccc" at T0+5h advances the watermark to T0+4h, aging out both
+    // T0 hashes (T0 + 1h < T0+4h)
+    stage(Seq((3L, "aaa", T0 + 10 * M), (4L, "ccc", T0 + 5 * H)), "1.parquet")
+    q.processAllAvailable()
+    // recrawl of "aaa" at T0+4h30m: on-time (> watermark T0+4h) but the
+    // original's state is gone → re-emits
+    stage(Seq((5L, "aaa", T0 + 4 * H + 30 * M)), "2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wm_dedup_test").collect().map(_.getLong(1)).toSet
+    assert(emitted == Set(1L, 2L, 4L, 5L),
+      s"expected dup doc 3 suppressed and aged-out doc 5 re-emitted, got $emitted")
+  }
+
   test("restart from checkpoint is exactly-once: replayed rows suppressed across stop/start") {
     import org.apache.spark.sql.functions._
     def stageOne(df: org.apache.spark.sql.DataFrame, into: java.nio.file.Path, name: String): Unit = {
