@@ -179,6 +179,34 @@ object TpchOps extends OpModule {
             |ORDER BY o_orderpriority""".stripMargin)
       }),
 
+    // NOT IN — the NULL-AWARE ANTI JOIN, the third and last subquery
+    // plan shape (tpch_q4 = EXISTS → left semi, tpch_q17 = correlated
+    // scalar → aggregate joins): parts with no 1997-H1 shipment.
+    // RewritePredicateSubquery plans LEFT ANTI with the null-aware
+    // `key = key OR isnull(key = key)` condition — NOT IN must yield
+    // zero rows if the subquery list contains any NULL, a semantics an
+    // anti join alone gets wrong (Q17DecorrelationSpec pins the plan).
+    Q("j9_notin_anti", Some(
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part p
+        |WHERE p.p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "part").createOrReplaceTempView("graft_j9_part")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_j9_lineitem")
+        s.sql(
+          """SELECT p_brand, count(*) AS n_parts
+            |FROM graft_j9_part p
+            |WHERE p.p_partkey NOT IN (SELECT l_partkey FROM graft_j9_lineitem
+            |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+            |GROUP BY p_brand
+            |ORDER BY p_brand""".stripMargin)
+      }),
+
     // Q17 small-quantity-order shape: lineitem rows below 0.2× their
     // part's average quantity, per brand. THE CORRELATED-SUBQUERY QUERY —
     // the Spark side goes through spark.sql ON PURPOSE so Catalyst's

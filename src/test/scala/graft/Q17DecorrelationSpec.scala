@@ -67,4 +67,26 @@ class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
       s"correlated inequality not in the join condition:\n$opt")
     assert(df.limit(1).collect().nonEmpty)
   }
+
+  test("j9's NOT IN decorrelates to a NULL-AWARE left anti join") {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, Not}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = ops.TpchOps.qs.find(_.name == "j9_notin_anti").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val residual = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case n @ Not(_: InSubquery) => n
+        case i: InSubquery => i
+      })
+    }.flatten
+    assert(residual.isEmpty, s"NOT IN not rewritten:\n$opt")
+    val antis = opt.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(antis.nonEmpty, s"no left anti join in the rewritten plan:\n$opt")
+    // the null-aware condition: NOT IN is not a plain anti join — a NULL
+    // anywhere in the subquery list empties the result, encoded as an
+    // `isnull(key = key)` disjunct in the join condition
+    assert(antis.exists(_.condition.exists(_.toString.toLowerCase.contains("isnull"))),
+      s"anti join is not null-aware:\n$opt")
+    assert(df.limit(1).collect().nonEmpty)
+  }
 }
