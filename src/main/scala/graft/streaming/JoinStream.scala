@@ -66,6 +66,23 @@ object JoinStream {
         col("e_id").as("error_id"))
   }
 
+  /** Checkpointed join-to-files — the restart shape a production
+    * correlation pipeline runs: join state (buffered unmatched rows on
+    * both sides) lives in the checkpoint, so a purchase buffered BEFORE
+    * a stop/start still matches an error arriving AFTER it
+    * (StreamingSpec pins exactly that), and the parquet sink's
+    * transaction log keeps output exactly-once under retry.
+    */
+  def joinToFiles(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, watermark: String = "10 minutes",
+      joinType: String = "inner"): org.apache.spark.sql.streaming.StreamingQuery =
+    purchaseErrorJoin(spark, inDir, watermark, None, joinType).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Drain the bounded input and return the joined rows (memory sink;
     * StreamingSpec harness).
     */

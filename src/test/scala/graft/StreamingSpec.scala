@@ -303,6 +303,46 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch) // streamed left outer == batch left outer
   }
 
+  test("stream-stream join state survives restart: buffered purchase matches post-restart error") {
+    // the join buffers an unmatched purchase in state; after a full
+    // stop/start from the checkpoint, an error arriving within the
+    // original purchase's window must still match it — join state
+    // recovery, not just sink exactly-once (which the dedup restart test
+    // covers)
+    import org.apache.spark.sql.Row
+    val NsH = 3600L * 1000000000L
+    val T0 = 1600000000L * 1000000000L
+    def mkEvents(rows: Seq[(Long, Long, Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ts, u, tpe) =>
+          Row(id, ts, u, tpe, 0.0, "{}") }, 1),
+        EventStream.eventSchema)
+    val in = java.nio.file.Files.createTempDirectory("join_restart_in")
+    val out = java.nio.file.Files.createTempDirectory("join_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("join_restart_ckpt").toString
+    def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("join_restart_stage")
+      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("d"))
+        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, in.resolve(name))
+    }
+    // phase 1: a purchase with NO error yet — buffered into join state
+    stage(Seq((101L, T0, 1L, "purchase")), "0.parquet")
+    val q1 = graft.streaming.JoinStream.joinToFiles(spark, in.toString, out, ckpt,
+      watermark = "1 hour")
+    q1.processAllAvailable(); q1.stop()
+    // phase 2 AFTER a full stop: the matching error arrives in-window
+    stage(Seq((201L, T0 + NsH, 1L, "error")), "1.parquet")
+    val q2 = graft.streaming.JoinStream.joinToFiles(spark, in.toString, out, ckpt,
+      watermark = "1 hour")
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 101L, 201L)),
+      s"recovered join state failed to match across restart: $got")
+  }
+
   test("watermark-aged dedup: in-window duplicates suppressed, aged-out ones re-emit") {
     // the bounded-state trade of dropDuplicatesWithinWatermark, observed:
     // state for a content hash ages out once the watermark passes its
