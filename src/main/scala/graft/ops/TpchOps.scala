@@ -179,6 +179,43 @@ object TpchOps extends OpModule {
             |ORDER BY o_orderpriority""".stripMargin)
       }),
 
+    // Q21 composite shape: EXISTS and NOT EXISTS on the SAME table in
+    // one query — parts shipped in 1997-H1 that went quiet by December,
+    // per brand. One optimized plan carrying BOTH rewrites at once (left
+    // semi + left anti against differently-filtered scans of lineitem),
+    // the shape the real Q21 stresses; Q17DecorrelationSpec pins both
+    // joins appear in the single plan.
+    Q("tpch_q21_shape", Some(
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_partkey = p.p_partkey
+        |          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |          AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |        WHERE l2.l_partkey = p.p_partkey
+        |          AND l2.l_shipdate >= TIMESTAMP '1997-12-01 00:00:00'
+        |          AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "part").createOrReplaceTempView("graft_q21_part")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q21_lineitem")
+        s.sql(
+          """SELECT p_brand, count(*) AS n_parts
+            |FROM graft_q21_part p
+            |WHERE EXISTS (SELECT 1 FROM graft_q21_lineitem l
+            |        WHERE l.l_partkey = p.p_partkey
+            |          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            |          AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+            |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+            |        WHERE l2.l_partkey = p.p_partkey
+            |          AND l2.l_shipdate >= TIMESTAMP '1997-12-01 00:00:00'
+            |          AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+            |GROUP BY p_brand
+            |ORDER BY p_brand""".stripMargin)
+      }),
+
     // NOT IN — the NULL-AWARE ANTI JOIN, the third and last subquery
     // plan shape (tpch_q4 = EXISTS → left semi, tpch_q17 = correlated
     // scalar → aggregate joins): parts with no 1997-H1 shipment.

@@ -89,4 +89,20 @@ class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
       s"anti join is not null-aware:\n$opt")
     assert(df.limit(1).collect().nonEmpty)
   }
+
+  test("tpch_q21_shape carries BOTH rewrites in one plan: left semi AND left anti") {
+    import org.apache.spark.sql.catalyst.expressions.Exists
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q21_shape").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val residual = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect { case e: Exists => e })
+    }.flatten
+    assert(residual.isEmpty, s"EXISTS/NOT EXISTS not rewritten:\n$opt")
+    assert(opt.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"no left semi join:\n$opt")
+    assert(opt.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      s"no left anti join:\n$opt")
+    assert(df.limit(1).collect().nonEmpty)
+  }
 }
