@@ -54,14 +54,24 @@ object SinkOps extends OpModule {
           .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString
         val userRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_${System.getProperty("user.name")}")
-        userRoot.mkdirs()
+          s"graft_${System.getProperty("user.name")}").toPath
+        // The predictable name must not be FOLLOWED if an attacker planted
+        // something there first: refuse a symlink (mkdirs/chmod would
+        // dereference it and export through the attacker's target) and a
+        // directory owned by someone else; only then create/chmod 0700.
+        require(!java.nio.file.Files.isSymbolicLink(userRoot),
+          s"$userRoot is a symlink — refusing to export through it")
+        java.nio.file.Files.createDirectories(userRoot)
+        val owner = java.nio.file.Files.getOwner(userRoot,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS).getName
+        require(owner == System.getProperty("user.name"),
+          s"$userRoot is owned by $owner, not the current user — refusing to export")
         try {
           import java.nio.file.attribute.PosixFilePermissions
-          java.nio.file.Files.setPosixFilePermissions(userRoot.toPath,
+          java.nio.file.Files.setPosixFilePermissions(userRoot,
             PosixFilePermissions.fromString("rwx------"))
         } catch { case _: UnsupportedOperationException => () } // non-POSIX FS
-        val out = new java.io.File(userRoot, s"k1_export_$digest").getAbsolutePath
+        val out = new java.io.File(userRoot.toFile, s"k1_export_$digest").getAbsolutePath
         Tables(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang")
           .option("compression", "gzip").parquet(out)

@@ -50,9 +50,13 @@ object Multimodal extends OpModule {
     def token(): Option[Int] = {
       skipWs()
       val start = i
-      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
-      if (i == start) None
-      else Some(new String(bytes, start, i - start, "US-ASCII").toInt)
+      // accumulate in Long with an early bail so a malformed 10+-digit
+      // header token can neither throw (toInt) nor overflow
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) None else Some(v.toInt)
     }
     for {
       w <- token(); h <- token(); maxval <- token()
@@ -60,14 +64,17 @@ object Multimodal extends OpModule {
       // exactly ONE whitespace byte separates header from raster
       if i < bytes.length && { i += 1; true }
       bytesPerSample = if (maxval < 256) 1 else 2
-      n = w * h * 3 * bytesPerSample
-      if bytes.length - i >= n
+      // raster size in LONG — w*h*3 on declared (not actual) dims can
+      // exceed Int range, and an Int wrap would fake a successful parse
+      n = w.toLong * h.toLong * 3L * bytesPerSample
+      if bytes.length.toLong - i >= n
     } yield {
+      val end = i + n.toInt // n ≤ bytes.length here, so the cast is safe
       var sum = 0L
       var j = i
-      if (bytesPerSample == 1) { while (j < i + n) { sum += bytes(j) & 0xff; j += 1 } }
-      else { while (j < i + n) { sum += ((bytes(j) & 0xff) << 8) | (bytes(j + 1) & 0xff); j += 2 } }
-      (w, h, sum.toDouble / (w * h * 3))
+      if (bytesPerSample == 1) { while (j < end) { sum += bytes(j) & 0xff; j += 1 } }
+      else { while (j < end) { sum += ((bytes(j) & 0xff) << 8) | (bytes(j + 1) & 0xff); j += 2 } }
+      (w, h, sum.toDouble / (w.toLong * h * 3))
     }
   }
 
@@ -85,18 +92,23 @@ object Multimodal extends OpModule {
     var i = 12
     var channels, bits = -1
     var dataOff, dataLen = -1L
-    while (i + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+    while (i >= 0 && i + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
       val id = tag(i)
       val len = u32(i + 4)
-      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+      // the fmt fields are read only if the CHUNK declares them (len>=16),
+      // not merely if the file happens to have 16 more bytes — otherwise
+      // channels/bits would be read out of the next chunk's header
+      if (id == "fmt " && len >= 16 && i + 8 + 16 <= bytes.length) {
         channels = u16(i + 8 + 2)
         bits = u16(i + 8 + 14)
       } else if (id == "data") {
         dataOff = i + 8
         dataLen = math.min(len, bytes.length - dataOff)
       }
-      if (len < 0 || len > bytes.length) i = bytes.length // malformed: stop
-      else i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      // advance in LONG: 8 + len + pad can exceed Int range near a 2 GB
+      // payload, and an Int wrap would send tag() out of bounds
+      val next = i.toLong + 8L + len + (len & 1L)
+      i = if (len > bytes.length || next > bytes.length) bytes.length else next.toInt
     }
     if (channels <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None
     val (off, len) = (dataOff.toInt, dataLen.toInt)

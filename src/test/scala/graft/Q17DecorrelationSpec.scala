@@ -4,13 +4,16 @@ import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SURVEY §4 claims correlated-subquery decorrelation comes free from
-  * Catalyst; tpch_q17 is the query that exercises it. This spec pins that
-  * the claim holds ON THE PLAN, not just the result: the correlated
-  * scalar subqueries must be rewritten into an aggregate + equi-join (a
-  * per-row re-executed subquery would be O(rows × subquery) — the classic
-  * scale killer), and the twin count/sum subqueries over the identical
-  * source must be merged into one aggregate, not two.
+/** SURVEY §4 claims subquery decorrelation comes free from Catalyst;
+  * these specs pin that the claim holds ON THE PLAN, not just the
+  * result, for all four subquery shapes (correlated scalar, EXISTS,
+  * NOT IN, EXISTS+NOT EXISTS composite): each must rewrite to joins —
+  * a per-row re-executed subquery would be O(rows × subquery), the
+  * classic scale killer. Note for q17: Catalyst 4.1 keeps the twin
+  * count/sum subqueries as TWO column-pruned per-partkey aggregates
+  * (MergeScalarSubqueries does not merge this correlated pair), so the
+  * enforced contract is two keyed aggregates of 2-column projections —
+  * still O(rows), never per-row.
   */
 class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
 

@@ -5,6 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingSpec extends AnyFunSuite with SparkSuite {
 
+  /** Write `df` as ONE parquet part file named `name` inside `into` —
+    * the staging step every file-source streaming fixture needs (the
+    * source requires a directory it can watch, and the tests control
+    * batch boundaries by dropping one file per drain).
+    */
+  private def stageParquet(df: org.apache.spark.sql.DataFrame,
+      into: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("stage")
+    df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+    val src = java.nio.file.Files.list(tmp.resolve("d"))
+      .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(src, into.resolve(name))
+  }
+
   test("streaming hourly aggregate equals the batch window aggregate") {
     // the file stream source requires a directory — stage the single file
     val dir = java.nio.file.Files.createTempDirectory("stream_events")
@@ -21,18 +35,12 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   test("streaming dedup audit equals batch dd1 on any replay split") {
     // split the corpus across two files to force multiple micro-batch
     // arrivals — the min-id/count contract must not depend on the split
-    val dir = java.nio.file.Files.createTempDirectory("stream_docs")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
-      .coalesce(1).write.parquet(dir.resolve("part_even").toString)
-    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
-      .coalesce(1).write.parquet(dir.resolve("part_odd").toString)
     val streamDir = java.nio.file.Files.createTempDirectory("stream_docs_in")
-    Seq("part_even", "part_odd").zipWithIndex.foreach { case (p, i) =>
-      val src = java.nio.file.Files.list(dir.resolve(p))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, streamDir.resolve(s"$i.parquet"))
-    }
+    stageParquet(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      streamDir, "0.parquet")
+    stageParquet(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      streamDir, "1.parquet")
     val streamed = graft.streaming.DedupStream
       .runToCompletion(spark, streamDir.toString, "dedup_test")
     val batch = quality.TextOps.qs.find(_.name == "dd1_exact_dedup").get.fn(spark, sf)
@@ -115,11 +123,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val sentinel = Seq((99L, T0 + 10 * NsD, 99L)) // advances the watermark, closes all
     val in = java.nio.file.Files.createTempDirectory("evt_sess_in")
     def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("evt_stage")
-      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val src = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, in.resolve(name))
+      stageParquet(mkEvents(rows), in, name)
     }
     // REVERSED: the late events land in batch 1, the early ones in batch
     // 2, staged between drains (watermark 2h keeps the reversed arrivals
@@ -213,11 +217,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       (203L, T0 + 47 * NsH + 40 * NsM, 3L, "error"))   // on-time match for 103
     val in = java.nio.file.Files.createTempDirectory("late_join_in")
     def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("late_stage")
-      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val src = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, in.resolve(name))
+      stageParquet(mkEvents(rows), in, name)
     }
     stage(phase1, "0.parquet")
     val q = graft.streaming.JoinStream
@@ -269,11 +269,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       (209L, T0 + 90 * NsD + NsH, 9L, "error"))
     val in = java.nio.file.Files.createTempDirectory("outer_join_in")
     def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("outer_stage")
-      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val src = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, in.resolve(name))
+      stageParquet(mkEvents(rows), in, name)
     }
     stage(main, "0.parquet")
     val q = graft.streaming.JoinStream
@@ -321,11 +317,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val out = java.nio.file.Files.createTempDirectory("join_restart_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("join_restart_ckpt").toString
     def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("join_restart_stage")
-      mkEvents(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val src = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, in.resolve(name))
+      stageParquet(mkEvents(rows), in, name)
     }
     // phase 1: a purchase with NO error yet — buffered into join state
     stage(Seq((101L, T0, 1L, "purchase")), "0.parquet")
@@ -362,11 +354,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         graft.streaming.DedupStream.crawlSchema)
     val in = java.nio.file.Files.createTempDirectory("wm_dedup_in")
     def stage(rows: Seq[(Long, String, Long)], name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("wm_dedup_stage")
-      mkDocs(rows).coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val src = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, in.resolve(name))
+      stageParquet(mkDocs(rows), in, name)
     }
     stage(Seq((1L, "aaa", T0), (2L, "bbb", T0)), "0.parquet")
     val q = graft.streaming.DedupStream
@@ -391,25 +379,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
 
   test("restart from checkpoint is exactly-once: replayed rows suppressed across stop/start") {
     import org.apache.spark.sql.functions._
-    def stageOne(df: org.apache.spark.sql.DataFrame, into: java.nio.file.Path, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("stage")
-      df.coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val src = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, into.resolve(name))
-    }
     val in = java.nio.file.Files.createTempDirectory("restart_in")
     val out = java.nio.file.Files.createTempDirectory("restart_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // phase 1: first half of the corpus
-    stageOne(docs.filter(col("doc_id") < 250), in, "0.parquet")
+    stageParquet(docs.filter(col("doc_id") < 250), in, "0.parquet")
     val q1 = graft.streaming.DedupStream.dedupToFiles(spark, in.toString, out, ckpt)
     q1.processAllAvailable(); q1.stop()
     // phase 2 AFTER a full stop: second half PLUS a replay of 10
     // already-emitted docs — the restarted query must suppress them from
     // recovered state, not re-deduplicate from scratch
-    stageOne(docs.filter(col("doc_id") >= 250)
+    stageParquet(docs.filter(col("doc_id") >= 250)
       .unionAll(docs.filter(col("doc_id") < 10)), in, "1.parquet")
     val q2 = graft.streaming.DedupStream.dedupToFiles(spark, in.toString, out, ckpt)
     q2.processAllAvailable(); q2.stop()
