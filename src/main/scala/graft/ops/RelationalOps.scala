@@ -306,6 +306,31 @@ object RelationalOps extends OpModule {
         .agg(count(lit(1)).as("n"), Dec.dsum(col("l_quantity")).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
-        .orderBy("rf", "ls"))
+        .orderBy("rf", "ls")),
+
+    // Grouping sets — the non-hierarchical set list neither ROLLUP nor
+    // CUBE can express: per-returnflag totals AND per-linestatus totals in
+    // ONE pass over lineitem (Dataset.groupingSets, Spark 4). The plan is
+    // the same single Expand + partial-aggregated HashAggregate shape as
+    // a10/a10b — one scan, one shuffle, regardless of how many sets.
+    // grouping() markers disambiguate aggregated-away NULLs.
+    Q("a10c_grouping_sets", Some(
+      s"""SELECT CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+         |  coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n, ${Dec.sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"), Dec.dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("g_rf"), col("g_ls"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls"))
   )
 }

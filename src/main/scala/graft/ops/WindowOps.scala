@@ -147,6 +147,32 @@ object WindowOps extends OpModule {
         .agg(count(lit(1)).as("n"))
         .groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("n_sessions"), sum("n").cast("long").as("n_events"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // w9 — time-RANGE window frame: per event row, the count and exact
+    // decimal sum of same-type events in the trailing hour. RANGE (not
+    // ROWS) over epoch microseconds, so all ties share one frame and the
+    // result is deterministic under any partitioning; Spark computes it
+    // in a single per-event_type sort with a sliding frame pointer — no
+    // self-join, no shuffle beyond the event_type clustering. The rolling
+    // statistic every rate-limit / anomaly question needs.
+    Q("w9_range_frame", Some(
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0)
+        Tables(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+          .withColumn("sum_1h", sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+          .select("event_id", "user_id", "n_1h", "sum_1h")
+          .orderBy("event_id")
+      })
   )
 }

@@ -322,6 +322,63 @@ object SimilarityOps extends OpModule {
           .orderBy("rnk")
       }),
 
+    // dd5's 100 TB scale path: LSH-bucketed near-dup pairs over the FULL
+    // table (no id block). Candidate pairs form only inside a shared
+    // sign-random-projection bucket (the nn2 planes) — an equi-join on a
+    // 1-byte signature, |pairs| ≈ N²/2·2^planes instead of N²/2 — then
+    // exact cosine ranks the survivors. At 100 TB the plane count rises
+    // with N to hold per-bucket cardinality; the shape (bucket equi-join,
+    // no cross product, sort-limit top-k) is unchanged. Fully oracled:
+    // the seeded plane literals replay in SQL exactly as nn2's do.
+    Q("dd5b_embedding_lsh_neardup", Some {
+      val planeRows = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.mkString(", ")}]::FLOAT[])"
+      }.mkString(",\n  ")
+      s"""WITH planes(j, pvec) AS (VALUES
+         |  $planeRows),
+         |n AS (SELECT vec_id, embedding,
+         |        sqrt(list_sum(list_transform(embedding,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+         |s AS (SELECT vec_id,
+         |        CAST(sum(CASE WHEN list_sum(list_transform(list_zip(embedding, pvec),
+         |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+         |          THEN 1 << j ELSE 0 END) AS INTEGER) AS sig
+         |      FROM n, planes GROUP BY vec_id),
+         |base AS (SELECT n.vec_id, n.embedding, n.nrm, s.sig FROM n JOIN s USING (vec_id)),
+         |sc AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |         list_sum(list_transform(list_zip(l.embedding, r.embedding),
+         |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (l.nrm * r.nrm) AS cos_sim
+         |       FROM base l JOIN base r ON l.sig = r.sig AND l.vec_id < r.vec_id)
+         |SELECT a, b, rnk, cos_sim FROM (
+         |  SELECT a, b, cos_sim,
+         |         CAST(row_number() OVER (ORDER BY cos_sim DESC, a ASC, b ASC) AS BIGINT) AS rnk
+         |  FROM sc) WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+    },
+      (s, dir) => {
+        graft.tensor.VectorFunctions.register(s)
+        def sig(emb: Column): Column =
+          planes.zipWithIndex.map { case (p, j) =>
+            val pc = array(p.toIndexedSeq.map(lit): _*).cast("array<float>")
+            when(dot(emb, pc) > 0, lit(1 << j)).otherwise(lit(0))
+          }.reduce(_ + _)
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+            sig(col("embedding")).as("sig"))
+        val l = base.select(col("sig"), col("vec_id").as("a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val r = base.select(col("sig"), col("vec_id").as("b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        // shuffle keyed on the signature; pairs never leave their bucket
+        l.join(r, Seq("sig")).filter(col("a") < col("b"))
+          .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)
+          .limit(50)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)).cast("long"))
+          .select("a", "b", "rnk", "cos_sim")
+          .orderBy("rnk")
+      }),
+
     // V5 — keypoint radial score (PrepKeypointData analog,
     // /root/reference/dlmerged2parquet.py:215-216): every point scored
     // against a small broadcast keypoint set, max score + argmax keypoint

@@ -614,6 +614,41 @@ object TextOps extends OpModule {
             .cast("long").as("cum_tokens"))
           .filter(col("cum_tokens") <= 1200)
           .orderBy("source", "rnk")
+      }),
+
+    // x15 — corpus-level frequent bigrams: the heavy-hitter pass behind
+    // boilerplate detection (CCNet-style "most common n-grams are site
+    // chrome") and tokenizer-vocab sizing. One explode of adjacent word
+    // pairs, one partial-aggregated count keyed on the bigram string, a
+    // sort-limit top 50 — at 100 TB the count shuffles 16-byte keys and
+    // the top-k is TakeOrderedAndProject, never a global sort.
+    Q("x15_ngram_topk", Some(
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+        |SELECT bigram, n, rnk FROM (
+        |  SELECT bigram, count(*) AS n,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, bigram ASC) AS BIGINT) AS rnk
+        |  FROM b GROUP BY bigram) WHERE rnk <= 50 ORDER BY rnk""".stripMargin),
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+          // guard: sequence(0, -1) would DESCEND on 0/1-token docs
+          .filter(size(col("toks")) >= 2)
+        toks
+          .select(explode(transform(
+            sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "),
+              element_at(col("toks"), i + 2)))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(50)
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("bigram").asc)).cast("long"))
+          .select("bigram", "n", "rnk")
+          .orderBy("rnk")
       })
   )
 }
