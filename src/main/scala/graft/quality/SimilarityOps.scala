@@ -569,7 +569,27 @@ object SimilarityOps extends OpModule {
     // contract as float_dot, bit-identical to the oracle's list lambdas).
     Q("nn5_pq_ann", Some(pqOracleSql),
       (s, dir) => knnPq(s, dir, nQueries = 3, k = 10))
-  )
+  ) :+
+    // IVF-PQ ANN (nn6) — the two scale paths COMPOSED the way a
+    // production billion-vector index ships them (FAISS IVFPQ shape):
+    // an IVF coarse quantizer partitions the corpus into inverted lists,
+    // and within each list vectors are PQ-encoded as RESIDUALS from
+    // their list centroid (residuals have ~cell-radius magnitude, so the
+    // same 8-centroid codebook quantizes far finer than on raw vectors).
+    // Search probes nProbe lists; the ADC tables are computed per
+    // (query, probed list) against the query's OWN residual in that
+    // list's frame. Scale shape: the 16-row coarse table and 32-row
+    // codebook broadcast; assignment and encode are partial-aggregated
+    // struct-min argmins (no windows on the data side); candidates only
+    // ever meet the tiny broadcast distance tables through a
+    // (cell, subspace, code) equi-join — work is |probed lists|, memory
+    // is 4 code bytes per vector. Fully oracled: every step is the same
+    // float subtract + sequential double fold as the codegen float_l2sq
+    // kernel, replayed in SQL. Lloyd refinement is deliberately not
+    // repeated here — nn3 (coarse) and nn5 (codebook) each prove it
+    // independently; nn6 pins the composition.
+    Q("nn6_ivfpq_ann", Some(ivfPqOracleSql),
+      (s, dir) => knnIvfPq(s, dir, nQueries = 3, k = 10))
 
   /** Squared-L2 between two float-array columns — codegen'd
     * [[graft.tensor.FloatL2Sq]]; same fold/null contract as [[dot]].
@@ -662,6 +682,120 @@ object SimilarityOps extends OpModule {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("adc"))
       .orderBy("qid", "rnk")
+  }
+
+  /** IVF-PQ encode + probe + ADC search (see the nn6 query comment for
+    * the design). `nCoarse` seed coarse centroids are the first vectors;
+    * the PQ codebook seeds are the residual subvectors of the first
+    * `PqK` NON-centroid vectors (centroid vectors' own residuals are
+    * ~zero — useless seeds).
+    */
+  def knnIvfPq(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      nCoarse: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val base = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val coarse = base.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("cell"), col("embedding").as("cemb"))
+    def subspaces(df: DataFrame, arr: String, out: String): DataFrame = df
+      .select(df.columns.filter(c => c != arr).map(col) :+
+        posexplode_outer(array((0 until PqM).map(si =>
+          slice(col(arr), si * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", out)): _*)
+    // coarse assignment: argmin L2 over the broadcast centroid table,
+    // partial-aggregated struct-min; residual in the list centroid frame
+    val asg = base.crossJoin(broadcast(coarse))
+      .withColumn("d2c", l2sq(col("embedding"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2c"), col("cell"))).getField("cell").as("cell"),
+        first(col("embedding")).as("embedding")) // constant within the group
+      .join(broadcast(coarse), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cemb"), (x, y) => x - y).as("res"))
+    val resSubs = subspaces(asg, "res", "subv")
+    val book = resSubs
+      .filter(col("vec_id") >= nCoarse && col("vec_id") < nCoarse + PqK)
+      .select((col("vec_id") - nCoarse).as("pcid"), col("s"), col("subv").as("pcent"))
+    val codes = resSubs.join(broadcast(book), Seq("s"))
+      .withColumn("d2", l2sq(col("subv"), col("pcent")))
+      .groupBy("vec_id", "cell", "s")
+      .agg(min(struct(col("d2"), col("pcid"))).getField("pcid").as("code"))
+    // query side: nProbe nearest lists, residual per probed list
+    val probes = base.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2c", l2sq(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2c").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cell"),
+        zip_with(col("embedding"), col("cemb"), (x, y) => x - y).as("qres"))
+    val dtab = subspaces(probes, "qres", "qsubv")
+      .join(broadcast(book), Seq("s"))
+      .select(col("qid"), col("cell"), col("s"), col("pcid").as("code"),
+        l2sq(col("qsubv"), col("pcent")).as("d2q"))
+    codes.join(broadcast(dtab), Seq("cell", "s", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2q").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double").as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("adc"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB twin of [[knnIvfPq]] (nQueries=3, k=10, 16 coarse cells,
+    * 4 probes, m=4×16, 8 codebook centroids seeded from the residual
+    * subvectors of vectors 16–23): `dc`/`asg` replay the coarse argmin,
+    * `res`/`sub` the float residual subtraction and subvector slicing,
+    * `book`/`codes` the residual-frame PQ encode, `prb`/`qres`/`dtab`
+    * the per-(query, probed list) lookup tables, and `adc` the
+    * DECIMAL(38,12) order-free sum. Float subtraction is correctly
+    * rounded IEEE single precision on both engines, so the residuals are
+    * bit-identical; every distance is the same sequential
+    * subtract-square double fold as the float_l2sq kernel.
+    */
+  private def ivfPqOracleSql: String = {
+    val l2 = "list_sum(list_transform(list_zip(%s, %s), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    s"""WITH c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+       |dc AS (SELECT e.vec_id, e.embedding, c.cell, c.cemb,
+       |         ${l2.format("e.embedding", "c.cemb")} AS d2c
+       |       FROM embeddings e, c0 c),
+       |rk AS (SELECT vec_id, embedding, cell, cemb,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2c ASC, cell ASC) AS rn
+       |       FROM dc),
+       |res AS (SELECT vec_id, cell,
+       |          list_transform(list_zip(embedding, cemb),
+       |            p -> CAST(p[1] - p[2] AS FLOAT)) AS res
+       |        FROM rk WHERE rn = 1),
+       |sub AS (SELECT vec_id, cell, s, res[s*16+1 : s*16+16] AS subv
+       |        FROM res, range(4) r(s)),
+       |book AS (SELECT vec_id - 16 AS pcid, s, subv AS pcent FROM sub
+       |         WHERE vec_id >= 16 AND vec_id < 24),
+       |d AS (SELECT b.vec_id, b.cell, b.s, k.pcid, ${l2.format("b.subv", "k.pcent")} AS d2
+       |      FROM sub b JOIN book k USING (s)),
+       |codes AS (SELECT vec_id, cell, s, pcid AS code FROM (
+       |    SELECT vec_id, cell, s, pcid,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, pcid ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qres AS (SELECT vec_id AS qid, cell,
+       |           list_transform(list_zip(embedding, cemb),
+       |             p -> CAST(p[1] - p[2] AS FLOAT)) AS qres
+       |         FROM rk WHERE vec_id < 3 AND rn <= 4),
+       |qsub AS (SELECT qid, cell, s, qres[s*16+1 : s*16+16] AS qsubv
+       |         FROM qres, range(4) r(s)),
+       |dtab AS (SELECT q.qid, q.cell, q.s, k.pcid AS code,
+       |           ${l2.format("q.qsubv", "k.pcent")} AS d2q
+       |         FROM qsub q JOIN book k USING (s)),
+       |adc AS (SELECT t.qid, c.vec_id AS cid,
+       |          CAST(sum(CAST(t.d2q AS DECIMAL(38,12))) AS DOUBLE) AS adc
+       |        FROM codes c JOIN dtab t USING (cell, s, code) WHERE c.vec_id <> t.qid
+       |        GROUP BY t.qid, c.vec_id)
+       |SELECT qid, cid, rnk, adc FROM (
+       |  SELECT qid, cid, adc,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS BIGINT) AS rnk
+       |  FROM adc) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
   /** DuckDB twin of [[knnPq]] (nQueries=3, k=10, m=4×16 dims, 8

@@ -103,4 +103,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(hit >= pqSeed,
       s"Lloyd-refined codebook recalled $hit < seed codebook's $pqSeed")
   }
+
+  test("IVF-PQ ANN: dense ranks, ascending ADC, residual frame beats random by a wide margin") {
+    import org.apache.spark.sql.expressions.Window
+    val ivfpq = SimilarityOps.knnIvfPq(spark, sf, nQueries = 3, k = 10).collect()
+    assert(ivfpq.length == 30)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 10L))
+      rows.foreach(r => assert(r.getLong(1) != q))
+      val ds = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted, s"ADC not ascending: $ds")
+      ds.foreach(d => assert(d >= 0.0))
+    }
+    // Exact-L2 top-10 recall. Probing 4 of 16 lists caps what's reachable,
+    // but residual-frame codes quantize far finer than nn5's raw-vector
+    // codes: measured 10/30 here vs nn5's 6-7/30 at both sf0.001 and
+    // sf0.01 (random baseline ≈ 0.6 of 30). Bound at 6 — nn5's own bar —
+    // so a broken residual frame (which collapses recall toward random)
+    // fails loudly while a regenerated corpus passes.
+    graft.tensor.VectorFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", SimilarityOps.l2sq(col("qemb"), col("embedding")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rnk") <= 10).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = ivfpq.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    info(s"IVF-PQ recall: $hit of ${exact.size}")
+    assert(hit >= 6, s"IVF-PQ recalled only $hit of ${exact.size} exact-L2 pairs")
+  }
 }
