@@ -40,38 +40,9 @@ object SinkOps extends OpModule {
          |  min($rowFp) AS fp_min, max($rowFp) AS fp_max
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       (s, dir) => {
-        // one FIXED export dir per source sfDir, overwritten each run — a
-        // fresh createTempDirectory here would leak a full compressed
-        // corpus copy into /tmp on every Verify/Bench execution. The path
-        // is keyed on an md5 of the ABSOLUTE source path (hashCode could
-        // collide two sfDirs into one silently-shared dir) and lives under
-        // a per-user 0700 subdirectory (a predictable world-shared /tmp
-        // name is symlink-squattable on multi-user hosts). Two JVMs
-        // verifying the SAME sfDir concurrently still share the dir — an
-        // accepted trade for not leaking a corpus copy per run.
-        val abs = new java.io.File(dir).getAbsolutePath
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        val userRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_${System.getProperty("user.name")}").toPath
-        // The predictable name must not be FOLLOWED if an attacker planted
-        // something there first: refuse a symlink (mkdirs/chmod would
-        // dereference it and export through the attacker's target) and a
-        // directory owned by someone else; only then create/chmod 0700.
-        require(!java.nio.file.Files.isSymbolicLink(userRoot),
-          s"$userRoot is a symlink — refusing to export through it")
-        java.nio.file.Files.createDirectories(userRoot)
-        val owner = java.nio.file.Files.getOwner(userRoot,
-          java.nio.file.LinkOption.NOFOLLOW_LINKS).getName
-        require(owner == System.getProperty("user.name"),
-          s"$userRoot is owned by $owner, not the current user — refusing to export")
-        try {
-          import java.nio.file.attribute.PosixFilePermissions
-          java.nio.file.Files.setPosixFilePermissions(userRoot,
-            PosixFilePermissions.fromString("rwx------"))
-        } catch { case _: UnsupportedOperationException => () } // non-POSIX FS
-        val out = new java.io.File(userRoot.toFile, s"k1_export_$digest").getAbsolutePath
+        // fixed hardened export dir per source sfDir (see [[ScratchDirs]]
+        // for the keying and symlink/ownership rationale)
+        val out = ScratchDirs.keyed("k1_export", dir)
         Tables(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang")
           .option("compression", "gzip").parquet(out)

@@ -57,14 +57,20 @@ object DedupOps extends OpModule {
     * the same value but runs interpreted per character — ~3× slower end
     * to end on the sketch queries).
     */
-  private def tokenCodes(s: SparkSession, dir: String): DataFrame = {
+  private def tokenCodes(s: SparkSession, dir: String): DataFrame =
+    tokenCodesOf(s, Tables(s, dir, "documents"))
+
+  /** As [[tokenCodes]] but over an arbitrary (doc_id, text, …) frame —
+    * the incremental-dedup path hashes snapshot slices, not whole tables.
+    */
+  private def tokenCodesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.tensor.TextFunctions.register(s)
     // explode_OUTER + null filter on the GENERATED column, not plain
     // explode: InferFiltersFromGenerate would add a pushed-down
     // `size(array_distinct(split(...))) > 0` scan filter that tokenizes
     // every document a second time (the rule skips outer generators; the
     // x9 query comment documents the pathological form of the same trap).
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         explode_outer(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
       .filter(col("tok").isNotNull)
@@ -87,8 +93,14 @@ object DedupOps extends OpModule {
     * faster end to end). On a real cluster that driver stall serializes
     * between stages just the same.
     */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokenCodes(s, dir)
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(s, Tables(s, dir, "documents"))
+
+  /** As [[minhashSignatures]] but over an arbitrary (doc_id, text, …)
+    * frame (snapshot slices in [[incrementalVerdicts]]).
+    */
+  def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = tokenCodesOf(s, docs)
     val minCols: Seq[Column] = MinhashSeeds.zipWithIndex.map { case (ab, i) =>
       min(affine(col("t"), ab)).as(s"m$i")
     }
@@ -337,6 +349,195 @@ object DedupOps extends OpModule {
   }
 
   // --------------------------------------------------------------------
+  // dd9 — cross-snapshot incremental dedup: dedup a NEW crawl snapshot
+  // against the persisted fingerprint store of everything already kept.
+  // Every single-corpus dedup above answers "which of these documents
+  // duplicate each other"; the production crawl pipeline asks "which of
+  // these NEW documents duplicate what we already have" — without ever
+  // re-reading the prior corpus. The store is the prior snapshot reduced
+  // to 32-byte content hashes + banded MinHash keys + 32-long signatures;
+  // at 100 TB the store is ~10^-3 of corpus bytes and every probe is an
+  // equi-join keyed on a hash (content md5 or band key) — never a scan of
+  // prior text. The reference's single-corpus ancestor is its dedup-audit
+  // invariant (`larvoxel_dataset.py:101-110`).
+  // --------------------------------------------------------------------
+
+  /** Minimum minhash agreements (of [[NumHashes]]) for a cross-snapshot
+    * near-dup verdict: 29/32 ≈ est-Jaccard 0.9, compared as an INTEGER so
+    * the boundary is bit-identical cross-engine (no float threshold).
+    */
+  val IncrementalMinAgree = 29
+
+  /** Skew guard on the store's band buckets: a band key shared by more
+    * than this many PRIOR docs is ambient-density noise (shared
+    * boilerplate), not a dup clique — candidates from it are dropped, as
+    * in dd2's capped buckets. Size-1 buckets stay admitted: one prior doc
+    * plus one new doc is exactly the match the operator exists to find.
+    */
+  val IncrementalBucketCap = 1000
+
+  /** (doc_id, band, bkey) — banded LSH keys of each signature. */
+  private def bandKeysOf(sigs: DataFrame): DataFrame = {
+    val bandKeys: Seq[Column] = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"), expr(bandKeyExpr(b)).as("bkey"))
+    }
+    sigs.withColumn("bk", explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Fingerprint store of one snapshot, three tables:
+    *   - `exact`: (text_md5, ref_id) — min doc_id per distinct content
+    *     hash (the 32-byte exact-dedup key, as in dd1);
+    *   - `sigs`:  (doc_id, sig) — MinHash signatures (verification side);
+    *   - `bands`: (doc_id, band, bkey) — banded keys (candidate side).
+    */
+  def fingerprintStore(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val exact = docs
+      .select(md5(col("text")).as("text_md5"), col("doc_id"))
+      .groupBy("text_md5").agg(min("doc_id").as("ref_id"))
+    val sigs = minhashSignaturesOf(s, docs)
+    (exact, sigs, bandKeysOf(sigs))
+  }
+
+  /** Persist a snapshot's fingerprint store as three parquet tables under
+    * `path` — the artifact that survives between crawl runs.
+    */
+  def writeFingerprintStore(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val (exact, sigs, bands) = fingerprintStore(s, docs)
+    exact.write.mode("overwrite").parquet(s"$path/exact")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    bands.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  def readFingerprintStore(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/exact"),
+      s.read.parquet(s"$path/sigs"),
+      s.read.parquet(s"$path/bands"))
+
+  /** One verdict row per NEW-snapshot document, against a PRIOR store:
+    *
+    *   - `exact_prior` — content hash already in the store (anti-joined
+    *     out of the survivor set); `ref_id` = the prior keeper.
+    *   - `near_prior`  — shares a band key with a prior doc AND ≥
+    *     `minAgree`/32 minhashes agree with it; `ref_id` = min such
+    *     prior doc. Candidates come only from the band-key equi-join —
+    *     never a scan of the prior corpus.
+    *   - `dup_new`     — survivor whose content hash collapses within the
+    *     new snapshot itself (dd1 applied to survivors); `ref_id` = the
+    *     new keeper.
+    *   - `kept`        — genuinely new content; `ref_id` = −1.
+    *
+    * Near-dup collapse WITHIN the new snapshot is deliberately not done
+    * here: that is single-corpus dd2/dd6 run on the survivors — a separate
+    * pass with its own thresholds, already covered above.
+    *
+    * Scale shape: three hash-keyed equi-joins (md5, band key, doc_id) and
+    * one groupBy on md5 — no pair expansion outside store buckets, which
+    * are capped at `bucketCap`. Nothing driver-side.
+    */
+  def incrementalVerdicts(s: SparkSession, newDocs: DataFrame,
+      exactStore: DataFrame, sigStore: DataFrame, bandStore: DataFrame,
+      minAgree: Int = IncrementalMinAgree,
+      bucketCap: Int = IncrementalBucketCap): DataFrame = {
+    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val exact = hashed.join(exactStore, "text_md5")
+      .select(col("doc_id"), lit("exact_prior").as("status"), col("ref_id"))
+    val rem1 = hashed.join(exactStore, Seq("text_md5"), "left_anti")
+
+    val admitted = bandStore.join(
+      bandStore.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= bucketCap),
+      Seq("band", "bkey"), "left_semi")
+    val sigsNew = minhashSignaturesOf(s, newDocs)
+      .join(rem1.select("doc_id"), Seq("doc_id"), "left_semi")
+    val cand = bandKeysOf(sigsNew)
+      .join(admitted.select(col("band"), col("bkey"), col("doc_id").as("a_id")),
+        Seq("band", "bkey"))
+      .select(col("doc_id"), col("a_id")).distinct()
+    val near = cand
+      .join(sigsNew.select(col("doc_id"), col("sig").as("sigb")), "doc_id")
+      .join(sigStore.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .withColumn("n_agree",
+        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("n_agree") >= minAgree)
+      .groupBy("doc_id").agg(min("a_id").as("ref_id"))
+      .select(col("doc_id"), lit("near_prior").as("status"), col("ref_id"))
+
+    val rem2 = rem1.join(near.select("doc_id"), Seq("doc_id"), "left_anti")
+    val internal = rem2.join(
+      rem2.groupBy("text_md5").agg(min("doc_id").as("keep_id")), "text_md5")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("keep_id"), lit("kept"))
+          .otherwise(lit("dup_new")).as("status"),
+        when(col("doc_id") === col("keep_id"), lit(-1L))
+          .otherwise(col("keep_id")).as("ref_id"))
+    exact.unionByName(near).unionByName(internal).orderBy("doc_id")
+  }
+
+  /** The dd9 query: split `documents` at the median id into a PRIOR
+    * snapshot (doc_id < cut) and a NEW snapshot, persist the prior
+    * store to parquet (hardened scratch dir, as K1), read it back, and
+    * run the new snapshot against it. The split point is computed
+    * in-plan (broadcast scalar), so one query works at every SF.
+    */
+  private def dd9(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val withCut = docs.crossJoin(
+      broadcast(docs.agg(expr("(max(doc_id) + 1) div 2").as("cut"))))
+    val prior = withCut.filter(col("doc_id") < col("cut"))
+    val fresh = withCut.filter(col("doc_id") >= col("cut"))
+    val storeDir = graft.etl.ScratchDirs.keyed("dd9_store", dir)
+    writeFingerprintStore(s, prior, storeDir)
+    val (exactStore, sigStore, bandStore) = readFingerprintStore(s, storeDir)
+    incrementalVerdicts(s, fresh, exactStore, sigStore, bandStore)
+  }
+
+  private def dd9OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $TcodesSql AS tc FROM documents),
+       |sigs AS (SELECT doc_id, list_transform(${seedListSql(MinhashSeeds)}, s ->
+       |           list_min(list_transform(tc, t -> (s[1] * t + s[2]) % $Mod))) AS sig FROM d),
+       |cutv AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
+       |a AS (SELECT doc_id, text FROM documents, cutv WHERE doc_id < cut),
+       |b AS (SELECT doc_id, text FROM documents, cutv WHERE doc_id >= cut),
+       |exstore AS (SELECT md5(text) AS m, min(doc_id) AS ref_id FROM a GROUP BY 1),
+       |bands_a AS (SELECT s.doc_id, r.band,
+       |              list_reduce(s.sig[r.band * $BandSize + 1 : r.band * $BandSize + $BandSize],
+       |                (acc, x) -> (acc * $BandP + x) % $Mod) AS bkey
+       |            FROM sigs s JOIN a USING (doc_id), range(0, $NumBands) r(band)),
+       |badm AS (SELECT band, bkey FROM bands_a GROUP BY band, bkey
+       |         HAVING count(*) <= $IncrementalBucketCap),
+       |bands_adm AS (SELECT bands_a.doc_id, bands_a.band, bands_a.bkey
+       |              FROM bands_a JOIN badm USING (band, bkey)),
+       |bh AS (SELECT doc_id, md5(text) AS m FROM b),
+       |ex AS (SELECT bh.doc_id, 'exact_prior' AS status, exstore.ref_id
+       |       FROM bh JOIN exstore USING (m)),
+       |rem1 AS (SELECT doc_id, m FROM bh
+       |         WHERE NOT EXISTS (SELECT 1 FROM exstore e WHERE e.m = bh.m)),
+       |bands_b AS (SELECT s.doc_id, r.band,
+       |              list_reduce(s.sig[r.band * $BandSize + 1 : r.band * $BandSize + $BandSize],
+       |                (acc, x) -> (acc * $BandP + x) % $Mod) AS bkey
+       |            FROM sigs s JOIN rem1 USING (doc_id), range(0, $NumBands) r(band)),
+       |cand AS (SELECT DISTINCT bb.doc_id AS doc_id, ba.doc_id AS a_id
+       |         FROM bands_b bb JOIN bands_adm ba
+       |           ON bb.band = ba.band AND bb.bkey = ba.bkey),
+       |near AS (SELECT c.doc_id, 'near_prior' AS status, min(c.a_id) AS ref_id
+       |         FROM cand c JOIN sigs sb ON sb.doc_id = c.doc_id
+       |                     JOIN sigs sa ON sa.doc_id = c.a_id
+       |         WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |                 p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) >= $IncrementalMinAgree
+       |         GROUP BY c.doc_id),
+       |rem2 AS (SELECT doc_id, m FROM rem1
+       |         WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = rem1.doc_id)),
+       |keepg AS (SELECT m, min(doc_id) AS keep_id FROM rem2 GROUP BY m),
+       |internal AS (SELECT r.doc_id,
+       |               CASE WHEN r.doc_id = k.keep_id THEN 'kept' ELSE 'dup_new' END AS status,
+       |               CASE WHEN r.doc_id = k.keep_id THEN -1 ELSE k.keep_id END AS ref_id
+       |             FROM rem2 r JOIN keepg k USING (m))
+       |SELECT doc_id, status, CAST(ref_id AS BIGINT) AS ref_id FROM (
+       |  SELECT * FROM ex UNION ALL SELECT * FROM near UNION ALL SELECT * FROM internal)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // DuckDB oracle twins. Each interpolates the same seed constants and
   // recomputes the full pipeline; list_reduce's first-element seeding
   // coincides with Spark's zero-seeded Horner fold because every value is
@@ -469,6 +670,10 @@ object DedupOps extends OpModule {
     // CTE — an independent check of the distributed pointer-jumping CC.
     Q("dd6_dedup_clusters", Some(dd6OracleSql),
       (s, dir) => dedupClusters(s, dir, minEstJaccard = 0.95)),
+
+    // Cross-snapshot incremental dedup: prior-half fingerprint store
+    // persisted to parquet, new half deduped against the read-back store.
+    Q("dd9_incremental_dedup", Some(dd9OracleSql), dd9),
 
     Q("dd3_simhash", Some(dd3OracleSql), (s, dir) => {
       val sh = simhashes(s, dir)

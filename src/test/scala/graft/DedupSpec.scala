@@ -119,6 +119,50 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "clique cache not released after dedupClusters")
   }
 
+  test("dd9: incremental dedup drops B∩A dups and collapses B-only dups internally") {
+    import spark.implicits._
+    // PRIOR snapshot: 20 distinct random docs (ids 0..19)
+    val prior = (0 until 20).map { i =>
+      val rng = new scala.util.Random(1000 + i)
+      (i.toLong, Seq.fill(60)(s"w${rng.nextInt(500)}").mkString(" "), "en", s"a$i", 0L)
+    }
+    // NEW snapshot: 100 = exact copy of prior 0; 201..205 = near-copies of
+    // prior 1..5 (1 of 60 words changed, j ≈ 0.967); 300+301 identical
+    // NEW-only text; 302 unique.
+    val nearPlants = (1 to 5).map { i =>
+      val w = prior(i)._2.split(" ").toVector.updated(20, s"zzz$i")
+      (200L + i, w.mkString(" "), "en", s"n$i", 0L)
+    }
+    val rngNew = new scala.util.Random(77)
+    val newOnly = Seq.fill(60)(s"b${rngNew.nextInt(500)}").mkString(" ")
+    val uniq = Seq.fill(60)(s"u${rngNew.nextInt(100000)}").mkString(" ")
+    val fresh = Seq((100L, prior.head._2, "en", "copyA", 0L)) ++ nearPlants ++
+      Seq((300L, newOnly, "en", "dupB", 0L), (301L, newOnly, "en", "dupB", 0L),
+        (302L, uniq, "en", "uniqB", 0L))
+    val priorDf = prior.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val freshDf = fresh.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // persist the store and dedup against the READ-BACK copy — the
+    // cross-run artifact is what the operator is about
+    val storeDir = java.nio.file.Files.createTempDirectory("dd9store").toString
+    DedupOps.writeFingerprintStore(spark, priorDf, storeDir)
+    val (ex, sg, bd) = DedupOps.readFingerprintStore(spark, storeDir)
+    val out = DedupOps.incrementalVerdicts(spark, freshDf, ex, sg, bd)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    assert(out.size == fresh.size, s"one verdict per new doc: $out")
+    assert(out(100L) == (("exact_prior", 0L)), s"exact B∩A dup: ${out(100L)}")
+    // banded LSH + 29/32 agreement is a recall device (see the planted
+    // minhash test's lottery note) — require ≥4/5 near plants caught,
+    // each pointing at its true prior source
+    val caught = (1 to 5).map(i => 200L + i)
+      .filter(id => out(id) == (("near_prior", id - 200L)))
+    assert(caught.size >= 4, s"near recall ${caught.size}/5: $out")
+    assert(out(300L) == (("kept", -1L)), s"B-only keeper: ${out(300L)}")
+    assert(out(301L) == (("dup_new", 300L)), s"B-only dup collapses: ${out(301L)}")
+    assert(out(302L) == (("kept", -1L)), s"unique doc kept: ${out(302L)}")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
