@@ -6,21 +6,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payload columns with typed
-  * metadata, decoded partition-wise. The decode is REAL for two trivial
-  * containers parseable in pure JVM — PPM (P6) images and WAV (RIFF/PCM)
-  * audio — and falls back to a deterministic byte-derived pseudo-decode
-  * for anything else (heavier codecs — JPEG, MP3 — would slot into the
-  * same dispatch; those libraries don't exist in this environment). The
-  * Spark-side contract is the point either way: binary column ingestion,
-  * per-partition batched decode (the Scala analog of `mapInPandas`),
-  * explicit output schema, and chunk accounting.
+  * metadata, decoded partition-wise. The decode is REAL for the formats a
+  * multimodal corpus actually contains — PNG and JPEG via the JVM's own
+  * `javax.imageio` (no external dependency), plus the two trivial
+  * containers parsed by hand, PPM (P6) images and WAV (RIFF/PCM) audio —
+  * and falls back to a deterministic byte-derived pseudo-decode for
+  * anything else (an MP3/MP4 codec would slot into the same dispatch).
+  * The Spark-side contract is the point either way: binary column
+  * ingestion, per-partition batched decode (the Scala analog of
+  * `mapInPandas`), explicit output schema, and chunk accounting.
   */
 object Multimodal extends OpModule {
 
   /** Output schema of the decoder. `width`/`height` are image dims for
-    * ppm, (channels, bits/sample) for wav, byte-derived pseudo-dims for
-    * raw; `mean_intensity` is the mean pixel byte (ppm), mean |sample|
-    * (wav), or mean payload byte (raw).
+    * png/jpeg/ppm, (channels, bits/sample) for wav, byte-derived
+    * pseudo-dims for raw; `mean_intensity` is the mean decoded RGB
+    * channel byte (png/jpeg), mean pixel byte (ppm), mean |sample| (wav),
+    * or mean payload byte (raw). `pixel_fp` is an md5 over the DECODED
+    * row-major RGB triplets for png/jpeg — the content identity that
+    * survives lossless re-containering — and over the container bytes for
+    * the other formats.
     */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -28,7 +33,121 @@ object Multimodal extends OpModule {
     StructField("payload_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("mean_intensity", DoubleType, nullable = false)))
+    StructField("mean_intensity", DoubleType, nullable = false),
+    StructField("pixel_fp", StringType, nullable = false)))
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Decompression-bomb guard: a 100 TB crawl WILL contain hostile
+    * images, and a tiny PNG can declare gigapixel dims that only
+    * materialize at decode time. Payloads declaring more pixels than
+    * this are sent down the raw fallback instead of decoded (2^26 px
+    * ≈ 192 MB of RGB — comfortably above real corpus images, safely
+    * below executor-threatening).
+    */
+  val MaxDecodedPixels: Long = 1L << 26
+
+  /** Container magic of the imageio-decoded formats: PNG's 8-byte
+    * signature prefix and JPEG's SOI+marker prefix. Dispatch is gated on
+    * the magic so non-image payloads never pay an ImageIO reader probe.
+    */
+  private[graft] def imageFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
+    else None
+
+  /** Open an ImageIO reader on the payload, check DECLARED dims against
+    * [[MaxDecodedPixels]] BEFORE decoding (the header is read without
+    * materializing pixels), then hand the decoded image to `f`. None on
+    * any malformation — a corrupt container falls back, never throws.
+    */
+  private def withDecodedImage[A](bytes: Array[Byte])
+      (f: java.awt.image.BufferedImage => A): Option[A] = {
+    if (imageFormat(bytes).isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodedPixels) None
+          else Some(f(reader.read(0)))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real PNG/JPEG decode via `javax.imageio`: (format, width, height,
+    * mean RGB channel byte, md5 over decoded row-major RGB triplets).
+    * Pixels stream through one reusable row buffer — memory is O(width),
+    * not O(pixels), on top of the decoded image itself.
+    */
+  private[graft] def parseImage(bytes: Array[Byte]): Option[(String, Int, Int, Double, String)] =
+    withDecodedImage(bytes) { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val row = new Array[Int](w)
+      val rgb = new Array[Byte](w * 3)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sum += r + g + b
+          rgb(x * 3) = r.toByte; rgb(x * 3 + 1) = g.toByte; rgb(x * 3 + 2) = b.toByte
+          x += 1
+        }
+        md.update(rgb)
+        y += 1
+      }
+      (imageFormat(bytes).get, w, h, sum.toDouble / (3.0 * w * h),
+        md.digest.map("%02x".format(_)).mkString)
+    }
+
+  /** Real nearest-neighbor image resample: decode, keep every `factor`-th
+    * pixel in each dimension, return the downsampled dims and the md5
+    * over the resampled row-major RGB triplets. None for non-image or
+    * malformed payloads, or when the image is smaller than `factor`.
+    */
+  private[graft] def resampleImage(bytes: Array[Byte], factor: Int): Option[(Int, Int, String)] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    withDecodedImage(bytes) { img =>
+      val ow = img.getWidth / factor
+      val oh = img.getHeight / factor
+      if (ow <= 0 || oh <= 0) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val rgb = new Array[Byte](ow * 3)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val p = img.getRGB(x * factor, y * factor)
+            rgb(x * 3) = ((p >> 16) & 0xff).toByte
+            rgb(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+            rgb(x * 3 + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          md.update(rgb)
+          y += 1
+        }
+        Some((ow, oh, md.digest.map("%02x".format(_)).mkString))
+      }
+    }.flatten
+  }
 
   /** Real PPM P6 parse: `P6 <ws> width <ws> height <ws> maxval <single
     * ws> <w*h*3 raw RGB bytes>`, `#` comments allowed in the header.
@@ -130,9 +249,10 @@ object Multimodal extends OpModule {
   }
 
   /** Partition-wise batched decode of a binary payload column: dispatch
-    * on the container magic (PPM `P6`, WAV `RIFF…WAVE`), REAL parse for
-    * both, deterministic byte-derived pseudo-decode for everything else
-    * (`format = "raw"` — where a JPEG codec would go).
+    * on the container magic (PNG/JPEG → `javax.imageio`, PPM `P6`, WAV
+    * `RIFF…WAVE`), REAL parse for all four, deterministic byte-derived
+    * pseudo-decode for everything else (`format = "raw"` — where an
+    * MP3/MP4 codec would go).
     */
   def decodeBinary(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -143,23 +263,56 @@ object Multimodal extends OpModule {
           batch.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val (fmt, w, h, mean) = parsePpm(bytes) match {
-              case Some((w, h, m)) => ("ppm", w, h, m)
-              case None => parseWav(bytes) match {
-                case Some((ch, bits, m)) => ("wav", ch, bits, m)
-                case None =>
-                  val w = (bytes.headOption.getOrElse(0: Byte) & 0xff) + 1
-                  val h = (bytes.lift(1).getOrElse(0: Byte) & 0xff) + 1
-                  val m = if (bytes.isEmpty) 0.0
-                  else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-                  ("raw", w, h, m)
+            val (fmt, w, h, mean, fp) = parseImage(bytes) match {
+              case Some(img) => img
+              case None => parsePpm(bytes) match {
+                case Some((w, h, m)) => ("ppm", w, h, m, md5hex(bytes))
+                case None => parseWav(bytes) match {
+                  case Some((ch, bits, m)) => ("wav", ch, bits, m, md5hex(bytes))
+                  case None =>
+                    val w = (bytes.headOption.getOrElse(0: Byte) & 0xff) + 1
+                    val h = (bytes.lift(1).getOrElse(0: Byte) & 0xff) + 1
+                    val m = if (bytes.isEmpty) 0.0
+                    else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+                    ("raw", w, h, m, md5hex(bytes))
+                }
               }
             }
-            Row(id, fmt, bytes.length.toLong, w, h, mean)
+            Row(id, fmt, bytes.length.toLong, w, h, mean, fp)
           }
         }
       }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Output schema of [[resampleImages]]. */
+  val resampledSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_fp", StringType, nullable = false)))
+
+  /** Real image-resize stage: nearest-neighbor downsample every PNG/JPEG
+    * payload by `factor`, partition-wise. Non-image or malformed payloads
+    * are DROPPED (the "resize all images" semantic is a filter+transform,
+    * exactly like mm3's frame sampling); [[resizeStub]] remains the
+    * metadata-level plan shape over the full decode.
+    */
+  def resampleImages(df: DataFrame, factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            resampleImage(bytes, factor).map { case (w, h, fp) =>
+              Row(r.getLong(0), imageFormat(bytes).get, w, h, fp)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, resampledSchema)
   }
 
   /** Resize / frame-sample stage over decoded metadata: halves the
