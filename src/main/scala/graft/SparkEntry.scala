@@ -14,7 +14,7 @@ object SparkEntry {
     ops.RelationalOps, ops.AggOps, ops.WindowOps, ops.EventOps,
     ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.TpchOps, ops.ScalarOps,
     quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.Multimodal,
-    quality.CorpusPipeline, sources.RootSourceOps, etl.SinkOps)
+    quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.qs)

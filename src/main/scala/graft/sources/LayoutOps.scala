@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.{Dec, OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned-layout scans (SURVEY.md §2.1 S6 at warehouse scale): the
+  * directory-partitioned fact table and the star-join read path over it.
+  *
+  * At 100 TB the fact table is laid out as `events_by_day/event_date=…/`
+  * and the dominant query never names the dates it wants directly — it
+  * filters a DIM table ("weekend days", "holiday weeks") and joins. The
+  * scan must then be pruned TWICE: statically when the predicate names
+  * the partition column, and DYNAMICALLY (Spark DPP: a `dynamicpruning#`
+  * subquery inside the scan's PartitionFilters, fed by the dim's
+  * broadcast) when the predicate only reaches the fact through a join.
+  * s9 exercises the dynamic case end-to-end on a real partitioned
+  * layout; SourcesSpec pins both the `dynamicpruning#` subquery in the
+  * plan and the actual partition count read. The reference's analog is
+  * its per-run output directory layout (`dlmerged2parquet.py:289-291`);
+  * the date-dim star is the warehouse generalization.
+  */
+object LayoutOps extends OpModule {
+
+  /** Write `events` date-partitioned (30 dirs at every SF — the date
+    * span is SF-independent) plus a derived date dim, under a hardened
+    * scratch dir keyed on the source sfDir. Returns (factDir, dimDir).
+    */
+  def partitionedEventsLayout(s: SparkSession, dir: String): (String, String) = {
+    val base = graft.etl.ScratchDirs.keyed("s9_dpp", dir)
+    val factDir = s"$base/events_by_day"
+    val dimDir = s"$base/date_dim"
+    val ev = Tables(s, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
+    // date dim: one row per day with derived attributes — the filterable
+    // side of the star (Spark dayofweek: 1 = Sunday … 7 = Saturday)
+    ev.select("event_date").distinct()
+      .withColumn("dow", dayofweek(to_date(col("event_date"))).cast("int"))
+      .withColumn("is_weekend", col("dow") === 1 || col("dow") === 7)
+      .write.mode("overwrite").parquet(dimDir)
+    (factDir, dimDir)
+  }
+
+  /** The star join over the partitioned layout: weekend days selected on
+    * the DIM, fact directories pruned at runtime via DPP. Exposed so the
+    * spec can assert on the same plan the query runs.
+    *
+    * GOTCHA: the dim predicate must be one Catalyst's `isLikelySelective`
+    * recognizes (In/EqualTo/Like/…) for `PartitionPruning` to insert the
+    * subquery. Filtering on the bare boolean `is_weekend` column never
+    * fires DPP — BooleanSimplification reduces `= true` to a bare
+    * attribute reference, which the selectivity heuristic rejects — so
+    * the filter is spelled `dow IN (1, 7)` (measured: the boolean form
+    * scans all 30 directories, this form scans 8).
+    */
+  def weekendStar(s: SparkSession, factDir: String, dimDir: String): DataFrame = {
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir)
+    fact.join(dim.filter(col("dow").isin(1, 7)), Seq("event_date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Star join on the date-partitioned fact: the dim's weekend filter
+    // must reach the fact scan as a dynamicpruning# PartitionFilter (8 of
+    // 30 directories read), not as a post-join filter. The oracle states
+    // the same semantics directly against the source table (DuckDB
+    // dayofweek: 0 = Sunday … 6 = Saturday).
+    Q("s9_dpp_star", Some(
+      s"""SELECT event_type, count(*) AS n, ${Dec.sqlSum("value")} AS sum_value
+         |FROM events
+         |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val (factDir, dimDir) = partitionedEventsLayout(s, dir)
+        weekendStar(s, factDir, dimDir)
+      })
+  )
+}

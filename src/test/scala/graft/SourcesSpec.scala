@@ -51,6 +51,41 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(one.count() == vox.filter(col("event") === 2L).count())
   }
 
+  test("s9: dynamic partition pruning — dim filter drives fact directory pruning") {
+    val (factDir, dimDir) = sources.LayoutOps.partitionedEventsLayout(spark, sf)
+    val q = sources.LayoutOps.weekendStar(spark, factDir, dimDir)
+    // the weekend predicate lives on the DIM only; it must reach the fact
+    // scan as a runtime dynamicpruning# subquery in PartitionFilters —
+    // not as a post-join filter over all 30 directories
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning#"),
+      s"no dynamicpruning subquery in fact scan:\n$plan")
+    // and it must actually PRUNE: January 2024 has 8 weekend days of 30
+    q.collect()
+    // descend through AQE wrappers and query stages to the real scans
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def factScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => factScans(a.executedPlan)
+      case qs: QueryStageExec => factScans(qs.plan)
+      case r: ReusedExchangeExec => factScans(r.child)
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty => Seq(s)
+      case other => other.children.flatMap(factScans)
+    }
+    val scans = factScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no partitioned fact scan found")
+    val partsRead = scans.head.metrics("numPartitions").value
+    assert(partsRead == 8, s"fact scan read $partsRead partitions, expected 8 weekend days")
+    // result parity with the unpartitioned direct computation
+    val direct = Tables(spark, sf, "events")
+      .filter(dayofweek(col("ts").cast("date")).isin(1, 7))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct, s"star result $got != direct $direct")
+  }
+
   test("T10: batch concat with batch-index prepend (collate analog)") {
     import spark.implicits._
     val batches = (0 until 3).map { ib =>
