@@ -244,6 +244,75 @@ object TpchOps extends OpModule {
             |ORDER BY p_brand""".stripMargin)
       }),
 
+    // Q13 customer-distribution shape: LEFT OUTER join with a FILTERED
+    // JOIN CONDITION → orders-per-customer → histogram of counts. The
+    // part naive users get wrong: the priority exclusion must live in the
+    // ON clause — as a WHERE on the joined result it nulls out the
+    // zero-order customers and silently turns the outer join inner
+    // (Q17DecorrelationSpec pins LeftOuter surviving optimization AND the
+    // filter pushed below the join onto the orders scan, which is the
+    // plan you want: the exclusion prunes the orders shuffle, the outer
+    // join keeps every customer). count(o_orderkey) counts non-null
+    // matches only, so no-order customers land in the c_count = 0 bucket.
+    Q("tpch_q13", Some(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      (s, dir) => Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q20 excess-shipment shape: the two-level nested subquery chain —
+    // an IN whose subquery itself contains an IN plus a TWO-COLUMN
+    // correlated aggregate subquery (the availqty > 0.5·sum(l_quantity)
+    // analog on this schema: a single shipment exceeding half that
+    // supplier's total for the part). Through spark.sql on purpose:
+    // RewritePredicateSubquery must flatten the outer IN to a left semi
+    // join whose right side contains ANOTHER left semi join (part-name
+    // IN) and the decorrelated per-(partkey, suppkey) aggregate join —
+    // completing the decorrelation family at depth 2
+    // (Q17DecorrelationSpec pins no subquery survives and both semi
+    // levels appear). Quantities are integral doubles ≪ 2^53, so the
+    // cross-multiplied `2·qty > sum` boundary is exact on both engines.
+    Q("tpch_q20_shape", Some(
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%')
+        |    AND l.l_quantity * 2 > (SELECT sum(l2.l_quantity) FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey
+        |                              AND l2.l_suppkey = l.l_suppkey))
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "supplier").createOrReplaceTempView("graft_q20_supplier")
+        Tables(s, dir, "nation").createOrReplaceTempView("graft_q20_nation")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q20_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("graft_q20_part")
+        s.sql(
+          """SELECT n_name, count(*) AS n_suppliers
+            |FROM graft_q20_supplier s JOIN graft_q20_nation n
+            |  ON s.s_nationkey = n.n_nationkey
+            |WHERE s.s_suppkey IN (
+            |  SELECT l.l_suppkey FROM graft_q20_lineitem l
+            |  WHERE l.l_partkey IN (SELECT p_partkey FROM graft_q20_part
+            |                        WHERE p_name LIKE '%rod%')
+            |    AND l.l_quantity * 2 > (SELECT sum(l2.l_quantity) FROM graft_q20_lineitem l2
+            |                            WHERE l2.l_partkey = l.l_partkey
+            |                              AND l2.l_suppkey = l.l_suppkey))
+            |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      }),
+
     // Q17 small-quantity-order shape: lineitem rows below 0.2× their
     // part's average quantity, per brand. THE CORRELATED-SUBQUERY QUERY —
     // the Spark side goes through spark.sql ON PURPOSE so Catalyst's

@@ -93,6 +93,68 @@ class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
     assert(df.limit(1).collect().nonEmpty)
   }
 
+  test("tpch_q13: outer join SURVIVES optimization with the filter pushed to orders, not post-join") {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q13").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // the outer join must NOT have been turned inner (the naive
+    // WHERE-on-result spelling loses the zero-order customers)
+    val outer = opt.collect { case j: Join if j.joinType == LeftOuter => j }
+    assert(outer.nonEmpty, s"left outer join did not survive optimization:\n$opt")
+    assert(opt.collect { case j: Join if j.joinType == Inner => j }.isEmpty,
+      s"join degenerated to inner:\n$opt")
+    // the priority exclusion belongs BELOW the join on the orders side
+    // (pruning the shuffle), never ABOVE it (which would drop the
+    // padding rows)
+    val aboveJoin = opt.collect {
+      case f: Filter if f.condition.toString.contains("o_orderpriority") &&
+        f.collectFirst { case j: Join => j }.isDefined => f
+    }
+    assert(aboveJoin.isEmpty, s"priority filter sits above the outer join:\n$opt")
+    val belowJoin = outer.head.right.collectFirst {
+      case f: Filter if f.condition.toString.contains("o_orderpriority") => f
+    }
+    assert(belowJoin.isDefined, s"priority filter not pushed to the orders side:\n$opt")
+    // and the scan itself gets it as a pushed filter
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"filter not pushed to the orders scan:\n$physical")
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
+  test("tpch_q20_shape: depth-2 nested subqueries flatten — no residual subquery, two semi levels") {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q20_shape").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // nothing re-executes per row: no IN-subquery or correlated scalar
+    // survives anywhere, including inside rewritten children
+    val residual = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case i: InSubquery => i
+        case sq: ScalarSubquery if sq.isCorrelated => sq
+      })
+    }.flatten
+    assert(residual.isEmpty, s"nested subqueries not fully rewritten:\n$opt")
+    // both nesting levels become semi joins: supplier⋉lineitem and
+    // lineitem⋉part — the outer semi's right side contains the inner one
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size >= 2, s"expected two semi-join levels, got ${semis.size}:\n$opt")
+    val nested = semis.exists(outerJoin => outerJoin.right.collectFirst {
+      case j: Join if j.joinType == LeftSemi => j
+    }.isDefined)
+    assert(nested, s"semi joins not nested (depth-2 chain lost):\n$opt")
+    // the correlated aggregate decorrelates to a per-(partkey, suppkey)
+    // aggregate feeding a join
+    val corrAggs = opt.collect {
+      case a: Aggregate if Seq("l_partkey", "l_suppkey").forall(k =>
+        a.groupingExpressions.exists(_.references.exists(_.name == k))) => a
+    }
+    assert(corrAggs.nonEmpty, s"no decorrelated (partkey, suppkey) aggregate:\n$opt")
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
   test("tpch_q21_shape carries BOTH rewrites in one plan: left semi AND left anti") {
     import org.apache.spark.sql.catalyst.expressions.Exists
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
