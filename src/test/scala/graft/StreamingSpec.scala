@@ -377,6 +377,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"expected dup doc 3 suppressed and aged-out doc 5 re-emitted, got $emitted")
   }
 
+  test("Trigger.AvailableNow catch-up: bounded batches, terminates, equals continuous replay") {
+    import org.apache.spark.sql.functions._
+    // a 3-file CHRONOLOGICAL backlog (10-day slices of the events month —
+    // interleaved slices would make every batch after the first "late"
+    // and the comparison would measure watermark drops, not catch-up)
+    val events = spark.read.parquet(s"$sf/events.parquet") // raw ns-long ts
+    val jan11 = 1704931200L * 1000000000L // 2024-01-11 00:00 UTC in ns
+    val jan21 = 1705795200L * 1000000000L
+    val backlog = java.nio.file.Files.createTempDirectory("backlog")
+    stageParquet(events.filter(col("ts") < jan11), backlog, "0.parquet")
+    stageParquet(events.filter(col("ts") >= jan11 && col("ts") < jan21), backlog, "1.parquet")
+    stageParquet(events.filter(col("ts") >= jan21), backlog, "2.parquet")
+    // catch-up run: AvailableNow + maxFilesPerTrigger=1 must drain the
+    // backlog in >= 3 bounded batches and then terminate ON ITS OWN
+    val (caught, nBatches) = EventStream.catchUpAvailableNow(
+      spark, backlog.toString, "catchup_test", maxFilesPerTrigger = 1)
+    assert(nBatches >= 3, s"backlog not split into bounded batches: $nBatches")
+    // continuous-replay comparator: same files, same append-mode sink,
+    // unbounded trigger via processAllAvailable
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_replay").toString
+    val q = EventStream.hourlyAgg(spark, backlog.toString).writeStream
+      .outputMode("append").format("memory").queryName("replay_test")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val replayed = spark.table("replay_test")
+    assert(caught.count() > 0, "append-mode catch-up emitted nothing")
+    assert(caught.exceptAll(replayed).count() == 0 &&
+      replayed.exceptAll(caught).count() == 0,
+      "catch-up result differs from continuous replay")
+  }
+
   test("restart from checkpoint is exactly-once: replayed rows suppressed across stop/start") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("restart_in")
