@@ -26,6 +26,60 @@ import org.apache.spark.sql.functions._
   */
 object SinkOps extends OpModule {
 
+  /** Sorted-write layout: `sortWithinPartitions(sortCol)` before the
+    * parquet write, so every row group's min/max statistics on `sortCol`
+    * cover a NARROW, DISJOINT range — the writer-side half of the
+    * min/max-pruning story P5's point lookup relies on at read time. On
+    * an unsorted layout every row group spans the full key range and
+    * statistics prune nothing; sorted, a point/range predicate touches
+    * one row group per file. `rowGroupBytes` caps `parquet.block.size`
+    * so the effect is testable at spec scale (production leaves the
+    * 128 MB default).
+    */
+  def sortedWrite(df: org.apache.spark.sql.DataFrame, sortCol: String,
+      path: String, rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
+    df.sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
+  /** Measured row-group-pruning evidence for PLANS.md and SourcesSpec:
+    * write `lineitem` twice with tiny row groups — once sorted by
+    * `l_orderkey`, once scrambled — run the same key-RANGE lookup
+    * against both, and return (sorted, unsorted) scan-output row counts.
+    * With parquet filter pushdown, the scan emits only rows surviving
+    * row-group statistics + page-index pruning, so the sorted number is
+    * a row-group's worth and the unsorted number approaches the table.
+    * The probe is a RANGE on purpose: an exact-key point lookup is also
+    * prunable on the UNSORTED layout via parquet dictionary filtering
+    * (measured: 838 vs 419 rows at sf0.001) — min/max statistics are
+    * what range predicates rely on, and only the sorted layout makes
+    * them tight.
+    */
+  def rowGroupPruneStats(s: org.apache.spark.sql.SparkSession, dir: String): (Long, Long) = {
+    val base = ScratchDirs.keyed("k2_sorted", dir)
+    val li = graft.Tables(s, dir, "lineitem")
+    sortedWrite(li, "l_orderkey", s"$base/sorted", rowGroupBytes = 32 * 1024)
+    li.orderBy(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))))
+      .write.mode("overwrite").option("parquet.block.size", (32 * 1024).toString)
+      .parquet(s"$base/unsorted")
+    val key = li.agg(min("l_orderkey")).collect()(0).getLong(0)
+    def scanned(path: String): Long = {
+      val q = s.read.parquet(path).filter(col("l_orderkey").between(key, key + 20))
+      q.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case sc: FileSourceScanExec => Seq(sc)
+        case other => other.children.flatMap(scans)
+      }
+      scans(q.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    (scanned(s"$base/sorted"), scanned(s"$base/unsorted"))
+  }
+
   /** Per-row digest over all non-partition columns — identical text on
     * both engines (concat_ws casts the numeric columns to decimal strings
     * the same way in Spark and DuckDB).
@@ -43,7 +97,13 @@ object SinkOps extends OpModule {
         // fixed hardened export dir per source sfDir (see [[ScratchDirs]]
         // for the keying and symlink/ownership rationale)
         val out = ScratchDirs.keyed("k1_export", dir)
+        // sortWithinPartitions before the write: each output file's row
+        // groups carry tight doc_id min/max stats, so later point/range
+        // reads prune row groups (evidence: rowGroupPruneStats +
+        // SourcesSpec; order does not change the audit, which is
+        // order-free by construction)
         Tables(s, dir, "documents")
+          .sortWithinPartitions("doc_id")
           .write.mode("overwrite").partitionBy("lang")
           .option("compression", "gzip").parquet(out)
         s.read.parquet(out)

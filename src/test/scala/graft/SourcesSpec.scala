@@ -86,6 +86,19 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(got == direct, s"star result $got != direct $direct")
   }
 
+  test("sorted-write layout: row-group stats prune the point lookup, unsorted layout reads all") {
+    val (sortedRows, unsortedRows) = etl.SinkOps.rowGroupPruneStats(spark, sf)
+    val total = Tables(spark, sf, "lineitem").count()
+    // sorted: the lookup key lives in one narrow row group per file —
+    // the scan must emit a small fraction of the table
+    assert(sortedRows < total / 4,
+      s"sorted layout scanned $sortedRows of $total — row groups not pruned")
+    // unsorted: every row group spans the full key range; stats prune
+    // (almost) nothing
+    assert(unsortedRows > sortedRows * 2,
+      s"unsorted $unsortedRows vs sorted $sortedRows — no pruning advantage measured")
+  }
+
   test("T10: batch concat with batch-index prepend (collate analog)") {
     import spark.implicits._
     val batches = (0 until 3).map { ib =>
