@@ -474,6 +474,23 @@ object DedupOps extends OpModule {
     exact.unionByName(near).unionByName(internal).orderBy("doc_id")
   }
 
+  /** Roll the fingerprint store forward after a dd9 run: the next
+    * crawl's store is the prior store UNION the kept documents'
+    * fingerprints — additive, no rebuild, no re-scan of prior corpora.
+    * `keptDocs` is the new snapshot restricted to `kept` verdicts (the
+    * caller filters; `dup_new` survivors are already represented by
+    * their keeper's hash). Dedup on the exact side keeps the earliest
+    * ref per content hash, so replaying the same snapshot is idempotent.
+    */
+  def updatedFingerprintStore(s: SparkSession, keptDocs: DataFrame,
+      exactStore: DataFrame, sigStore: DataFrame, bandStore: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (exactNew, sigsNew, bandsNew) = fingerprintStore(s, keptDocs)
+    val exact = exactStore.unionByName(exactNew)
+      .groupBy("text_md5").agg(min("ref_id").as("ref_id"))
+    (exact, sigStore.unionByName(sigsNew), bandStore.unionByName(bandsNew))
+  }
+
   /** The dd9 query: split `documents` at the median id into a PRIOR
     * snapshot (doc_id < cut) and a NEW snapshot, persist the prior
     * store to parquet (hardened scratch dir, as K1), read it back, and

@@ -163,6 +163,35 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(out(302L) == (("kept", -1L)), s"unique doc kept: ${out(302L)}")
   }
 
+  test("dd9 store roll-forward: kept docs join the store; replaying the same snapshot is a no-op") {
+    import spark.implicits._
+    val prior = (0 until 10).map { i =>
+      val rng = new scala.util.Random(3000 + i)
+      (i.toLong, Seq.fill(60)(s"p${rng.nextInt(500)}").mkString(" "), "en", s"a$i", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rng = new scala.util.Random(99)
+    val fresh = Seq(
+      (100L, Seq.fill(60)(s"q${rng.nextInt(500)}").mkString(" "), "en", "b0", 0L),
+      (101L, Seq.fill(60)(s"r${rng.nextInt(500)}").mkString(" "), "en", "b1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (ex0, sg0, bd0) = DedupOps.fingerprintStore(spark, prior)
+    val verdicts = DedupOps.incrementalVerdicts(spark, fresh, ex0, sg0, bd0)
+    val keptIds = verdicts.filter(col("status") === "kept").select("doc_id")
+    val kept = fresh.join(keptIds, "doc_id")
+    val (ex1, sg1, bd1) = DedupOps.updatedFingerprintStore(spark, kept, ex0, sg0, bd0)
+    assert(ex1.count() == ex0.count() + kept.count(), "exact store did not grow by kept docs")
+    assert(sg1.count() == sg0.count() + kept.count())
+    // the rolled-forward store now catches the same snapshot as exact dups
+    val replay = DedupOps.incrementalVerdicts(spark, fresh, ex1, sg1, bd1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay.values.forall(_ == "exact_prior"),
+      s"replayed snapshot not fully suppressed by the updated store: $replay")
+    // and rolling forward with those (now-dup) docs is idempotent on the
+    // exact side: same hash keeps the ORIGINAL ref
+    val (ex2, _, _) = DedupOps.updatedFingerprintStore(spark, kept, ex1, sg1, bd1)
+    assert(ex2.count() == ex1.count(), "re-adding identical content grew the exact store")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
