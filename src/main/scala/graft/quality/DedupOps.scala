@@ -390,12 +390,18 @@ object DedupOps extends OpModule {
     *     hash (the 32-byte exact-dedup key, as in dd1);
     *   - `sigs`:  (doc_id, sig) — MinHash signatures (verification side);
     *   - `bands`: (doc_id, band, bkey) — banded keys (candidate side).
+    *
+    * `sigs` is EAGERLY materialized (localCheckpoint): both the returned
+    * `sigs` and `bands` read it, and Spark re-executes a shared subtree
+    * once per consumer — without truncation the tokenize+minhash pass
+    * over the snapshot text runs twice per store build. The checkpoint
+    * holds only (doc_id, 32 longs) — fingerprint-sized, never raw text.
     */
   def fingerprintStore(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val exact = docs
       .select(md5(col("text")).as("text_md5"), col("doc_id"))
       .groupBy("text_md5").agg(min("doc_id").as("ref_id"))
-    val sigs = minhashSignaturesOf(s, docs)
+    val sigs = minhashSignaturesOf(s, docs).localCheckpoint(true)
     (exact, sigs, bandKeysOf(sigs))
   }
 
@@ -439,7 +445,14 @@ object DedupOps extends OpModule {
       exactStore: DataFrame, sigStore: DataFrame, bandStore: DataFrame,
       minAgree: Int = IncrementalMinAgree,
       bucketCap: Int = IncrementalBucketCap): DataFrame = {
+    // `hashed`, `sigsNew` and `near` each feed two or more branches of
+    // the verdict union, and Spark re-executes a shared subtree once per
+    // consumer — without eager truncation the tokenize+minhash pass over
+    // the new snapshot ran ~6× (45 s vs ~6 s at sf0.1). All three
+    // checkpoints are fingerprint-sized (hashes and 32-long signatures,
+    // ~10^-3 of corpus bytes), never raw text.
     val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .localCheckpoint(true)
     val exact = hashed.join(exactStore, "text_md5")
       .select(col("doc_id"), lit("exact_prior").as("status"), col("ref_id"))
     val rem1 = hashed.join(exactStore, Seq("text_md5"), "left_anti")
@@ -448,8 +461,11 @@ object DedupOps extends OpModule {
       bandStore.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
         .filter(col("n") <= bucketCap),
       Seq("band", "bkey"), "left_semi")
-    val sigsNew = minhashSignaturesOf(s, newDocs)
-      .join(rem1.select("doc_id"), Seq("doc_id"), "left_semi")
+    // Tokenize only the docs that survived exact dedup: the semi-join
+    // runs BEFORE signature computation, so exact dups are never hashed.
+    val sigsNew = minhashSignaturesOf(s,
+        newDocs.join(rem1.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
     val cand = bandKeysOf(sigsNew)
       .join(admitted.select(col("band"), col("bkey"), col("doc_id").as("a_id")),
         Seq("band", "bkey"))
@@ -462,6 +478,7 @@ object DedupOps extends OpModule {
       .filter(col("n_agree") >= minAgree)
       .groupBy("doc_id").agg(min("a_id").as("ref_id"))
       .select(col("doc_id"), lit("near_prior").as("status"), col("ref_id"))
+      .localCheckpoint(true) // read by the union AND rem2's anti-join
 
     val rem2 = rem1.join(near.select("doc_id"), Seq("doc_id"), "left_anti")
     val internal = rem2.join(
