@@ -41,4 +41,21 @@ object ScratchDirs {
     catch { case _: UnsupportedOperationException => () } // non-POSIX FS
     new java.io.File(userRoot.toFile, s"${tag}_$digest").getAbsolutePath
   }
+
+  /** As [[keyed]], but with any previous run's content DELETED first —
+    * for artifacts that must start EMPTY, e.g. a streaming checkpoint:
+    * resuming from a leftover run's offsets would silently skip the very
+    * backlog the caller asked to replay. Still a fixed path, so repeated
+    * runs overwrite one directory instead of accumulating temp dirs.
+    */
+  def freshKeyed(tag: String, sourceDir: String): String = {
+    val path = keyed(tag, sourceDir)
+    def rm(f: java.io.File): Unit = {
+      val children = if (Files.isSymbolicLink(f.toPath)) null else f.listFiles()
+      if (children != null) children.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    path
+  }
 }

@@ -67,15 +67,8 @@ object SinkOps extends OpModule {
     def scanned(path: String): Long = {
       val q = s.read.parquet(path).filter(col("l_orderkey").between(key, key + 20))
       q.collect()
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case qs: QueryStageExec => scans(qs.plan)
-        case sc: FileSourceScanExec => Seq(sc)
-        case other => other.children.flatMap(scans)
-      }
-      scans(q.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+      graft.plans.PlanScans.fileScans(q.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
     }
     (scanned(s"$base/sorted"), scanned(s"$base/unsorted"))
   }
@@ -101,9 +94,14 @@ object SinkOps extends OpModule {
         // groups carry tight doc_id min/max stats, so later point/range
         // reads prune row groups (evidence: rowGroupPruneStats +
         // SourcesSpec; order does not change the audit, which is
-        // order-free by construction)
+        // order-free by construction). `lang` leads the sort so it
+        // satisfies the file writer's required ordering for
+        // partitionBy("lang") by prefix — otherwise the writer inserts
+        // its OWN sort on lang alone, and once that sort spills its
+        // merge is not stable, interleaving the doc_id runs and
+        // silently widening every row group's min/max again.
         Tables(s, dir, "documents")
-          .sortWithinPartitions("doc_id")
+          .sortWithinPartitions("lang", "doc_id")
           .write.mode("overwrite").partitionBy("lang")
           .option("compression", "gzip").parquet(out)
         s.read.parquet(out)

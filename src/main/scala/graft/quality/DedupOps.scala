@@ -496,8 +496,13 @@ object DedupOps extends OpModule {
     * fingerprints — additive, no rebuild, no re-scan of prior corpora.
     * `keptDocs` is the new snapshot restricted to `kept` verdicts (the
     * caller filters; `dup_new` survivors are already represented by
-    * their keeper's hash). Dedup on the exact side keeps the earliest
-    * ref per content hash, so replaying the same snapshot is idempotent.
+    * their keeper's hash). Every table dedups after the union — exact
+    * keeps the earliest ref per content hash, sigs one row per doc_id,
+    * bands one row per (doc_id, band) — so replaying the same snapshot
+    * (the crash-between-store-write-and-commit retry) is idempotent on
+    * ALL three tables; duplicated sig/band rows would otherwise inflate
+    * band-bucket counts toward [[IncrementalBucketCap]] and silently
+    * drop genuine near-dup candidates on later runs.
     */
   def updatedFingerprintStore(s: SparkSession, keptDocs: DataFrame,
       exactStore: DataFrame, sigStore: DataFrame, bandStore: DataFrame)
@@ -505,7 +510,9 @@ object DedupOps extends OpModule {
     val (exactNew, sigsNew, bandsNew) = fingerprintStore(s, keptDocs)
     val exact = exactStore.unionByName(exactNew)
       .groupBy("text_md5").agg(min("ref_id").as("ref_id"))
-    (exact, sigStore.unionByName(sigsNew), bandStore.unionByName(bandsNew))
+    (exact,
+      sigStore.unionByName(sigsNew).dropDuplicates("doc_id"),
+      bandStore.unionByName(bandsNew).dropDuplicates("doc_id", "band"))
   }
 
   /** The dd9 query: split `documents` at the median id into a PRIOR

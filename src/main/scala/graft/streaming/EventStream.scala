@@ -74,15 +74,43 @@ object EventStream {
     */
   def catchUpAvailableNow(spark: SparkSession, dir: String, queryName: String,
       maxFilesPerTrigger: Int): (DataFrame, Int) = {
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_catchup").toString
-    val q = hourlyAgg(spark, dir, Some(maxFilesPerTrigger)).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    (spark.table(queryName), q.recentProgress.count(_.numInputRows > 0))
+    // Fixed, pre-cleaned checkpoint path: replay semantics need offsets
+    // to start from ZERO (a leftover checkpoint would resume past the
+    // backlog and emit nothing), and the keyed path keeps repeated
+    // Verify/spec runs from leaking one temp dir per invocation.
+    val ckpt = graft.etl.ScratchDirs.freshKeyed(s"ckpt_catchup_$queryName", dir)
+    // Count data-carrying micro-batches with a listener, NOT
+    // `recentProgress`: that is a ring buffer capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so the
+    // month-of-backlog scenario this function exists for would report a
+    // silently truncated count. The listener bus delivers events in post
+    // order, so once our terminated event lands, every progress event
+    // for this run has been counted.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val nData = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var qid: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == queryName && e.progress.numInputRows > 0)
+          nData.incrementAndGet(): Unit
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (qid != null && e.id == qid) done.countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = hourlyAgg(spark, dir, Some(maxFilesPerTrigger)).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qid = q.id
+      q.awaitTermination()
+      done.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+      (spark.table(queryName), nData.get())
+    } finally spark.streams.removeListener(listener)
   }
 }

@@ -186,10 +186,14 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(replay.values.forall(_ == "exact_prior"),
       s"replayed snapshot not fully suppressed by the updated store: $replay")
-    // and rolling forward with those (now-dup) docs is idempotent on the
-    // exact side: same hash keeps the ORIGINAL ref
-    val (ex2, _, _) = DedupOps.updatedFingerprintStore(spark, kept, ex1, sg1, bd1)
+    // and rolling forward with those (now-dup) docs is idempotent on ALL
+    // THREE tables — same hash keeps the ORIGINAL ref, and the sig/band
+    // sides must not gain duplicate rows (they would inflate band-bucket
+    // counts toward the cap and silently drop near-dup candidates)
+    val (ex2, sg2, bd2) = DedupOps.updatedFingerprintStore(spark, kept, ex1, sg1, bd1)
     assert(ex2.count() == ex1.count(), "re-adding identical content grew the exact store")
+    assert(sg2.count() == sg1.count(), "replayed roll-forward duplicated sig rows")
+    assert(bd2.count() == bd1.count(), "replayed roll-forward duplicated band rows")
   }
 
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {

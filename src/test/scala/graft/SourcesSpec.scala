@@ -63,17 +63,8 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     // and it must actually PRUNE: January 2024 has 8 weekend days of 30
     q.collect()
     // descend through AQE wrappers and query stages to the real scans
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def factScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => factScans(a.executedPlan)
-      case qs: QueryStageExec => factScans(qs.plan)
-      case r: ReusedExchangeExec => factScans(r.child)
-      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty => Seq(s)
-      case other => other.children.flatMap(factScans)
-    }
-    val scans = factScans(q.queryExecution.executedPlan)
+    val scans = plans.PlanScans.fileScans(q.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
     assert(scans.nonEmpty, "no partitioned fact scan found")
     val partsRead = scans.head.metrics("numPartitions").value
     assert(partsRead == 8, s"fact scan read $partsRead partitions, expected 8 weekend days")
