@@ -358,6 +358,233 @@ object TpchOps extends OpModule {
             |       WHERE l2.l_partkey = l.l_partkey)
             |GROUP BY p.p_brand
             |ORDER BY p.p_brand""".stripMargin)
+      }),
+
+    // Q18 large-volume-order shape: IN over a GROUP BY … HAVING subquery.
+    // RewritePredicateSubquery plans the IN as a left semi join against
+    // the aggregated orderkey set — the "filter a fact by an aggregate of
+    // itself" shape. The semi join and the outer lineitem aggregate reuse
+    // the SAME l_orderkey hash partitioning, so AQE schedules one
+    // exchange for both. Quantities are integral doubles ≪ 2^53, so the
+    // HAVING boundary is exact on both engines; top-100 is sort-limit
+    // with o_orderkey tie-break (o_totalprice alone can tie).
+    Q("tpch_q18", Some(
+      """SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("graft_q18_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("graft_q18_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q18_lineitem")
+        s.sql(
+          """SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+            |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+            |FROM graft_q18_customer c JOIN graft_q18_orders o ON c.c_custkey = o.o_custkey
+            |                JOIN graft_q18_lineitem l ON o.o_orderkey = l.l_orderkey
+            |WHERE o.o_orderkey IN (SELECT l_orderkey FROM graft_q18_lineitem
+            |                       GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+            |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+            |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin)
+      }),
+
+    // Q15 top-supplier shape: argmax over an aggregated view — the
+    // revenue CTE is read twice (join side + scalar max), and the scalar
+    // side collapses to a one-row broadcast. Revenue is compared for
+    // EQUALITY in exact DECIMAL (never the double cast): a double
+    // round-trip could split a true tie differently per engine, returning
+    // a different number of co-champions.
+    Q("tpch_q15_shape", Some(
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.r = (SELECT max(r) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "supplier").createOrReplaceTempView("graft_q15_supplier")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q15_lineitem")
+        s.sql(
+          """WITH rev AS (SELECT l_suppkey,
+            |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+            |  FROM graft_q15_lineitem
+            |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            |  GROUP BY l_suppkey)
+            |SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+            |FROM graft_q15_supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+            |WHERE rev.r = (SELECT max(r) FROM rev)
+            |ORDER BY s.s_suppkey""".stripMargin)
+      }),
+
+    // Q22 global-sales-opportunity shape: an uncorrelated scalar AVERAGE
+    // subquery gating the outer scan plus a NOT EXISTS anti join —
+    // "above-average-balance customers with no recent orders". The
+    // average is compared CROSS-MULTIPLIED in DECIMAL (bal·n > sum):
+    // avg-of-double is summation-order-dependent and differs between
+    // engines at the boundary; bal·n and the decimal sum are both exact.
+    Q("tpch_q22_shape", Some(
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+        |       WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("graft_q22_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("graft_q22_orders")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n_cust,
+            |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+            |FROM graft_q22_customer c
+            |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+            |      (SELECT count(*) FROM graft_q22_customer WHERE c_acctbal > 0)
+            |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) FROM graft_q22_customer
+            |       WHERE c_acctbal > 0)
+            |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o
+            |                  WHERE o.o_custkey = c.c_custkey
+            |                    AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+            |GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+      }),
+
+    // Q2 minimum-cost-supplier shape (no partsupp table in this schema,
+    // so lineitem plays the supply catalog): the CORRELATED SCALAR MIN —
+    // each part's cheapest shipment line. Completes the correlated-scalar
+    // family's aggregate coverage (q17 = count+sum, here = min):
+    // RewriteCorrelatedScalarSubquery turns it into a per-partkey MIN
+    // aggregate joined back on the key. The equality compares a RAW
+    // parquet double against a MIN of the same column — pure selection,
+    // no arithmetic — so it is bit-exact on both engines; min(l_suppkey)
+    // collapses price ties deterministically.
+    Q("tpch_q2_shape", Some(
+      """SELECT p.p_brand, l.l_partkey, min(l.l_suppkey) AS supp_key,
+        |  CAST(l.l_extendedprice AS DOUBLE) AS min_price
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand, l.l_partkey, l.l_extendedprice
+        |ORDER BY l.l_partkey""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q2_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("graft_q2_part")
+        s.sql(
+          """SELECT p.p_brand, l.l_partkey, min(l.l_suppkey) AS supp_key,
+            |  CAST(l.l_extendedprice AS DOUBLE) AS min_price
+            |FROM graft_q2_lineitem l JOIN graft_q2_part p ON l.l_partkey = p.p_partkey
+            |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+            |                           FROM graft_q2_lineitem l2
+            |                           WHERE l2.l_partkey = l.l_partkey)
+            |GROUP BY p.p_brand, l.l_partkey, l.l_extendedprice
+            |ORDER BY l.l_partkey""".stripMargin)
+      }),
+
+    // Q11 important-stock shape: HAVING against a GLOBAL scalar subquery
+    // — parts whose shipped value exceeds 1.3× the mean part value. The
+    // threshold is scale-FREE (× mean, not TPC-H's fixed fraction that
+    // must be retuned per SF) and compared in integer CENTS
+    // (round(price·100): exact at any aggregation order on both engines,
+    // and the cross-multiplied product peaks ~2·10^13 ≪ 2^63 at sf0.1;
+    // a DECIMAL cross-multiply here would overflow DuckDB's width-38
+    // product and silently fall back to double). The two scalar
+    // subqueries are one-row broadcasts; the displayed value reuses the
+    // exact DECIMAL sum.
+    Q("tpch_q11_shape", Some(
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) *
+        |       (SELECT count(DISTINCT l_partkey) FROM lineitem) * 10
+        |     > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |        FROM lineitem) * 13
+        |ORDER BY l_partkey""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q11_lineitem")
+        s.sql(
+          """SELECT l_partkey,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+            |FROM graft_q11_lineitem
+            |GROUP BY l_partkey
+            |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) *
+            |       (SELECT count(DISTINCT l_partkey) FROM graft_q11_lineitem) * 10
+            |     > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            |        FROM graft_q11_lineitem) * 13
+            |ORDER BY l_partkey""".stripMargin)
+      }),
+
+    // Q19 discounted-revenue shape: the DISJUNCTION-OF-CONJUNCTIONS join
+    // predicate. Catalyst extracts the common l_partkey = p_partkey
+    // equi-key so this plans as a broadcast HASH join (part is the dim)
+    // with the OR-of-ANDs as a post-probe residual — never a cartesian
+    // nested loop — and pushes the per-side implied disjunctions
+    // (brand ∈ {…} onto part, quantity ∈ [1,50] onto lineitem) into the
+    // scans.
+    Q("tpch_q19_shape", Some(
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)
+        |   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin),
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val pt = Tables(s, dir, "part")
+        val clause = (
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey") && clause)
+          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n"))
+      }),
+
+    // Q12 shipping-mode shape adapted to this schema (no l_shipmode):
+    // join + CONDITIONAL AGGREGATION — per return flag, how many 1997
+    // shipments belonged to high- vs low-priority orders. One keyed
+    // shuffle; the CASE sums are map-side partials; all-integer outputs.
+    Q("tpch_q12_shape", Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
       })
   )
 }

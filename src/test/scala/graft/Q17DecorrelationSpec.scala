@@ -155,6 +155,76 @@ class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
     assert(df.limit(1).collect().nonEmpty)
   }
 
+  test("tpch_q2_shape's correlated scalar MIN decorrelates to a pruned per-partkey aggregate") {
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q2_shape").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val residual = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case s: ScalarSubquery if s.isCorrelated => s
+      })
+    }.flatten
+    assert(residual.isEmpty, s"correlated MIN subquery not decorrelated:\n$opt")
+    // the rewrite: one per-partkey MIN aggregate joined back on the key,
+    // reading only (l_partkey, l_extendedprice) — never the full row
+    // match the DECORRELATED aggregate — grouped on l_partkey alone and
+    // computing min(l_extendedprice) — not the query's own final GROUP BY
+    // (which also groups on l_partkey but carries min(l_suppkey))
+    val partkeyAggs = opt.collect {
+      case a: Aggregate if a.groupingExpressions.size == 1 &&
+        a.groupingExpressions.head.references.exists(_.name == "l_partkey") &&
+        a.aggregateExpressions.exists(e =>
+          e.toString.toLowerCase.contains("min(l_extendedprice")) => a
+    }
+    assert(partkeyAggs.nonEmpty, s"no decorrelated per-partkey MIN aggregate:\n$opt")
+    partkeyAggs.foreach { a =>
+      assert(a.child.output.length <= 2, s"MIN aggregate not column-pruned:\n$a")
+    }
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
+  test("tpch_q18's IN-over-HAVING plans as a semi join against the aggregate") {
+    import org.apache.spark.sql.catalyst.expressions.InSubquery
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q18").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val residual = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect { case i: InSubquery => i })
+    }.flatten
+    assert(residual.isEmpty, s"IN subquery not rewritten:\n$opt")
+    // the semi join's right side is the grouped-HAVING aggregate on
+    // l_orderkey (the "filter a fact by an aggregate of itself" shape)
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no left semi join:\n$opt")
+    val aggUnderSemi = semis.exists(_.right.collectFirst {
+      case a: Aggregate if a.groupingExpressions.exists(_.references.exists(
+        _.name == "l_orderkey")) => a
+    }.isDefined)
+    assert(aggUnderSemi, s"semi join right side is not the orderkey aggregate:\n$opt")
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
+  test("tpch_q22_shape: NOT EXISTS becomes an anti join; only uncorrelated scalars remain") {
+    import org.apache.spark.sql.catalyst.expressions.Exists
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q22_shape").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val residualExists = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect { case e: Exists => e })
+    }.flatten
+    assert(residualExists.isEmpty, s"NOT EXISTS not rewritten:\n$opt")
+    assert(opt.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      s"no left anti join:\n$opt")
+    // the average gate stays as scalar subqueries — but UNCORRELATED
+    // ones (one-row broadcasts computed once), never per-row
+    val corr = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case s: ScalarSubquery if s.isCorrelated => s
+      })
+    }.flatten
+    assert(corr.isEmpty, s"average-gate subquery is correlated:\n$opt")
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
   test("tpch_q21_shape carries BOTH rewrites in one plan: left semi AND left anti") {
     import org.apache.spark.sql.catalyst.expressions.Exists
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
