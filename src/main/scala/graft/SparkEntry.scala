@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[OpModule] = Seq(
     ops.RelationalOps, ops.AggOps, ops.WindowOps, ops.EventOps,
-    ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.TpchOps, ops.ScalarOps,
+    ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.MisraGriesOps,
+    ops.TpchOps, ops.ScalarOps,
     quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.Multimodal,
     quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps)
 
