@@ -376,6 +376,46 @@ object DedupOps extends OpModule {
     */
   val IncrementalBucketCap = 1000
 
+  /** Per-ROW MinHash signatures — bit-identical to
+    * [[minhashSignaturesOf]] but computed as ONE higher-order fold per
+    * document: no explode, no aggregation. This is the STREAMING-safe
+    * form ([[graft.streaming.IncrementalStream]] verdicts arriving docs
+    * against a static store, where the batch explode+groupBy would be a
+    * stateful streaming aggregation needing its own watermark). The
+    * token array is traversed once; the fold accumulator carries all 32
+    * running minima, so tokenization is never repeated per hash
+    * function. Interpreted-HOF cost per row — right for per-micro-batch
+    * arrival rates; the batch corpus scan keeps the codegen
+    * min-aggregate form.
+    */
+  def minhashSigsPerRow(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    val aArr = array(MinhashSeeds.map(x => lit(x._1)): _*)
+    val bArr = array(MinhashSeeds.map(x => lit(x._2)): _*)
+    val tc = transform(array_distinct(split(trim(col("text")), "\\s+")),
+      t => call_function("poly_hash31", t))
+    // min-identity Mod: every code is < Mod, so any token beats it
+    val sig = aggregate(tc, array_repeat(lit(Mod), NumHashes),
+      (acc, t) => transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+        least(element_at(acc, i + 1),
+          (t * element_at(aArr, i + 1) + element_at(bArr, i + 1)) % Mod)))
+    docs.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** As [[bandKeysOf]] but KEEPING the signature column — the streaming
+    * near-dup path needs (band, bkey) for the candidate equi-join and
+    * `sig` for the agreement check in the SAME row, because a second
+    * join back to the stream's own signatures would be stream-stream.
+    */
+  private[graft] def bandedSigs(sigs: DataFrame): DataFrame = {
+    val bandKeys: Seq[Column] = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"), expr(bandKeyExpr(b)).as("bkey"))
+    }
+    sigs.withColumn("bk", explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
   /** (doc_id, band, bkey) — banded LSH keys of each signature. */
   private def bandKeysOf(sigs: DataFrame): DataFrame = {
     val bandKeys: Seq[Column] = (0 until NumBands).map { b =>
