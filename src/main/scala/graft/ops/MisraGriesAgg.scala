@@ -84,8 +84,13 @@ object MisraGriesOps extends OpModule {
         |ORDER BY n DESC, token LIMIT 20""".stripMargin),
       (s, dir) => {
         import s.implicits._
+        // explode_OUTER + null filter, not plain explode:
+        // InferFiltersFromGenerate would push a size(split(...)) > 0
+        // scan filter that tokenizes every document a second time (the
+        // same trap DedupOps.tokenCodesOf documents)
         val toks = Tables(s, dir, "documents")
-          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+          .select(explode_outer(split(trim(col("text")), "\\s+")).as("token"))
+          .filter(col("token").isNotNull)
           .as[String]
         toks.select(MisraGries(Capacity).toColumn.name("m"))
           .select(explode(col("m")).as(Seq("token", "n")))

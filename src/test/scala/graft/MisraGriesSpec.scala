@@ -14,7 +14,8 @@ class MisraGriesSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
   private def tokens = Tables(spark, sf, "documents")
-    .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    .select(explode_outer(split(trim(col("text")), "\\s+")).as("token"))
+    .filter(col("token").isNotNull)
     .as[String]
 
   test("capacity ≥ vocabulary: the sketch equals the exact count on every partitioning") {
