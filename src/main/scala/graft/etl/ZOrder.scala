@@ -59,17 +59,49 @@ object ZOrder {
     val stats = df.agg(
       min(ca).cast("double").as("__amin"), max(ca).cast("double").as("__amax"),
       min(cb).cast("double").as("__bmin"), max(cb).cast("double").as("__bmax"))
-    df.crossJoin(broadcast(stats))
+    val zed = df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(col(ca), col("__amin"), col("__amax"),
         col(cb), col("__bmin"), col("__bmax")))
       .drop("__amin", "__amax", "__bmin", "__bmax")
-      .repartitionByRange(numFiles, col("__z"))
+    writeByZ(zed, path, numFiles, rowGroupBytes)
+  }
+
+  /** The SKEW-ROBUST variant: rank each key by its QUANTILE (256
+    * `approxQuantile` cut points, broadcast as a literal array and
+    * binary-search-free counted with one `filter` HOF) instead of the
+    * linear min/max rank. On a heavy-tailed key the linear rank maps
+    * most rows to one rank cell — every file then overlaps the dense
+    * region and a probe there prunes nothing — while quantile ranks
+    * spread the data evenly by construction. Cost: one approxQuantile
+    * pass (sketch-based, driver holds 2×256 doubles) instead of the
+    * min/max aggregate; the write path is identical.
+    */
+  def zorderWriteQuantile(df: DataFrame, ca: String, cb: String, path: String,
+      numFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024,
+      buckets: Int = 256): Unit = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(cutsA, cutsB) =
+      df.stat.approxQuantile(Array(ca, cb), probs, 0.001)
+    def qrank(v: Column, cuts: Array[Double]): Column =
+      size(filter(array(cuts.map(lit(_)): _*), c => v.cast("double") >= c))
+        .cast("long")
+    // 8-bit quantile ranks spread to alternating bits — coarser cells
+    // than the 16-bit linear rank, but cell POPULATIONS are uniform,
+    // which is the property pruning needs on skewed keys
+    val zed = df.withColumn("__z",
+      spread16(qrank(col(ca), cutsA))
+        .bitwiseOR(shiftleft(spread16(qrank(col(cb), cutsB)), 1)))
+    writeByZ(zed, path, numFiles, rowGroupBytes)
+  }
+
+  private def writeByZ(zed: DataFrame, path: String, numFiles: Int,
+      rowGroupBytes: Long): Unit =
+    zed.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
-  }
 
   /** Measured pruning evidence (PLANS.md + ZOrderSpec): write lineitem
     * once sorted by l_partkey alone and once z-ordered on

@@ -21,6 +21,38 @@ class ZOrderSpec extends AnyFunSuite with SparkSuite {
     assert(zB * 2 < sortedB, s"z-layout B-range $zB not clearly better than single-sort $sortedB")
   }
 
+  test("quantile ranks keep pruning alive on a heavy-tailed key where linear ranks collapse") {
+    import spark.implicits._
+    // heavy-tailed A: 95% of rows in [0, 100], tail out to ~10^7 — the
+    // linear 16-bit rank maps the dense 95% into rank cell 0, so every
+    // file overlaps it; quantile ranks spread those rows across ~all
+    // cells. B uniform.
+    val rng = new scala.util.Random(42)
+    val df = (0 until 60000).map { i =>
+      val a = if (i % 20 == 0) (rng.nextDouble() * 1e7).toLong + 100L
+              else rng.nextInt(100).toLong
+      (a, rng.nextInt(10000).toLong, i.toLong)
+    }.toDF("a", "b", "id")
+    val base = etl.ScratchDirs.keyed("zorder_skew", sf)
+    etl.ZOrder.zorderWrite(df, "a", "b", s"$base/linear", numFiles = 4,
+      rowGroupBytes = 32 * 1024)
+    etl.ZOrder.zorderWriteQuantile(df, "a", "b", s"$base/quantile", numFiles = 4,
+      rowGroupBytes = 32 * 1024)
+    // probe a narrow range INSIDE the dense region
+    def probe(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("a").between(40, 45))
+      q.collect()
+      plans.PlanScans.fileScans(q.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val (lin, quant) = (probe(s"$base/linear"), probe(s"$base/quantile"))
+    val total = df.count()
+    assert(lin > total / 2,
+      s"expected the linear-rank layout NOT to prune inside the dense region: $lin of $total")
+    assert(quant * 2 < lin, s"quantile layout $quant not clearly better than linear $lin")
+    assert(quant < total / 2, s"quantile layout did not prune: $quant of $total")
+  }
+
   test("z-order write preserves content exactly") {
     val base = etl.ScratchDirs.keyed("zorder_roundtrip", sf)
     val li = Tables(spark, sf, "lineitem")
