@@ -585,6 +585,236 @@ object TpchOps extends OpModule {
           .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
             sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
           .orderBy("l_returnflag")
+      }),
+
+    // Q7 volume-shipping shape: bilateral trade between two nation
+    // GROUPS (TPC-H's single pair is empty at sf0.001). Spark-first join
+    // order: nation is broadcast into supplier and customer FIRST, so
+    // the fact side probes a pre-filtered broadcast supplier dim and
+    // only orders⋈customer shuffles by key; the direction disjunction
+    // (A→B or B→A) stays a cheap post-join residual on two low-card
+    // string columns. Revenue sums in exact DECIMAL (order-free).
+    Q("tpch_q7_shape", Some(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |                JOIN orders ON o_orderkey = l_orderkey
+        |                JOIN customer ON c_custkey = o_custkey
+        |                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |          AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8'))
+        |      OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+        |          AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                       AND TIMESTAMP '1997-12-31 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      (s, dir) => {
+        val gA = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+        val gB = Seq("NATION_5", "NATION_6", "NATION_7", "NATION_8")
+        val nat = Tables(s, dir, "nation").filter(col("n_name").isin(gA ++ gB: _*))
+        val supp = Tables(s, dir, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables(s, dir, "customer")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1996-01-01 00:00:00").cast("timestamp"),
+            lit("1997-12-31 00:00:00").cast("timestamp")))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation").isin(gA: _*) && col("cust_nation").isin(gB: _*)) ||
+                  (col("supp_nation").isin(gB: _*) && col("cust_nation").isin(gA: _*)))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // Q8 national-market-share shape: NATION_1's share of PROMO-part
+    // revenue sold to ASIA customers, per order year. Both CASE-gated
+    // sums accumulate in exact DECIMAL (ELSE 0, not NULL, so a year with
+    // no target-nation sales divides 0 — not NULL — identically on both
+    // engines); the ratio is a single double division of two exact
+    // casts. part/supplier/nation/region are all broadcast dims; the
+    // only keyed shuffles are lineitem⋈orders and orders⋈customer.
+    Q("tpch_q8_shape", Some(
+      """SELECT o_year,
+        |  CAST(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |     / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |    n1.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |            JOIN supplier ON s_suppkey = l_suppkey
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |            JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                        AND TIMESTAMP '1997-12-31 00:00:00')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin),
+      (s, dir) => {
+        val volume = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))
+        val asiaNat = Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("asia_nationkey"))
+        val suppNat = Tables(s, dir, "supplier")
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part").filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, dir, "orders")
+            .filter(col("o_orderdate").between(
+              lit("1996-01-01 00:00:00").cast("timestamp"),
+              lit("1997-12-31 00:00:00").cast("timestamp"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNat), col("c_nationkey") === col("asia_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("nation") === "NATION_1", volume)
+              .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 4)))).cast("double") /
+             sum(volume).cast("double")).as("mkt_share"),
+            count(lit(1)).as("n"))
+          .orderBy("o_year")
+      }),
+
+    // Q9 product-type-profit shape (no partsupp, so profit is plain
+    // discounted revenue): LIKE-filtered part broadcast into the fact,
+    // supplier-nation rollup per ship year. The '%widget%' contains-scan
+    // prunes part before the join; nation/supplier ride as broadcasts so
+    // the aggregate is the only keyed shuffle.
+    Q("tpch_q9_shape", Some(
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS amount
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |                JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%')
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part").filter(col("p_name").contains("widget"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // Q10 returned-item-revenue shape: top-20 customers by refund-flagged
+    // revenue in a quarter. Sort key is the exact-DECIMAL-derived double
+    // (identical on both engines) with c_custkey as the tie-break, so
+    // LIMIT 20 cuts deterministically.
+    Q("tpch_q10_shape", Some(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // Q14 promotion-effect shape: single-row ratio of PROMO-part revenue
+    // to total revenue in a quarter. Both sums accumulate in exact
+    // DECIMAL (ELSE 0 keeps the numerator non-NULL when no PROMO rows);
+    // the 100·x/y is one double expression evaluated left-to-right
+    // identically on both engines. part is a broadcast dim.
+    Q("tpch_q14_shape", Some(
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume
+        |                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |          / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS promo_revenue,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin),
+      (s, dir) => {
+        val volume = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .join(broadcast(Tables(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) * sum(when(col("p_type") === "PROMO", volume)
+              .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 4)))).cast("double") /
+             sum(volume).cast("double")).as("promo_revenue"),
+            count(lit(1)).as("n"))
+      }),
+
+    // Q16 supplier-count shape (lineitem plays the partsupp catalog):
+    // COUNT(DISTINCT) per part attribute triple with a NOT IN exclusion
+    // subquery — Spark plans the NOT IN as a null-aware anti against the
+    // (tiny, broadcast) negative-balance supplier list, and the distinct
+    // count as a two-phase partial-distinct aggregate. Goes through
+    // spark.sql so the subquery rewrite itself is exercised.
+    Q("tpch_q16_shape", Some(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q16_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("graft_q16_part")
+        Tables(s, dir, "supplier").createOrReplaceTempView("graft_q16_supplier")
+        s.sql(
+          """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            |FROM graft_q16_lineitem JOIN graft_q16_part ON p_partkey = l_partkey
+            |WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 7)
+            |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+            |                        WHERE s_acctbal < 0)
+            |GROUP BY p_brand, p_type, p_size
+            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
       })
   )
 }
