@@ -112,6 +112,64 @@ object SinkOps extends OpModule {
             min(expr(rowFp)).as("fp_min"),
             max(expr(rowFp)).as("fp_max"))
           .orderBy("lang")
+      }),
+
+    // JSONL sink/source round-trip (the interchange format every
+    // LLM-corpus pipeline speaks): export `documents` as gzipped JSON
+    // lines, read it back with an EXPLICIT schema — at 100 TB schema
+    // inference would be a second full scan before the first real one —
+    // and run the same order-free per-language digest audit as k1, which
+    // DuckDB recomputes from the SOURCE table. Any row dropped or any
+    // string mangled by the JSON escape/unescape cycle breaks fp_min/
+    // fp_max. Same scale shape as k1: shuffle-free write, map-side
+    // partial audit aggregation.
+    Q("k5_jsonl_roundtrip", Some(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+         |  min($rowFp) AS fp_min, max($rowFp) AS fp_max
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val out = ScratchDirs.keyed("k5_jsonl", dir)
+        val docs = Tables(s, dir, "documents")
+        docs.write.mode("overwrite").option("compression", "gzip").json(out)
+        s.read.schema(docs.schema).json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").as("id_sum"),
+            sum(length(col("text")).cast("long")).as("chars_sum"),
+            min(expr(rowFp)).as("fp_min"),
+            max(expr(rowFp)).as("fp_max"))
+          .orderBy("lang")
+      }),
+
+    // CSV sink/source round-trip: RFC-4180 double-quote escaping on both
+    // sides (Spark's default escape is backslash — a silent corruption
+    // source against every other CSV reader), multiLine read so embedded
+    // newlines survive, explicit schema for the same no-inference-scan
+    // reason as k5. The k1 digest audit gates the quote/escape cycle.
+    Q("k6_csv_roundtrip", Some(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+         |  min($rowFp) AS fp_min, max($rowFp) AS fp_max
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val out = ScratchDirs.keyed("k6_csv", dir)
+        val docs = Tables(s, dir, "documents")
+        docs.write.mode("overwrite")
+          .option("header", "true").option("quote", "\"").option("escape", "\"")
+          .option("compression", "gzip").csv(out)
+        s.read.schema(docs.schema)
+          .option("header", "true").option("quote", "\"").option("escape", "\"")
+          .option("multiLine", "true").csv(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").as("id_sum"),
+            sum(length(col("text")).cast("long")).as("chars_sum"),
+            min(expr(rowFp)).as("fp_min"),
+            max(expr(rowFp)).as("fp_max"))
+          .orderBy("lang")
       })
   )
 }
