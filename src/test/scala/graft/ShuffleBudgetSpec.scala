@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shuffle-budget regression net: every SparkEntry query's INITIAL
+  * physical plan is pinned to its current shuffle-exchange count
+  * (measured by `runMain ShuffleCount` at sf0.001 — broadcast exchanges
+  * excluded, they are the cheap alternative these budgets push toward).
+  * A query whose plan silently gains an Exchange — a stats change
+  * flipping a broadcast to a shuffle join, a new non-prefix sort, an
+  * accidental repartition — fails here long before it shows up as a
+  * 100 TB regression. Counts may DROP (improvement): the assertion is
+  * count <= budget; tighten the table when they do.
+  *
+  * dd9_incremental_dedup is exempt: its plan shape depends on whether
+  * the persisted fingerprint store exists (bootstrap vs roll-forward),
+  * which this suite does not control.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
+
+  private val budgets: Map[String, Int] = Map(
+    "a10_rollup" -> 2,
+    "a10b_cube" -> 2,
+    "a10c_grouping_sets" -> 2,
+    "a11_quantiles" -> 2,
+    "a11b_quantiles_exact" -> 2,
+    "a1_mode_majority" -> 3,
+    "a2_distinct" -> 2,
+    "a2b_count_distinct" -> 3,
+    "a2c_approx_distinct" -> 2,
+    "a3_dup_audit" -> 2,
+    "a4_count" -> 2,
+    "a5_minmax" -> 2,
+    "a6_avg" -> 2,
+    "a7_histogram" -> 2,
+    "a8_vector_sum" -> 2,
+    "a8b_vector_sum_typed" -> 2,
+    "a9_running_sum" -> 2,
+    "dd1_exact_dedup" -> 2,
+    "dd2_minhash_lsh" -> 11,
+    "dd3_simhash" -> 3,
+    "dd3b_simhash_lsh" -> 14,
+    "dd4_ngram_jaccard" -> 1,
+    "dd4b_shingle_jaccard" -> 1,
+    "dd5_embedding_neardup" -> 0,
+    "dd5b_embedding_lsh_neardup" -> 0,
+    "dd6_dedup_clusters" -> 3,
+    "dd7_embedding_clusters" -> 3,
+    "dd8_chunk_dedup" -> 3,
+    "dd9_incremental_dedup" -> 6,
+    "e1_json_extract" -> 2,
+    "e2_json_typed" -> 1,
+    "j1_hash_join" -> 2,
+    "j2_zip_join" -> 1,
+    "j3_map_lookup" -> 1,
+    "j4b_map_join" -> 2,
+    "j5_radius_join" -> 1,
+    "j6_semi_join" -> 1,
+    "j7_anti_join" -> 1,
+    "j8_asof_join" -> 2,
+    "j9_notin_anti" -> 2,
+    "k1_export_roundtrip" -> 2,
+    "k5_jsonl_roundtrip" -> 2,
+    "k6_csv_roundtrip" -> 2,
+    "mm1_binary_ingest" -> 1,
+    "mm2_chunk_features" -> 1,
+    "mm3_frame_sample" -> 1,
+    "nn1_knn_brute" -> 2,
+    "nn2_lsh_ann" -> 2,
+    "nn3_ivf_ann" -> 12,
+    "nn4_int8_quant" -> 1,
+    "nn5_pq_ann" -> 10,
+    "nn6_ivfpq_ann" -> 6,
+    "p1_project" -> 1,
+    "p2_array_slice" -> 1,
+    "p3_mask_filter" -> 1,
+    "p4_range_filter" -> 1,
+    "p5_key_lookup" -> 1,
+    "p6_entry_index" -> 0,
+    "p7_category_filter" -> 2,
+    "pipe1_clean_corpus" -> 4,
+    "r1_bernoulli_sample" -> 1,
+    "r2_shuffle_epoch" -> 0,
+    "r5_stratified_sample" -> 1,
+    "s1_root_facade" -> 1,
+    "s9_dpp_star" -> 2,
+    "set1_union" -> 2,
+    "set2_except" -> 2,
+    "st1_window_agg" -> 2,
+    "st2_sessionize" -> 2,
+    "st2b_session_window" -> 2,
+    "st3_interval_join" -> 1,
+    "st3b_interval_join_custom" -> 3,
+    "st3c_interval_join_outer" -> 3,
+    "t11_lut_color" -> 1,
+    "t12_cast" -> 1,
+    "t13_date_arith" -> 1,
+    "t14_null_fill" -> 2,
+    "t2_reshape3" -> 1,
+    "t4_pivot" -> 3,
+    "t4b_unpivot" -> 3,
+    "t4c_coo_scatter" -> 2,
+    "t5_elementwise" -> 1,
+    "t6_clip" -> 1,
+    "t7_vector_norm" -> 1,
+    "tpch_q1" -> 2,
+    "tpch_q10_shape" -> 1,
+    "tpch_q11_shape" -> 6,
+    "tpch_q12_shape" -> 2,
+    "tpch_q13" -> 3,
+    "tpch_q14_shape" -> 1,
+    "tpch_q15_shape" -> 4,
+    "tpch_q16_shape" -> 3,
+    "tpch_q17" -> 4,
+    "tpch_q18" -> 3,
+    "tpch_q19_shape" -> 1,
+    "tpch_q20_shape" -> 3,
+    "tpch_q21_shape" -> 2,
+    "tpch_q22_shape" -> 6,
+    "tpch_q2_shape" -> 3,
+    "tpch_q3" -> 1,
+    "tpch_q4" -> 2,
+    "tpch_q5" -> 2,
+    "tpch_q6" -> 1,
+    "tpch_q7_shape" -> 2,
+    "tpch_q8_shape" -> 2,
+    "tpch_q9_shape" -> 2,
+    "v1_voxelize" -> 2,
+    "v2_voxel_labels" -> 3,
+    "v3_threshold" -> 1,
+    "v4_triplet_join" -> 2,
+    "v5_keypoint_score" -> 2,
+    "v5b_keypoint_gauss" -> 2,
+    "v6_sce_lut" -> 1,
+    "w2_topk" -> 0,
+    "w3_ntile" -> 1,
+    "w4_argmax" -> 2,
+    "w5_rank" -> 2,
+    "w6_lag_delta" -> 2,
+    "w7_percent_rank" -> 2,
+    "w8_above_avg" -> 2,
+    "w9_range_frame" -> 2,
+    "x10_repetition" -> 1,
+    "x11_redact" -> 1,
+    "x12_tfidf" -> 6,
+    "x13_source_mixture" -> 4,
+    "x14_budget_select" -> 2,
+    "x15_ngram_topk" -> 1,
+    "x16_heavy_hitters" -> 1,
+    "x1_token_count" -> 1,
+    "x1b_bpe_tokens" -> 1,
+    "x2_quality_score" -> 1,
+    "x3_langid" -> 1,
+    "x4_fingerprint" -> 1,
+    "x5_winnow_fingerprint" -> 1,
+    "x6_string_funcs" -> 1,
+    "x7_seq_packing" -> 2,
+    "x8_split_assign" -> 2,
+    "x9_decontaminate" -> 4)
+
+  private val exempt = Set("dd9_incremental_dedup")
+
+  test("no query's plan exceeds its recorded shuffle-exchange budget") {
+    val over = SparkEntry.all.filterNot(q => exempt(q.name)).flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      val shuffles = "(?m)^\\s*[+:|\\- ]*Exchange ".r.findAllIn(plan).size
+      val budget = budgets.getOrElse(q.name, 0)
+      if (shuffles > budget) Some(s"${q.name}: $shuffles > $budget") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded:\n${over.mkString("\n")}")
+  }
+}
