@@ -112,6 +112,32 @@ object SimilarityOps extends OpModule {
     aggregate(zip_with(emb, cemb, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x) / (nrm * cnrm)
 
+  /** Collapse a (tiny) centroid table to ONE row holding the array of
+    * (cent, cemb, cnrm) structs — the broadcast side of a SHUFFLE-FREE
+    * per-row assignment (see [[nearestCentsCol]]).
+    */
+  private def centArrayRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(
+      struct(col("cent"), col("cemb"), col("cnrm")))).as("cl"))
+
+  /** Per-row top-`keep` centroids WITHOUT a shuffle: score every centroid
+    * in the broadcast `cl` array with the same HOF cosine, sort the
+    * (csim, -cent) structs descending and slice. The lexicographic struct
+    * order reproduces the former `row_number() OVER (ORDER BY csim DESC,
+    * cent ASC)` winner and tiebreak EXACTLY — but as a pure map-side
+    * expression, where the window form shuffled the full table on vec_id.
+    * At 100 TB that window exchange was the dominant cost of every
+    * assignment pass; this is the same arithmetic with zero exchanges.
+    * (`collect_list` above is made order-free by the sort_array wrap;
+    * scoring is order-independent anyway, so the array order only has to
+    * be deterministic, not meaningful.)
+    */
+  private def nearestCentsCol(keep: Int): Column =
+    slice(reverse(array_sort(transform(col("cl"), c => struct(
+      centSim(col("embedding"), col("nrm"),
+        c.getField("cemb"), c.getField("cnrm")).as("csim"),
+      (-c.getField("cent")).as("negc"))))), 1, keep)
+
   /** One Lloyd (k-means) refinement round over the seed centroids: assign
     * every vector to its nearest seed, then take the per-cluster
     * element-wise mean as the refined centroid (cent, cemb: array<double>,
@@ -120,7 +146,8 @@ object SimilarityOps extends OpModule {
     * (VERDICT r3 #6), hence the refinement.
     *
     * Scale + determinism shape: the assignment is one broadcast of the
-    * tiny seed table; the mean is a posexplode → (cent, pos) aggregation
+    * tiny seed table and a per-row argmax over it ([[nearestCentsCol]] —
+    * no shuffle); the mean is a posexplode → (cent, pos) aggregation
     * whose accumulator is DECIMAL(38,12) — exact and order-free, so the
     * refined centroids are bit-identical under any partitioning AND
     * reproducible by DuckDB's decimal sum (a double sum would depend on
@@ -135,12 +162,9 @@ object SimilarityOps extends OpModule {
       .select(col("vec_id").as("cent"), col("embedding").cast("array<double>").as("cemb"),
         col("nrm").as("cnrm"))
     val assigned = base
-      .crossJoin(broadcast(seeds))
-      .withColumn("csim", centSim(col("embedding"), col("nrm"), col("cemb"), col("cnrm")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)))
-      .filter(col("crn") === 1)
-      .select(col("cent"), col("embedding"))
+      .crossJoin(broadcast(centArrayRow(seeds)))
+      .withColumn("best", nearestCentsCol(1).getItem(0))
+      .select((-col("best").getField("negc")).as("cent"), col("embedding"))
     val means = assigned
       .select(col("cent"), posexplode(col("embedding")).as(Seq("pos", "val")))
       .groupBy("cent", "pos")
@@ -157,21 +181,32 @@ object SimilarityOps extends OpModule {
   /** IVF-bucketed ANN: vectors are assigned to their nearest of
     * `nCentroids` Lloyd-refined centroids (the inverted file); a query
     * scans only its `nProbe` closest centroid lists. One broadcast of the
-    * (tiny) centroid table for assignment, then an equi-join on the
-    * centroid id — candidate work is |probed lists|, not |table|.
+    * (tiny) centroid table for assignment — a per-row argmax, no shuffle
+    * ([[nearestCentsCol]]) — then an equi-join on the centroid id:
+    * candidate work is |probed lists|, not |table|.
     */
   def knnIvf(s: SparkSession, dir: String, nQueries: Int, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    val cents = ivfRefinedCentroids(s, dir, nCentroids)
+    // localCheckpoint (eager) truncates the centroid lineage: the Lloyd
+    // round's full-table pass runs ONCE, and the two consumers below
+    // (assignment + probes) broadcast the 16 materialized rows instead
+    // of each re-executing the whole training subplan inside their own
+    // broadcast subtree — the dd9 shared-subplan lesson applied here.
+    val cents = ivfRefinedCentroids(s, dir, nCentroids).localCheckpoint()
+    val centRow = broadcast(centArrayRow(cents))
     def nearestCents(df: DataFrame, keep: Int): DataFrame = df
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", centSim(col("embedding"), col("nrm"), col("cemb"), col("cnrm")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)))
-      .filter(col("crn") <= keep)
+      .crossJoin(centRow)
+      // explode_outer, never explode: InferFiltersFromGenerate would
+      // infer size(arr) > 0 for the non-outer form and re-inline the
+      // scored-array expression below the projection (the x9 trap); the
+      // slice is never empty, so outer is lossless.
+      .withColumn("sel", explode_outer(nearestCentsCol(keep)))
+      .filter(col("sel").isNotNull)
+      .withColumn("cent", -col("sel").getField("negc"))
+      .drop("cl", "sel")
     val assigned = nearestCents(base, 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent"))
     val probes = nearestCents(base.filter(col("vec_id") < nQueries), nProbe)
@@ -402,16 +437,22 @@ object SimilarityOps extends OpModule {
         val e = dims(Tables(s, dir, "embeddings"), "e")
         val k = dims(Tables(s, dir, "embeddings").filter(col("vec_id") < 5), "k")
           .withColumnRenamed("vec_id", "kp_id")
-        val d2 = (col("e0") - col("k0")) * (col("e0") - col("k0")) +
-          (col("e1") - col("k1")) * (col("e1") - col("k1")) +
-          (col("e2") - col("k2")) * (col("e2") - col("k2")) +
-          (col("e3") - col("k3")) * (col("e3") - col("k3"))
-        e.crossJoin(broadcast(k))
-          .withColumn("score", lit(1.0) / (lit(1.0) + d2))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("score").desc, col("kp_id").asc)))
-          .filter(col("rn") === 1)
-          .select("vec_id", "kp_id", "score")
+        // per-row argmax over the 5-struct broadcast array — same winner
+        // and kp_id tiebreak as the former vec_id window, zero shuffles
+        // on the scored table (the nearestCentsCol pattern)
+        val kl = broadcast(k.agg(sort_array(collect_list(struct(
+          col("kp_id"), col("k0"), col("k1"), col("k2"), col("k3")))).as("kl")))
+        def d2(kp: Column) =
+          (col("e0") - kp.getField("k0")) * (col("e0") - kp.getField("k0")) +
+          (col("e1") - kp.getField("k1")) * (col("e1") - kp.getField("k1")) +
+          (col("e2") - kp.getField("k2")) * (col("e2") - kp.getField("k2")) +
+          (col("e3") - kp.getField("k3")) * (col("e3") - kp.getField("k3"))
+        e.crossJoin(kl)
+          .withColumn("best", array_max(transform(col("kl"), kp => struct(
+            (lit(1.0) / (lit(1.0) + d2(kp))).as("score"),
+            (-kp.getField("kp_id")).as("negk")))))
+          .select(col("vec_id"), (-col("best").getField("negk")).as("kp_id"),
+            col("best").getField("score").as("score"))
           .orderBy("vec_id")
       }),
 
@@ -539,17 +580,22 @@ object SimilarityOps extends OpModule {
       val e = dims(Tables(s, dir, "embeddings"), "e")
       val k = dims(Tables(s, dir, "embeddings").filter(col("vec_id") < 5), "k")
         .withColumnRenamed("vec_id", "kp_id")
-      val d2 = (col("e0") - col("k0")) * (col("e0") - col("k0")) +
-        (col("e1") - col("k1")) * (col("e1") - col("k1")) +
-        (col("e2") - col("k2")) * (col("e2") - col("k2")) +
-        (col("e3") - col("k3")) * (col("e3") - col("k3"))
+      // same shuffle-free per-row argmax as v5; ranks on the RAW exp
+      // score (see the determinism caveat above), rounds only the output
+      val kl = broadcast(k.agg(sort_array(collect_list(struct(
+        col("kp_id"), col("k0"), col("k1"), col("k2"), col("k3")))).as("kl")))
+      def d2(kp: Column) =
+        (col("e0") - kp.getField("k0")) * (col("e0") - kp.getField("k0")) +
+        (col("e1") - kp.getField("k1")) * (col("e1") - kp.getField("k1")) +
+        (col("e2") - kp.getField("k2")) * (col("e2") - kp.getField("k2")) +
+        (col("e3") - kp.getField("k3")) * (col("e3") - kp.getField("k3"))
       val sigma2 = 100.0 // σ = 10, as in the reference
-      e.crossJoin(broadcast(k))
-        .withColumn("score", exp(-d2 / sigma2))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("score").desc, col("kp_id").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("kp_id"), round(col("score"), 9).as("score"))
+      e.crossJoin(kl)
+        .withColumn("best", array_max(transform(col("kl"), kp => struct(
+          exp(-d2(kp) / sigma2).as("score"),
+          (-kp.getField("kp_id")).as("negk")))))
+        .select(col("vec_id"), (-col("best").getField("negk")).as("kp_id"),
+          round(col("best").getField("score"), 9).as("score"))
         .orderBy("vec_id")
     }),
 

@@ -67,7 +67,7 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "mm3_frame_sample" -> 1,
     "nn1_knn_brute" -> 2,
     "nn2_lsh_ann" -> 2,
-    "nn3_ivf_ann" -> 12,
+    "nn3_ivf_ann" -> 4,
     "nn4_int8_quant" -> 1,
     "nn5_pq_ann" -> 10,
     "nn6_ivfpq_ann" -> 6,
