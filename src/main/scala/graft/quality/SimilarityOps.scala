@@ -674,18 +674,46 @@ object SimilarityOps extends OpModule {
     * one broadcast of the 32-row seed table, one partial-aggregated
     * argmin, one keyed mean over 4·8·16 = 512 groups.
     */
+  /** One-row broadcast of a PQ codebook (s, cid, cent) as a sorted
+    * struct array — the shuffle-free encode side (the nearestCentsCol
+    * pattern applied to subspace codebooks).
+    */
+  private def codebookRow(cb: DataFrame): DataFrame =
+    cb.agg(sort_array(collect_list(struct(col("s"), col("cid"), col("cent")))).as("cb"))
+
+  /** Per-row PQ code for subspace `si` of float-array column `arr`:
+    * argmin over the broadcast `cb` array filtered to s = si, as the
+    * lexicographic array_min of (d2, cid) structs — the SAME winner and
+    * cid tiebreak as the former broadcast-join + partial-aggregated
+    * `min(struct(d2, cid))`, but as a pure map-side expression: the old
+    * shape still shuffled the 4×|table| exploded subvector stream into
+    * its (vec_id, s) aggregate; this shuffles nothing. The l2sq kernel
+    * implements nullSafeEval, so it evaluates inside the (interpreted)
+    * HOF lambda with the same sequential-fold arithmetic the oracle
+    * replays.
+    */
+  private def pqCodeCol(arr: Column, si: Int): Column = {
+    val sub = slice(arr, si * PqSubDim + 1, PqSubDim)
+    array_min(transform(
+      filter(col("cb"), c => c.getField("s") === lit(si)),
+      c => struct(l2sq(sub, c.getField("cent")).as("d2"), c.getField("cid").as("cid"))))
+      .getField("cid")
+  }
+
   private[graft] def pqRefinedCodebook(s: SparkSession, dir: String): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
-    val subs = pqSubspaces(Tables(s, dir, "embeddings"))
     val seeds = pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < PqK))
       .select(col("vec_id").as("cid"), col("s"), col("subv").as("cent"))
-    val assigned = subs.join(broadcast(seeds), Seq("s"))
-      .withColumn("d2", l2sq(col("subv"), col("cent")))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"),
-        first(col("subv")).as("subv")) // constant within the (vec_id, s) group
-    assigned
-      .select(col("s"), col("cid"), posexplode(col("subv")).as(Seq("pos", "v")))
+    // per-row encode (zero-shuffle), then the keyed mean over 512 groups
+    val enc = Tables(s, dir, "embeddings")
+      .crossJoin(broadcast(codebookRow(seeds)))
+      .select(posexplode_outer(array((0 until PqM).map(si => struct(
+        lit(si).as("s"), pqCodeCol(col("embedding"), si).as("cid"),
+        slice(col("embedding"), si * PqSubDim + 1, PqSubDim).as("subv"))): _*))
+        .as(Seq("i", "a")))
+    enc
+      .select(col("a.s").as("s"), col("a.cid").as("cid"),
+        posexplode_outer(col("a.subv")).as(Seq("pos", "v")))
       .groupBy("s", "cid", "pos")
       .agg((sum(col("v").cast("double")
         .cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
@@ -702,17 +730,21 @@ object SimilarityOps extends OpModule {
   def knnPq(s: SparkSession, dir: String, nQueries: Int, k: Int,
       refined: Boolean = true): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
-    val subs = pqSubspaces(Tables(s, dir, "embeddings"))
-    val cents = if (refined) pqRefinedCodebook(s, dir)
+    // localCheckpoint: the codebook's own full-table Lloyd pass runs
+    // once, not once per broadcast consumer (codes + dtab) — the same
+    // lineage truncation as nn3's centroids
+    val cents = (if (refined) pqRefinedCodebook(s, dir)
     else pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < PqK))
-      .select(col("vec_id").as("cid"), col("s"), col("subv").as("cent"))
-    // encode: nearest centroid per (vector, subspace); min over (d2, cid)
-    // structs = deterministic argmin with id tie-break, partial-aggregated
-    val codes = subs.join(broadcast(cents), Seq("s"))
-      .withColumn("d2", l2sq(col("subv"), col("cent")))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
-      .select(col("vec_id"), col("s"), col("mn").getField("cid").as("code"))
+      .select(col("vec_id").as("cid"), col("s"), col("subv").as("cent")))
+      .localCheckpoint()
+    // encode: per-row argmin over the broadcast codebook array
+    // (pqCodeCol) — no exploded-stream shuffle
+    val codes = Tables(s, dir, "embeddings")
+      .crossJoin(broadcast(codebookRow(cents)))
+      .select(col("vec_id"), posexplode_outer(array((0 until PqM).map(si => struct(
+        lit(si).as("s"), pqCodeCol(col("embedding"), si).as("code"))): _*))
+        .as(Seq("i", "a")))
+      .select(col("vec_id"), col("a.s").as("s"), col("a.code").as("code"))
     // per-query subspace distance tables: nQueries × m × k rows — tiny
     val dtab = pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < nQueries))
       .join(broadcast(cents), Seq("s"))
@@ -746,24 +778,38 @@ object SimilarityOps extends OpModule {
       .select(df.columns.filter(c => c != arr).map(col) :+
         posexplode_outer(array((0 until PqM).map(si =>
           slice(col(arr), si * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", out)): _*)
-    // coarse assignment: argmin L2 over the broadcast centroid table,
-    // partial-aggregated struct-min; residual in the list centroid frame
-    val asg = base.crossJoin(broadcast(coarse))
-      .withColumn("d2c", l2sq(col("embedding"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2c"), col("cell"))).getField("cell").as("cell"),
-        first(col("embedding")).as("embedding")) // constant within the group
-      .join(broadcast(coarse), Seq("cell"))
+    // coarse assignment: per-row argmin over the broadcast centroid
+    // array (the nearestCentsCol pattern, L2 flavor) — same (d2, cell)
+    // winner and tiebreak as the former crossJoin + groupBy(vec_id)
+    // struct-min, but zero shuffles and no argmin-then-rejoin; the
+    // chosen centroid rides along in the struct so the residual needs
+    // no second broadcast join
+    val coarseRow = broadcast(coarse.agg(sort_array(collect_list(
+      struct(col("cell"), col("cemb")))).as("cl")))
+    val asg = base.crossJoin(coarseRow)
+      .withColumn("best", array_min(transform(col("cl"), c => struct(
+        l2sq(col("embedding"), c.getField("cemb")).as("d2c"),
+        c.getField("cell").as("cell"), c.getField("cemb").as("cemb")))))
+      .select(col("vec_id"), col("best").getField("cell").as("cell"),
+        zip_with(col("embedding"), col("best").getField("cemb"),
+          (x, y) => x - y).as("res"))
+    // codebook seeds: residual subvectors of the first PqK non-centroid
+    // vectors (filter BEFORE the subspace explode — it commutes and
+    // prunes the scan); localCheckpoint so the 32 rows materialize once
+    // for both consumers (codes + dtab)
+    val book = subspaces(
+      asg.filter(col("vec_id") >= nCoarse && col("vec_id") < nCoarse + PqK),
+      "res", "subv")
+      .select((col("vec_id") - nCoarse).as("cid"), col("s"), col("subv").as("cent"))
+      .localCheckpoint()
+    // encode: per-row argmin over the broadcast codebook (pqCodeCol) —
+    // no exploded-stream shuffle
+    val codes = asg.crossJoin(broadcast(codebookRow(book)))
       .select(col("vec_id"), col("cell"),
-        zip_with(col("embedding"), col("cemb"), (x, y) => x - y).as("res"))
-    val resSubs = subspaces(asg, "res", "subv")
-    val book = resSubs
-      .filter(col("vec_id") >= nCoarse && col("vec_id") < nCoarse + PqK)
-      .select((col("vec_id") - nCoarse).as("pcid"), col("s"), col("subv").as("pcent"))
-    val codes = resSubs.join(broadcast(book), Seq("s"))
-      .withColumn("d2", l2sq(col("subv"), col("pcent")))
-      .groupBy("vec_id", "cell", "s")
-      .agg(min(struct(col("d2"), col("pcid"))).getField("pcid").as("code"))
+        posexplode_outer(array((0 until PqM).map(si => struct(
+          lit(si).as("s"), pqCodeCol(col("res"), si).as("code"))): _*))
+          .as(Seq("i", "a")))
+      .select(col("vec_id"), col("cell"), col("a.s").as("s"), col("a.code").as("code"))
     // query side: nProbe nearest lists, residual per probed list
     val probes = base.filter(col("vec_id") < nQueries)
       .crossJoin(broadcast(coarse))
@@ -775,8 +821,8 @@ object SimilarityOps extends OpModule {
         zip_with(col("embedding"), col("cemb"), (x, y) => x - y).as("qres"))
     val dtab = subspaces(probes, "qres", "qsubv")
       .join(broadcast(book), Seq("s"))
-      .select(col("qid"), col("cell"), col("s"), col("pcid").as("code"),
-        l2sq(col("qsubv"), col("pcent")).as("d2q"))
+      .select(col("qid"), col("cell"), col("s"), col("cid").as("code"),
+        l2sq(col("qsubv"), col("cent")).as("d2q"))
     codes.join(broadcast(dtab), Seq("cell", "s", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")

@@ -69,7 +69,7 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "nn2_lsh_ann" -> 2,
     "nn3_ivf_ann" -> 4,
     "nn4_int8_quant" -> 1,
-    "nn5_pq_ann" -> 10,
+    "nn5_pq_ann" -> 4,
     "nn6_ivfpq_ann" -> 6,
     "p1_project" -> 1,
     "p2_array_slice" -> 1,
