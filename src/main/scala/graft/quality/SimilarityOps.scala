@@ -605,12 +605,13 @@ object SimilarityOps extends OpModule {
     // 8 per-subspace centroids (seed subvectors of vectors 0..7 refined
     // by one Lloyd round — pqRefinedCodebook, nn3's pattern), and query
     // distance is the classic ADC sum of per-subspace lookup-table
-    // entries. Spark shape: the
-    // 32-row codebook broadcasts; encoding is one explode(m=4) +
-    // broadcast join + partial-aggregated argmin (min over (d2, cid)
-    // structs — no window, no extra shuffle); ADC joins the codes against
-    // the tiny broadcast per-query distance tables and sums the m=4
-    // entries in DECIMAL so the result is order-free and oracle-exact.
+    // entries. Spark shape: the 32-row codebook broadcasts as ONE row
+    // holding a struct array, and encoding is a per-row struct-argmin
+    // over it (pqCodeCol — zero shuffles; the former explode + keyed
+    // argmin shuffled the 4×|table| subvector stream); ADC joins the
+    // codes against the tiny broadcast per-query distance tables and
+    // sums the m=4 entries in DECIMAL so the result is order-free and
+    // oracle-exact.
     // Distances use the codegen float_l2sq kernel (same sequential-fold
     // contract as float_dot, bit-identical to the oracle's list lambdas).
     Q("nn5_pq_ann", Some(pqOracleSql),
@@ -625,8 +626,9 @@ object SimilarityOps extends OpModule {
     // Search probes nProbe lists; the ADC tables are computed per
     // (query, probed list) against the query's OWN residual in that
     // list's frame. Scale shape: the 16-row coarse table and 32-row
-    // codebook broadcast; assignment and encode are partial-aggregated
-    // struct-min argmins (no windows on the data side); candidates only
+    // codebook broadcast as one-row struct arrays; assignment and
+    // encode are per-row struct-argmins over them (zero data-side
+    // shuffles, zero windows); candidates only
     // ever meet the tiny broadcast distance tables through a
     // (cell, subspace, code) equi-join — work is |probed lists|, memory
     // is 4 code bytes per vector. Fully oracled: every step is the same
