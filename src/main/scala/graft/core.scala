@@ -41,17 +41,54 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = fanout(spark, {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as a nanosecond Long and convert to a
-      // microsecond TimestampType column. `div` keeps the arithmetic in
-      // exact integer space (a double division would lose precision at
-      // ~1.7e18 ns epoch values).
-      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      EventTs.enableLegacyNanos(spark)
+      EventTs.normalize(spark.read.parquet(s"$dir/events.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   })
+}
+
+/** The driver has shipped `events.ts` in two physical layouts across
+  * testdata generations: parquet TIMESTAMP(NANOS) (readable only as a
+  * ns Long under `spark.sql.legacy.parquet.nanosAsLong` — the vectorized
+  * reader rejects nanos) and parquet TIMESTAMP(MICROS) without UTC
+  * adjustment (read as TIMESTAMP_NTZ). Consumers must see ONE shape, so
+  * every events read funnels through [[normalize]]: a session-zoned
+  * TimestampType `ts`. Sessions run UTC, so the NTZ→LTZ cast preserves
+  * the instant exactly; the ns path divides in exact integer space (a
+  * double division would lose precision at ~1.7e18 ns epoch values).
+  */
+object EventTs {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  /** Enable the legacy ns-long read path (no-op where unsupported);
+    * call before any parquet read that might hit TIMESTAMP(NANOS).
+    */
+  def enableLegacyNanos(spark: SparkSession): Unit =
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+
+  /** Batch-probe the parquet schema of `path` (file or staged stream
+    * directory) — streaming sources need an explicit schema, and only
+    * the footer knows which generation the files are.
+    */
+  def probeSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    enableLegacyNanos(spark)
+    spark.read.parquet(path).schema
+  }
+
+  /** `ts` in any known layout → session-zoned TimestampType. */
+  def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
+  /** Epoch-µs Long for a `ts` of the given layout (pre-normalization). */
+  def microsCol(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case _ => unix_micros(col("ts"))
+  }
 }
 
 /** Exact decimal-accumulated aggregation helpers.

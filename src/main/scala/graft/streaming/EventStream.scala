@@ -17,6 +17,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** The ns-long fixture schema spec writers use (matches the legacy
+    * TIMESTAMP(NANOS) testdata generation read under nanosAsLong).
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as ns-long
@@ -25,18 +28,27 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-source events stream over `dir` with `ts` normalized to
+    * TimestampType regardless of the parquet generation (ns-long, µs
+    * NTZ, µs UTC — see [[graft.EventTs]]). Streaming needs an explicit
+    * schema up front; the footer of the files already staged supplies
+    * it, so spec fixtures (ns-long) and driver testdata (µs) both read
+    * through the same path.
+    */
+  def eventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(graft.EventTs.probeSchema(spark, dir))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.EventTs.normalize(reader.parquet(dir))
+  }
+
   /** Streaming tumbling-window aggregate over a directory of events
     * parquet files. 10-minute watermark bounds state; output matches
     * st1_window_agg's hourly grain.
     */
   def hourlyAgg(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventSchema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))

@@ -48,12 +48,8 @@ object JoinStream {
       watermark: String = "10 minutes",
       maxFilesPerTrigger: Option[Int] = None,
       joinType: String = "inner"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String, pre: String): DataFrame = {
-      val rd = spark.readStream.schema(EventStream.eventSchema)
-      maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
-      rd.parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      EventStream.eventStream(spark, dir, maxFilesPerTrigger)
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${pre}_id"), col("user_id").as(s"${pre}_user"),
           col("ts").as(s"${pre}_ts"))

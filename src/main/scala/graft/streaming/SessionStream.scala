@@ -117,12 +117,9 @@ object SessionStream {
       watermark: String = "10 minutes")
       : (org.apache.spark.sql.streaming.StreamingQuery, String) = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evs = spark.readStream
-      .schema(EventStream.eventSchema)
-      .parquet(dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
+    val evs = EventStream.eventStream(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts").as("ets"))
       .withWatermark("ets", watermark)
       .as[EvT]
     val closed = evs
@@ -158,13 +155,10 @@ object SessionStream {
   def runWithStateReport(spark: SparkSession, dir: String,
       queryName: String): (DataFrame, StreamStateReport) = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val peak = new StateMetrics.MaxAccumulator
     spark.sparkContext.register(peak, s"$queryName.peakEventsPerKeyBatch")
-    val evs = spark.readStream
-      .schema(EventStream.eventSchema)
-      .parquet(dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val evs = EventStream.eventStream(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .as[Ev]
     val sessions = evs
       .groupByKey(_.user_id)

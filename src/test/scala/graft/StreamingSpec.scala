@@ -382,9 +382,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // a 3-file CHRONOLOGICAL backlog (10-day slices of the events month —
     // interleaved slices would make every batch after the first "late"
     // and the comparison would measure watermark drops, not catch-up)
-    val events = spark.read.parquet(s"$sf/events.parquet") // raw ns-long ts
-    val jan11 = 1704931200L * 1000000000L // 2024-01-11 00:00 UTC in ns
-    val jan21 = 1705795200L * 1000000000L
+    val events = Tables(spark, sf, "events") // ts normalized to TimestampType
+    val jan11 = timestamp_seconds(lit(1704931200L)) // 2024-01-11 00:00 UTC
+    val jan21 = timestamp_seconds(lit(1705795200L))
     val backlog = java.nio.file.Files.createTempDirectory("backlog")
     stageParquet(events.filter(col("ts") < jan11), backlog, "0.parquet")
     stageParquet(events.filter(col("ts") >= jan11 && col("ts") < jan21), backlog, "1.parquet")
