@@ -222,17 +222,63 @@ object SimilarityOps extends OpModule {
       .orderBy("qid", "rnk")
   }
 
-  /** DuckDB twin of [[knnIvf]] (nQueries=10, k=3, nCentroids=16,
-    * nProbe=4, one Lloyd round). `s0`/`a0` replay the seed assignment,
-    * `m` the per-(cluster, position) element mean with the same
-    * DECIMAL(38,12) exact accumulator as the Spark side, `cr` the refined
-    * centroid arrays; then `sim` computes every (vector, refined
-    * centroid) cosine once, assignment keeps rank 1, probing keeps ranks
-    * 1–4 for the query rows, and candidates meet through the centroid id
-    * exactly as the Spark equi-join does. The dot product is the same
-    * sequential double-widened fold as the codegen float_dot kernel.
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+    * corpus with the nn3 IVF coarse quantizer (one Lloyd round), then
+    * mark a vector a duplicate iff some SAME-cluster vector with a lower
+    * id is cosine-similar above `tau`. Candidate pairs never cross a
+    * cluster boundary — the paper's point and the 100 TB shape: pair
+    * work is Σ|cluster|², controlled by the centroid count, never N².
+    * Priority inside an ε-ball is the deterministic id order (the paper
+    * ranks by centroid distance — a keep-quality heuristic, not a
+    * semantics change; id order keeps the verdict reproducible and the
+    * oracle exact). One verdict row per vector.
+    *
+    * Plan shape: the assignment is the shuffle-free per-row argmax over
+    * the broadcast centroid array ([[nearestCentsCol]]), materialized
+    * ONCE (localCheckpoint) because three consumers read it — the pair
+    * join's two sides and the verdict — and would each re-execute the
+    * full argmax subplan otherwise (the dd9 shared-subtree lesson; a
+    * production run persists the assignment table). The pair join
+    * shuffles keyed on the cluster id; the verdict join is keyed on
+    * vec_id against the (small) distinct drop set.
     */
-  private def knnIvfOracleSql: String =
+  def semDedup(s: SparkSession, dir: String, nCentroids: Int = 16,
+      tau: Double = 0.35): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cents = ivfRefinedCentroids(s, dir, nCentroids).localCheckpoint()
+    val assigned = base
+      .crossJoin(broadcast(centArrayRow(cents)))
+      .withColumn("sel", explode_outer(nearestCentsCol(1)))
+      .filter(col("sel").isNotNull)
+      .withColumn("cent", -col("sel").getField("negc"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent"))
+      .localCheckpoint()
+    val l = assigned.select(col("cent"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = assigned.select(col("cent"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = l.join(r, Seq("cent"))
+      .filter(col("a") < col("b") &&
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select("vec_id", "cent")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent"),
+        when(col("is_dup"), lit("dup")).otherwise(lit("keep")).as("status"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared oracle CTE chain for every IVF-assignment consumer (nn3,
+    * dd10): seeds → one Lloyd round in the same DECIMAL(38,12) exact
+    * accumulator as the Spark side → refined centroids → full-table
+    * nearest-centroid assignment. Ends at `asg` (vec_id, embedding,
+    * nrm, cent). The dot product is the same sequential double-widened
+    * fold as the codegen float_dot kernel.
+    */
+  private def ivfAssignCtes: String =
     """WITH n AS (SELECT vec_id, embedding,
       |             sqrt(list_sum(list_transform(embedding,
       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
@@ -261,7 +307,15 @@ object SimilarityOps extends OpModule {
       |rk AS (SELECT vec_id, embedding, nrm, cent,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent ASC) AS crn
       |       FROM sim),
-      |asg AS (SELECT vec_id, embedding, nrm, cent FROM rk WHERE crn = 1),
+      |asg AS (SELECT vec_id, embedding, nrm, cent FROM rk WHERE crn = 1)""".stripMargin
+
+  /** DuckDB twin of [[knnIvf]] (nQueries=10, k=3, nCentroids=16,
+    * nProbe=4, one Lloyd round): the shared [[ivfAssignCtes]] assignment,
+    * then probing keeps ranks 1–4 for the query rows and candidates meet
+    * through the centroid id exactly as the Spark equi-join does.
+    */
+  private def knnIvfOracleSql: String =
+    s"""$ivfAssignCtes,
       |prb AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qn, cent
       |        FROM rk WHERE vec_id < 10 AND crn <= 4),
       |cand AS (SELECT p.qid, a.vec_id AS cid,
@@ -272,6 +326,21 @@ object SimilarityOps extends OpModule {
       |  SELECT qid, cid, cos_sim,
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS BIGINT) AS rnk
       |  FROM cand) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[semDedup]] (nCentroids=16, τ=0.35): the shared
+    * [[ivfAssignCtes]] assignment, then a vector is a duplicate iff some
+    * LOWER-id vector in the SAME cluster is cosine-similar above τ —
+    * the same within-cluster pair join as the Spark side.
+    */
+  private def semDedupOracleSql: String =
+    s"""$ivfAssignCtes,
+      |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+      |          ON a.cent = b.cent AND a.vec_id < b.vec_id
+      |        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.35)
+      |SELECT g.vec_id, g.cent,
+      |       CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'dup' END AS status
+      |FROM asg g LEFT JOIN drp d USING (vec_id) ORDER BY vec_id""".stripMargin
 
   /** DuckDB twin of [[knnLsh]] (nQueries=10, k=3): the plane literals are
     * printed into a VALUES table, signatures are the same sign-of-dot bit
@@ -637,7 +706,16 @@ object SimilarityOps extends OpModule {
     // repeated here — nn3 (coarse) and nn5 (codebook) each prove it
     // independently; nn6 pins the composition.
     Q("nn6_ivfpq_ann", Some(ivfPqOracleSql),
-      (s, dir) => knnIvfPq(s, dir, nQueries = 3, k = 10))
+      (s, dir) => knnIvfPq(s, dir, nQueries = 3, k = 10)) :+
+    // dd10 — SemDeDup: the embedding-space dedup production corpora
+    // actually run (cluster first, then pairs only WITHIN a cluster —
+    // never the all-pairs dd5 shape). τ=0.35 is fixture-calibrated: the
+    // synthetic embeddings carry no true near-dups (max within-cluster
+    // cosine ≈ 0.5), so a production τ≈0.95 would mark nothing at any
+    // SF; the shape is threshold-independent. SimilaritySpec plants an
+    // exact duplicate and pins it dropped.
+    Q("dd10_semdedup", Some(semDedupOracleSql),
+      (s, dir) => semDedup(s, dir, nCentroids = 16, tau = 0.35))
 
   /** Squared-L2 between two float-array columns — codegen'd
     * [[graft.tensor.FloatL2Sq]]; same fold/null contract as [[dot]].

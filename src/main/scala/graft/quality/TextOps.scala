@@ -649,6 +649,76 @@ object TextOps extends OpModule {
               .orderBy(col("n").desc, col("bigram").asc)).cast("long"))
           .select("bigram", "n", "rnk")
           .orderBy("rnk")
+      }),
+
+    // x17 — CCNet-style per-language quality buckets: rank every document
+    // by the x2 quality score WITHIN its language and split head/middle/
+    // tail thirds (the bucketing CCNet uses to keep only the head of each
+    // language's distribution). Per-LANGUAGE windows — the partition
+    // count is the language count, so the sort parallelizes by language
+    // at any scale, never a global order.
+    Q("x17_quality_buckets", Some(
+      s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents)
+        |SELECT doc_id, lang, quality,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM (SELECT doc_id, lang, quality,
+        |        ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS nt
+        |      FROM q) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
+          .withColumn("nt", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("quality"),
+            when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      }),
+
+    // x18 — temperature-scaled multilingual sampling (the α-smoothed
+    // mixture of the mBERT/XLM-R pipelines): draw languages with
+    // p_l ∝ n_l^α, α = 1/2 — sqrt, which is correctly-rounded IEEE on
+    // both engines where a general pow is not — so low-resource
+    // languages are upsampled relative to their corpus share. The
+    // normalizer sums through the Dec decimal accumulator (order-free,
+    // engine-exact); the per-language draw is x13's md5-order
+    // thresholding, stable under repartition/retry; budget T = half the
+    // corpus, capped per language at its pool.
+    Q("x18_temperature_mixture", Some(
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT ${graft.Dec.sqlSum("sqrt(CAST(n AS DOUBLE))")} AS z,
+        |             CAST(sum(n) AS BIGINT) AS total FROM c),
+        |k AS (SELECT c.lang,
+        |        CAST(least(CAST(floor(CAST(total AS DOUBLE) / 2.0 *
+        |          (sqrt(CAST(n AS DOUBLE)) / z)) AS BIGINT), n) AS BIGINT) AS keep_n
+        |      FROM c CROSS JOIN s),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY substr(md5(concat_ws('|', doc_id, 'temp/5')), 1, 8), doc_id)
+        |          AS BIGINT) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rn FROM r JOIN k USING (lang)
+        |WHERE r.rn <= k.keep_n ORDER BY lang, rn""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = c.agg(graft.Dec.dsum(sqrt(col("n").cast("double"))).as("z"),
+          sum(col("n")).cast("long").as("total"))
+        val k = c.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            least(floor(col("total").cast("double") / lit(2.0) *
+              (sqrt(col("n").cast("double")) / col("z"))).cast("long"),
+              col("n")).as("keep_n"))
+        val r = docs.select(col("doc_id"), col("lang"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang")
+            .orderBy(substring(md5(concat_ws("|", col("doc_id"), lit("temp/5"))), 1, 8),
+              col("doc_id"))).cast("long").as("rn"))
+        r.join(broadcast(k), Seq("lang"))
+          .filter(col("rn") <= col("keep_n"))
+          .select(col("doc_id"), col("lang"), col("rn"))
+          .orderBy("lang", "rn")
       })
   )
 }

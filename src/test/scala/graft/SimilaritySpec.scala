@@ -135,4 +135,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     info(s"IVF-PQ recall: $hit of ${exact.size}")
     assert(hit >= 6, s"IVF-PQ recalled only $hit of ${exact.size} exact-L2 pairs")
   }
+
+  test("SemDeDup drops a planted exact duplicate and matches the pairwise rule exactly") {
+    // plant an exact copy of vector 42 under a HIGHER id: same embedding
+    // → same cluster, cosine 1.0 ≥ any τ → the copy must verdict 'dup'
+    // and the original 'keep'
+    val dir = java.nio.file.Files.createTempDirectory("semdedup")
+    val planted = 9042L
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    base.unionAll(base.filter(col("vec_id") === 42L)
+        .withColumn("vec_id", lit(planted)))
+      .coalesce(1).write.parquet(dir.resolve("d").toString)
+    val src = java.nio.file.Files.list(dir.resolve("d"))
+      .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+    val fixDir = java.nio.file.Files.createTempDirectory("semdedup_sf")
+    java.nio.file.Files.copy(src, fixDir.resolve("embeddings.parquet"))
+    val verdict = SimilarityOps.semDedup(spark, fixDir.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdict(planted) == "dup", s"planted copy not dropped: ${verdict(planted)}")
+    assert(verdict(42L) == "keep", s"original dropped: ${verdict(42L)}")
+    // independent recomputation of the pairwise rule on the REAL fixture:
+    // dup(i) ⇔ max cosine to any lower-id same-cluster vector ≥ τ,
+    // via a groupBy-max plan instead of the distinct-join the operator uses
+    graft.tensor.VectorFunctions.register(spark)
+    val b = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        SimilarityOps.l2norm(col("embedding")).as("nrm"))
+    val cents = SimilarityOps.ivfRefinedCentroids(spark, sf, 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cent").asc)
+    val assigned = b.crossJoin(broadcast(cents))
+      .withColumn("csim", SimilarityOps.centSim(
+        col("embedding"), col("nrm"), col("cemb"), col("cnrm")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent"))
+    val l = assigned.select(col("cent"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = assigned.select(col("cent"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val expectedDups = l.join(r, Seq("cent")).filter(col("a") < col("b"))
+      .groupBy(col("b"))
+      .agg(max(SimilarityOps.dot(col("ea"), col("eb")) /
+        (col("na") * col("nb"))).as("mx"))
+      .filter(col("mx") >= 0.35)
+      .collect().map(_.getLong(0)).toSet
+    val got = SimilarityOps.semDedup(spark, sf)
+      .collect().map(r2 => r2.getLong(0) -> r2.getString(2)).toMap
+    assert(got.filter(_._2 == "dup").keySet == expectedDups,
+      "operator verdict disagrees with the independent pairwise-max rule")
+    assert(expectedDups.nonEmpty, "fixture produced no duplicates at τ=0.35")
+  }
 }

@@ -432,4 +432,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.size == want.size, s"expected exactly ${want.size} rows, got ${got.size}")
     assert(got.toSet == want)
   }
+
+  test("RocksDB state store: the production state backend produces the identical aggregate") {
+    // at 100 TB of keyed state the default in-memory/HDFS-backed store
+    // OOMs the executors; RocksDB spills state off-heap to local disk and
+    // is the backend a production deployment configures. The engine's
+    // streaming ops must run on it UNMODIFIED — same watermark semantics,
+    // same results. (The jar ships with Spark; this pins the integration.)
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("rocksdb_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val default = EventStream.runToCompletion(spark, dir.toString, "rocks_base")
+      .collect().map(_.toString).sorted
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStream.runToCompletion(spark, dir.toString, "rocks_test")
+        .collect().map(_.toString).sorted
+      assert(rocks.nonEmpty && rocks.sameElements(default),
+        "RocksDB-backed aggregate differs from the default state store")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
