@@ -271,6 +271,118 @@ object SimilarityOps extends OpModule {
       .orderBy("vec_id")
   }
 
+  /** Top principal component by POWER ITERATION (nn7) — the dimension-
+    * reduction pass an embedding pipeline runs before whitening or
+    * low-dim indexing. Shape at 100 TB: ONE distributed pass builds the
+    * d×d covariance — each row expands to its d² outer-product terms
+    * map-side (no self-join, no row shuffle) and partial aggregation
+    * reduces them to d² groups with DECIMAL-exact sums, so the matrix is
+    * bit-identical under any partitioning. The `iters` fixed iterations
+    * that follow touch ONLY the d²-row C and a d-row v (O(d²) work,
+    * independent of N, each matvec dot and norm summed in DECIMAL →
+    * order-free, engine-exact trajectory); the final per-vector
+    * projection (x−μ)·v is a sequential per-row fold against the
+    * broadcast component. The all-ones start vector pins the sign;
+    * convergence is irrelevant to parity — the oracle unrolls the same
+    * `iters` steps.
+    */
+  def powerPca(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column): Column = sum(c.cast(DecimalType(38, 12))).cast("double")
+    val emb = Tables(s, dir, "embeddings")
+    val cnt = emb.agg(count(lit(1)).cast("long").as("n"))
+    val pv = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), col("p"), col("v").cast("double").as("v"))
+    val mu = pv.groupBy("p").agg((dec(col("v")) / count(lit(1))).as("m"))
+    // outer-product expansion: d² struct terms per row, exploded map-side
+    // and partially aggregated — the ONLY pass whose cost scales with N
+    val xy = emb
+      .select(explode_outer(flatten(transform(col("embedding"), (vp, p) =>
+        transform(col("embedding"), (vq, q) => struct(p.as("p"), q.as("q"),
+          (vp.cast("double") * vq.cast("double")).as("xy")))))).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t.p").as("p"), col("t.q").as("q"))
+      .agg(dec(col("t.xy")).as("sxy"))
+    val muP = mu.select(col("p"), col("m").as("ma"))
+    val muQ = mu.select(col("p").as("q"), col("m").as("mb"))
+    val cov = xy.crossJoin(broadcast(cnt))
+      .join(broadcast(muP), Seq("p")).join(broadcast(muQ), Seq("q"))
+      .select(col("p"), col("q"),
+        (col("sxy") / col("n").cast("double") - col("ma") * col("mb")).as("cv"))
+      .localCheckpoint() // one big pass; iters+1 tiny consumers below
+    var v = mu.select(col("p"), lit(0.125).as("val")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = cov.join(broadcast(v.select(col("p").as("q"), col("val").as("vv"))), Seq("q"))
+        .groupBy("p").agg(dec(col("cv") * col("vv")).as("wv"))
+      val nrm = w.agg(sqrt(dec(col("wv") * col("wv"))).as("nv"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("p"), (col("wv") / col("nv")).as("val"))
+        .localCheckpoint() // 64 rows; keeps the iteration lineage flat
+    }
+    val varr = broadcast(v.agg(transform(array_sort(collect_list(
+      struct(col("p"), col("val")))), x => x.getField("val")).as("varr")))
+    val marr = broadcast(mu.agg(transform(array_sort(collect_list(
+      struct(col("p"), col("m")))), x => x.getField("m")).as("marr")))
+    // The component v is BIT-stable across engines: each iteration's
+    // DECIMAL(38,12) quantization snaps sub-quantum drift, and power
+    // iteration contracts input perturbations geometrically (measured:
+    // v10 identical to an exact-decimal emulation). μ is NOT: DuckDB's
+    // double→DECIMAL cast occasionally lands one 1e-12 quantum off the
+    // exact half-up value Spark's BigDecimal cast produces (measured: one
+    // flipped cast in 500 → 2e-15 on a mean), and that drift enters the
+    // projection linearly. Rounding the emitted score to 9 decimals
+    // absorbs it on both sides — the v5b precedent, same caveat.
+    emb.crossJoin(varr).crossJoin(marr)
+      .select(col("vec_id"),
+        round(aggregate(zip_with(
+          zip_with(col("embedding"), col("marr"), (x, m) => x.cast("double") - m),
+          col("varr"), (c, vv) => c * vv),
+          lit(0.0), (acc, x) => acc + x), 9).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[powerPca]]: the same covariance (per-term double
+    * products, DECIMAL(38,12) sums), the same fixed start vector, and
+    * the same `iters` matvec+normalize steps UNROLLED as CTE triples
+    * (w/n/v per step — recursive CTEs cannot aggregate over their own
+    * recursive reference, and unrolling is exactly what "fixed
+    * iteration count" means). Multi-referenced CTEs are MATERIALIZED:
+    * DuckDB otherwise INLINES a CTE at each reference, and each w_i is
+    * referenced twice (n_i, v_i), so the covariance subtree would be
+    * re-evaluated 2^iters times — measured as a runaway, not a
+    * slowdown.
+    */
+  private def powerPcaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT c.p, CAST(sum(CAST(c.cv * v.val AS DECIMAL(38,12))) AS DOUBLE) AS wv
+         |        FROM cov c JOIN v${i - 1} v ON v.p = c.q GROUP BY c.p),
+         |n$i AS (SELECT sqrt(CAST(sum(CAST(wv * wv AS DECIMAL(38,12))) AS DOUBLE)) AS nv FROM w$i),
+         |v$i AS MATERIALIZED (SELECT p, wv / nv AS val FROM w$i, n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+       |pv AS MATERIALIZED (SELECT vec_id, u.p AS p, u.v AS v FROM (
+       |         SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+       |           i -> {'p': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+       |         FROM embeddings)),
+       |mu AS MATERIALIZED (SELECT p, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+       |       FROM pv GROUP BY p),
+       |xy AS (SELECT a.p AS p, b.p AS q,
+       |         CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+       |       FROM pv a JOIN pv b USING (vec_id) GROUP BY a.p, b.p),
+       |cov AS MATERIALIZED (SELECT xy.p, xy.q,
+       |          sxy / CAST(n AS DOUBLE) - ma.m * mb.m AS cv
+       |        FROM xy CROSS JOIN cnt
+       |        JOIN mu ma ON ma.p = xy.p JOIN mu mb ON mb.p = xy.q),
+       |v0 AS (SELECT p, 0.125 AS val FROM mu),
+       |$steps,
+       |vc AS (SELECT list(val ORDER BY p) AS varr FROM v$iters),
+       |mc AS (SELECT list(m ORDER BY p) AS marr FROM mu)
+       |SELECT vec_id,
+       |  round(list_sum(list_transform(range(1, len(embedding) + 1),
+       |    i -> (CAST(embedding[i] AS DOUBLE) - marr[i]) * varr[i])), 9) AS pc1
+       |FROM embeddings, vc, mc ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared oracle CTE chain for every IVF-assignment consumer (nn3,
     * dd10): seeds → one Lloyd round in the same DECIMAL(38,12) exact
     * accumulator as the Spark side → refined centroids → full-table
@@ -715,7 +827,12 @@ object SimilarityOps extends OpModule {
     // SF; the shape is threshold-independent. SimilaritySpec plants an
     // exact duplicate and pins it dropped.
     Q("dd10_semdedup", Some(semDedupOracleSql),
-      (s, dir) => semDedup(s, dir, nCentroids = 16, tau = 0.35))
+      (s, dir) => semDedup(s, dir, nCentroids = 16, tau = 0.35)) :+
+    // nn7 — distributed PCA top component: one O(N·d²) covariance pass,
+    // then O(d²) power iterations and a map-side projection. The whole
+    // trajectory is decimal-summed, so the oracle replays it exactly.
+    Q("nn7_pca_power", Some(powerPcaOracleSql(10)),
+      (s, dir) => powerPca(s, dir, iters = 10))
 
   /** Squared-L2 between two float-array columns — codegen'd
     * [[graft.tensor.FloatL2Sq]]; same fold/null contract as [[dot]].

@@ -136,6 +136,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(hit >= 6, s"IVF-PQ recalled only $hit of ${exact.size} exact-L2 pairs")
   }
 
+  test("power-iteration PC1 variance dominates every single coordinate axis") {
+    // λ_max ≥ every diagonal entry of the covariance, so the projection
+    // variance onto the (converged) top component must be ≥ the best
+    // single-axis variance; 0.95 head-room absorbs the fixed-10-iteration
+    // truncation. Also pins determinism: two runs are bit-identical.
+    val pc = SimilarityOps.powerPca(spark, sf).collect()
+    val scores = pc.map(_.getDouble(1))
+    val n = scores.length.toDouble
+    val mean = scores.sum / n
+    val pcVar = scores.map(x => (x - mean) * (x - mean)).sum / n
+    val perAxis = Tables(spark, sf, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy("p").agg(var_pop(col("v").cast("double")).as("av"))
+      .agg(max("av")).collect()(0).getDouble(0)
+    assert(pcVar >= 0.95 * perAxis,
+      s"PC1 variance $pcVar below best axis $perAxis")
+    val again = SimilarityOps.powerPca(spark, sf).collect().map(_.getDouble(1))
+    assert(scores.sameElements(again), "power iteration is not deterministic")
+  }
+
   test("SemDeDup drops a planted exact duplicate and matches the pairwise rule exactly") {
     // plant an exact copy of vector 42 under a HIGHER id: same embedding
     // → same cluster, cosine 1.0 ≥ any τ → the copy must verdict 'dup'
