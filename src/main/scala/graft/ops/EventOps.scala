@@ -49,6 +49,28 @@ object EventOps extends OpModule {
               org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
         .orderBy("event_id")),
 
+    // e3 — VariantType ingestion (Spark 4's semi-structured type): parse
+    // the JSON ONCE into a Variant binary value and extract typed fields
+    // with `variant_get` — the open-schema path when props carry MIXED
+    // shapes no single from_json struct covers. At warehouse scale the
+    // Variant binary is what lands in parquet (shredded columns at the
+    // scan in new-enough writers), so extraction is a typed field read,
+    // not per-query string path parsing. The oracle reads the same
+    // values through DuckDB's JSON extraction.
+    Q("e3_variant_extract", Some(
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(when(col("k") > 50, lit(1L)).otherwise(lit(0L))).cast("long").as("n_high"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // T4 — sparse→dense pivot (COO scatter analog,
     // view_spacepoint_data.ipynb cell-11..13): day × event_type counts.
     Q("t4_pivot", Some(

@@ -25,20 +25,34 @@ object LayoutOps extends OpModule {
   /** Write `events` date-partitioned (30 dirs at every SF — the date
     * span is SF-independent) plus a derived date dim, under a hardened
     * scratch dir keyed on the source sfDir. Returns (factDir, dimDir).
+    *
+    * Idempotent per source GENERATION: the scratch key carries the
+    * source file's (size, mtime) fingerprint, and a completed layout
+    * (both `_SUCCESS` markers present) is reused as-is — the operator
+    * under test is the DPP-pruned star READ, and without the guard
+    * every bench rep re-paid a 30-directory write that belongs to
+    * warehouse setup, not the query. A regenerated testdata file gets a
+    * new fingerprint → a new dir → a fresh write (no staleness).
     */
   def partitionedEventsLayout(s: SparkSession, dir: String): (String, String) = {
-    val base = graft.etl.ScratchDirs.keyed("s9_dpp", dir)
+    val src = new java.io.File(s"$dir/events.parquet")
+    val base = graft.etl.ScratchDirs.keyed(
+      s"s9_dpp_${src.length()}_${src.lastModified()}", dir)
     val factDir = s"$base/events_by_day"
     val dimDir = s"$base/date_dim"
-    val ev = Tables(s, dir, "events")
-      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
-    // date dim: one row per day with derived attributes — the filterable
-    // side of the star (Spark dayofweek: 1 = Sunday … 7 = Saturday)
-    ev.select("event_date").distinct()
-      .withColumn("dow", dayofweek(to_date(col("event_date"))).cast("int"))
-      .withColumn("is_weekend", col("dow") === 1 || col("dow") === 7)
-      .write.mode("overwrite").parquet(dimDir)
+    val done = new java.io.File(factDir, "_SUCCESS").exists() &&
+      new java.io.File(dimDir, "_SUCCESS").exists()
+    if (!done) {
+      val ev = Tables(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
+      // date dim: one row per day with derived attributes — the filterable
+      // side of the star (Spark dayofweek: 1 = Sunday … 7 = Saturday)
+      ev.select("event_date").distinct()
+        .withColumn("dow", dayofweek(to_date(col("event_date"))).cast("int"))
+        .withColumn("is_weekend", col("dow") === 1 || col("dow") === 7)
+        .write.mode("overwrite").parquet(dimDir)
+    }
     (factDir, dimDir)
   }
 

@@ -433,6 +433,48 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSet == want)
   }
 
+  test("transformWithState sessionization equals flatMapGroupsWithState under a time-reversed replay") {
+    // the SAME out-of-order fixture the event-time GroupState test uses,
+    // run through Spark 4's transformWithState (named ValueState +
+    // explicit event-time timers, RocksDB-backed by API requirement):
+    // both implementations must close exactly the batch sessions.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val NsM = 60L * 1000000000L
+    val NsD = 24L * 3600L * 1000000000L
+    val T0 = 1600000000L * 1000000000L
+    def mkEvents(rows: Seq[(Long, Long, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ts, u) =>
+          Row(id, ts, u, "click", 0.0, "{}") }, 1),
+        EventStream.eventSchema)
+    val early = Seq((1L, T0, 1L), (2L, T0 + 10 * NsM, 1L), (10L, T0 + 5 * NsM, 2L))
+    val late = Seq((3L, T0 + 50 * NsM, 1L), (11L, T0 + 20 * NsM, 2L))
+    val sentinel = Seq((99L, T0 + 10 * NsD, 99L))
+    val in = java.nio.file.Files.createTempDirectory("tws_sess_in")
+    def stage(rows: Seq[(Long, Long, Long)], name: String): Unit =
+      stageParquet(mkEvents(rows), in, name)
+    // REVERSED cross-batch arrival: each user's LATER events land in
+    // batch 1, the earlier ones (plus the watermark-advancing sentinel)
+    // after the first drain — membership must still be decided by
+    // watermark, not arrival order
+    stage(late, "0.parquet")
+    val tws = graft.streaming.TwsSessionStream.runToCompletion(
+      spark, in.toString, "tws_sess_test", watermark = "2 hours",
+      stageBetween = Some(() => { stage(early, "1.parquet"); stage(sentinel, "2.parquet") }))
+      .collect().filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // GroupState twin over the same files, same replay shape
+    val gs = graft.streaming.SessionStream.runEventTimeToCompletion(
+      spark, in.toString, "tws_gs_twin", watermark = "2 hours")
+      .collect().filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tws == gs, s"transformWithState $tws != GroupState twin $gs")
+    assert(tws == Set(
+      (1L, T0 / 1000, 2L), (1L, (T0 + 50 * NsM) / 1000, 1L),
+      (2L, (T0 + 5 * NsM) / 1000, 2L)))
+  }
+
   test("RocksDB state store: the production state backend produces the identical aggregate") {
     // at 100 TB of keyed state the default in-memory/HDFS-backed store
     // OOMs the executors; RocksDB spills state off-heap to local disk and
