@@ -48,8 +48,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "dd7_embedding_clusters" -> 3,
     "dd8_chunk_dedup" -> 3,
     "dd9_incremental_dedup" -> 6,
+    // dd10: pair join keyed on cent + distinct + verdict join/sort over
+    // the localCheckpointed assignment (itself shuffle-free argmax)
+    "dd10_semdedup" -> 3,
     "e1_json_extract" -> 2,
     "e2_json_typed" -> 1,
+    "e3_variant_extract" -> 2,
     "j1_hash_join" -> 2,
     "j2_zip_join" -> 1,
     "j3_map_lookup" -> 1,
@@ -71,6 +75,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "nn4_int8_quant" -> 1,
     "nn5_pq_ann" -> 4,
     "nn6_ivfpq_ann" -> 6,
+    // nn7: the iterations run EAGERLY at plan time (localCheckpoint), so
+    // the captured plan is covariance moments + the final projection
+    "nn7_pca_power" -> 4,
     "p1_project" -> 1,
     "p2_array_slice" -> 1,
     "p3_mask_filter" -> 1,
@@ -147,6 +154,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "x14_budget_select" -> 2,
     "x15_ngram_topk" -> 1,
     "x16_heavy_hitters" -> 1,
+    "x17_quality_buckets" -> 2,
+    // x18: lang-count agg, single-row total agg, per-lang rank window,
+    // broadcast keep-table join, final range sort
+    "x18_temperature_mixture" -> 5,
     "x1_token_count" -> 1,
     "x1b_bpe_tokens" -> 1,
     "x2_quality_score" -> 1,
