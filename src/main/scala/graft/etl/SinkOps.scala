@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.{OpModule, Q, Tables}
+import graft.{Dec, OpModule, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** K-path sinks (SURVEY.md §2.2 K1/K2): compressed, partitioned parquet
@@ -170,6 +170,84 @@ object SinkOps extends OpModule {
             min(expr(rowFp)).as("fp_min"),
             max(expr(rowFp)).as("fp_max"))
           .orderBy("lang")
-      })
+      }),
+
+    // k7 — partition-scoped UPSERT on plain parquet: the "MERGE without
+    // a table format" pattern an ETL pipeline runs when there is no
+    // Delta/Iceberg log — dynamic partition overwrite
+    // (`partitionOverwriteMode=dynamic`) replaces ONLY the partitions
+    // present in the written batch, so merging an update batch means:
+    // rewrite the touched months (base rows anti-joined on the updated
+    // keys, union the batch), leave every other partition's files
+    // untouched on disk (SourcesSpec asserts byte-identical untouched
+    // files). The batch is derived ABSOLUTELY from the source table
+    // (March-1995 gets price+1000; a fixed key-shifted slice lands in a
+    // brand-new 2002-01 month), so re-running the upsert is idempotent
+    // — the write converges instead of compounding, which is also what
+    // makes the audit driver-oracled: DuckDB recomputes the merged
+    // state relationally from the source. Scale shape: work is
+    // proportional to TOUCHED partitions, never table size; the merged
+    // batch is localCheckpointed because V1 refuses to overwrite a path
+    // it is also reading (at 100 TB: stage to a temp prefix, or persist
+    // the touched slice — same idea, the untouched 99% is never read or
+    // written).
+    Q("k7_upsert_dynamic", Some(
+      s"""WITH m AS (
+         |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         |         CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+         |              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, '2002-01', o_totalprice
+         |  FROM orders WHERE o_orderkey < 100)
+         |SELECT o_month, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  ${Dec.sqlSum("price")} AS price_sum
+         |FROM m GROUP BY o_month ORDER BY o_month""".stripMargin),
+      (s, dir) => upsertDynamic(s, dir))
   )
+
+  /** See the k7 Q above. Split out so SourcesSpec can re-run the upsert
+    * and inspect the on-disk layout between runs.
+    */
+  def upsertDynamic(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val base = ScratchDirs.keyed(
+      s"k7_upsert_${src.length()}_${src.lastModified()}", dir) + "/orders_by_month"
+    val orders = Tables(s, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    if (!new java.io.File(base, "_SUCCESS").exists())
+      orders.write.mode("overwrite").partitionBy("o_month").parquet(base)
+    val dateType = orders.schema("o_orderdate").dataType
+    val updates = orders.filter(col("o_month") === "1995-03")
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(col("o_orderkey") < 100)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderdate", lit("2002-01-15 00:00:00").cast(dateType))
+      .withColumn("o_month", lit("2002-01"))
+    val batch = updates.unionByName(inserts)
+    val touched = Seq("1995-03", "2002-01")
+    val merged = s.read.parquet(base)
+      .filter(col("o_month").isin(touched: _*))
+      .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch.select(s.read.parquet(base).columns.map(col): _*))
+      .localCheckpoint() // V1 cannot overwrite a path it also reads
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("o_month").parquet(base)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.read.parquet(base)
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        Dec.dsum(col("o_totalprice")).as("price_sum"))
+      .select(col("o_month").cast("string").as("o_month"),
+        col("n"), col("key_sum"), col("price_sum"))
+      .orderBy("o_month")
+  }
 }

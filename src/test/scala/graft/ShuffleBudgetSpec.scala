@@ -64,6 +64,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "j8_asof_join" -> 2,
     "j9_notin_anti" -> 2,
     "k1_export_roundtrip" -> 2,
+    // k7: the captured plan is the read-back audit (agg + sort); the
+    // merge writes execute as side effects before it
+    "k7_upsert_dynamic" -> 2,
     "k5_jsonl_roundtrip" -> 2,
     "k6_csv_roundtrip" -> 2,
     "mm1_binary_ingest" -> 1,

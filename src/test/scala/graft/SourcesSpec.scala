@@ -110,6 +110,36 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(twoEpochs.take(n) == twoEpochs.drop(n)) // wraps deterministically
   }
 
+  test("k7 dynamic upsert rewrites only touched partitions; re-upsert is idempotent") {
+    // settle the layout (bootstrap + first merge), snapshot the on-disk
+    // files of an untouched month and a touched one, re-run the upsert:
+    // the untouched month's files must be BYTE-IDENTICAL (same names,
+    // same mtimes — dynamic overwrite never visited them), the touched
+    // month must carry fresh part files, the brand-new month must exist,
+    // and the audit output must converge (idempotent merge).
+    val first = etl.SinkOps.upsertDynamic(spark, sf).collect()
+    val src = new java.io.File(s"$sf/orders.parquet")
+    val base = new java.io.File(graft.etl.ScratchDirs.keyed(
+      s"k7_upsert_${src.length()}_${src.lastModified()}", sf), "orders_by_month")
+    def files(month: String): Map[String, Long] = {
+      val d = new java.io.File(base, s"o_month=$month")
+      assert(d.isDirectory, s"$d missing")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = files("1996-01")
+    val touchedBefore = files("1995-03")
+    val second = etl.SinkOps.upsertDynamic(spark, sf).collect()
+    assert(files("1996-01") == untouchedBefore,
+      "dynamic overwrite rewrote an untouched partition")
+    assert(files("1995-03").keySet != touchedBefore.keySet,
+      "touched partition was not rewritten")
+    assert(new java.io.File(base, "o_month=2002-01").isDirectory,
+      "insert-only month missing")
+    assert(first.map(_.toString).sameElements(second.map(_.toString)),
+      "re-upsert changed the merged state — not idempotent")
+  }
+
   private implicit class RichJIterator[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext
