@@ -106,6 +106,55 @@ object AggOps extends OpModule {
           .orderBy("l_returnflag")
       }),
 
+    // a12 — robust per-group outlier detection (median + MAD, the
+    // data-cleaning gate a value column gets before training): flag
+    // |x − median| > 3·MAD. Both medians are EXACT rank statistics
+    // (a11b's pattern — value at rank ceil(n/2), no interpolation), so
+    // the whole query reproduces bit-for-bit on any engine; ties order
+    // arbitrarily but the value AT a rank is tie-invariant. Two
+    // per-group sorts are the price of exact medians (per-TYPE windows,
+    // parallel by group); at 100 TB the one-pass a11 sketch substitutes
+    // at the cost of approximation.
+    Q("a12_mad_outliers", Some(
+      """WITH g AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM events),
+        |med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med
+        |        FROM g GROUP BY event_type),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |      FROM events e JOIN med m USING (event_type)),
+        |g2 AS (SELECT event_type, dev, med,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM d),
+        |mad AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN dev END) AS mad
+        |        FROM g2 GROUP BY event_type)
+        |SELECT d.event_type, d.med, a.mad,
+        |  CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(CASE WHEN d.dev > 3 * a.mad THEN d.dev END) AS max_dev
+        |FROM d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type, d.med, a.mad ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val byType = Window.partitionBy("event_type")
+        def medianOf(df: org.apache.spark.sql.DataFrame, c: String, out: String) = df
+          .withColumn("rn", row_number().over(byType.orderBy(c)))
+          .withColumn("n", count(lit(1)).over(byType))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col(c))).as(out))
+        val ev = Tables(s, dir, "events").select("event_type", "value")
+        val med = medianOf(ev, "value", "med")
+        val d = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = medianOf(d.select(col("event_type"), col("dev")), "dev", "mad")
+        d.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type", "med", "mad")
+          .agg(sum(when(col("dev") > lit(3) * col("mad"), lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_outliers"),
+            max(when(col("dev") > lit(3) * col("mad"), col("dev"))).as("max_dev"))
+          .orderBy("event_type")
+      }),
+
     // A3 — duplicate-key audit (the reference's duplicate-voxel invariant,
     // larvoxel_dataset.py:101-110): groupBy count > 1.
     Q("a3_dup_audit", Some(

@@ -24,6 +24,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "a10c_grouping_sets" -> 2,
     "a11_quantiles" -> 2,
     "a11b_quantiles_exact" -> 2,
+    // a12: two per-type median windows + their rollups + the final sort
+    "a12_mad_outliers" -> 5,
     "a1_mode_majority" -> 3,
     "a2_distinct" -> 2,
     "a2b_count_distinct" -> 3,
