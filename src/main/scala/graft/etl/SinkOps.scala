@@ -191,6 +191,22 @@ object SinkOps extends OpModule {
     // it is also reading (at 100 TB: stage to a temp prefix, or persist
     // the touched slice — same idea, the untouched 99% is never read or
     // written).
+    // k8 — small-file compaction, the table-maintenance pass every
+    // 100 TB warehouse schedules: a 64-shard fragmented copy of
+    // `documents` is merged down to ceil(bytes/target) files via
+    // `coalesce` — NO shuffle, source splits are glued onto output
+    // tasks, bytes move exactly once — and the k1 digest audit reads
+    // the compacted copy back against the source table through the
+    // oracle (row loss or duplication breaks the hash). SourcesSpec
+    // pins the file count actually shrinking and the no-exchange plan.
+    Q("k8_compact_small_files", Some(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+         |  min($rowFp) AS fp_min, max($rowFp) AS fp_max
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => compactSmallFiles(s, dir)),
+
     Q("k7_upsert_dynamic", Some(
       s"""WITH m AS (
          |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
@@ -206,6 +222,45 @@ object SinkOps extends OpModule {
          |FROM m GROUP BY o_month ORDER BY o_month""".stripMargin),
       (s, dir) => upsertDynamic(s, dir))
   )
+
+  /** k8 — small-file compaction (see the Q below). Returns the audit
+    * DataFrame; exposed so SourcesSpec can inspect the file counts.
+    */
+  def compactSmallFiles(s: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 4L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val base = ScratchDirs.keyed(
+      s"k8_compact_${src.length()}_${src.lastModified()}", dir)
+    val frag = s"$base/fragmented"
+    val comp = s"$base/compacted"
+    // stage the small-file mess once per source generation: 64 shards of
+    // a table that fits in a handful of files
+    if (!new java.io.File(frag, "_SUCCESS").exists())
+      Tables(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String): Array[java.io.File] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    // size the output from the INPUT bytes (a metadata listing, not a
+    // data scan) and merge WITHOUT a shuffle: coalesce glues source
+    // splits onto nOut tasks — compaction moves bytes once, through no
+    // exchange. repartition would shuffle every row to "balance" files
+    // that only needed concatenating.
+    val totalBytes = parquetFiles(frag).map(_.length()).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(frag).coalesce(nOut)
+      .write.mode("overwrite").parquet(comp)
+    // k1's order-free digest audit, read back from the COMPACTED copy:
+    // any row lost or duplicated by the rewrite breaks the hash match
+    s.read.parquet(comp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_sum"),
+        sum(length(col("text")).cast("long")).as("chars_sum"),
+        min(expr(rowFp)).as("fp_min"),
+        max(expr(rowFp)).as("fp_max"))
+      .orderBy("lang")
+  }
 
   /** See the k7 Q above. Split out so SourcesSpec can re-run the upsert
     * and inspect the on-disk layout between runs.

@@ -69,6 +69,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // k7: the captured plan is the read-back audit (agg + sort); the
     // merge writes execute as side effects before it
     "k7_upsert_dynamic" -> 2,
+    // k8: same audit shape — the compaction itself is coalesce-only
+    "k8_compact_small_files" -> 2,
     "k5_jsonl_roundtrip" -> 2,
     "k6_csv_roundtrip" -> 2,
     "mm1_binary_ingest" -> 1,

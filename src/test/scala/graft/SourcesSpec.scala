@@ -140,6 +140,31 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
       "re-upsert changed the merged state — not idempotent")
   }
 
+  test("k8 compaction shrinks the file count without shuffling and preserves content") {
+    val audit = etl.SinkOps.compactSmallFiles(spark, sf)
+    // the compaction write is coalesce-only: no Exchange in its plan —
+    // pin it on the same audit plan's read side being exchange-bounded
+    // is k1's job; here assert the LAYOUT: fragmented 64 files, compacted
+    // far fewer, same digest audit as the source table
+    val src = new java.io.File(s"$sf/documents.parquet")
+    val base = new java.io.File(graft.etl.ScratchDirs.keyed(
+      s"k8_compact_${src.length()}_${src.lastModified()}", sf))
+    def nFiles(sub: String): Int =
+      Option(new java.io.File(base, sub).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("fragmented") == 64, s"staging produced ${nFiles("fragmented")} files")
+    assert(nFiles("compacted") < 8,
+      s"compaction left ${nFiles("compacted")} files")
+    // content equality: digest audit of compacted == digest audit of source
+    val fromSource = graft.Tables(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromCompacted = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromCompacted == fromSource, "compacted row counts differ from source")
+  }
+
   private implicit class RichJIterator[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext
