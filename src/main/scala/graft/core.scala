@@ -58,7 +58,7 @@ object Tables {
   * double division would lose precision at ~1.7e18 ns epoch values).
   */
 object EventTs {
-  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Enable the legacy ns-long read path (no-op where unsupported);
     * call before any parquet read that might hit TIMESTAMP(NANOS).
@@ -81,13 +81,6 @@ object EventTs {
     case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
     case _ => df
-  }
-
-  /** Epoch-µs Long for a `ts` of the given layout (pre-normalization). */
-  def microsCol(dt: DataType): Column = dt match {
-    case LongType => expr("ts div 1000")
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-    case _ => unix_micros(col("ts"))
   }
 }
 

@@ -460,6 +460,46 @@ object DedupOps extends OpModule {
       s.read.parquet(s"$path/sigs"),
       s.read.parquet(s"$path/bands"))
 
+  /** Store maintenance — k8's shuffle-free compaction
+    * ([[graft.etl.SinkOps.compactSmallFiles]]) applied to the persisted
+    * fingerprint store: each crawl round's [[updatedFingerprintStore]]
+    * write is a many-task job, so after N rounds each table is N×tasks
+    * small files and the next round's three probe joins pay a
+    * file-listing + footer cost per file. Each table is merged to
+    * ceil(bytes/target) files via `coalesce` — NO exchange, source
+    * splits are glued onto output tasks — staged beside the live table
+    * and swapped in by rename. The swap is last and per-table, so a
+    * crash mid-compaction leaves each table either old or new, both
+    * verdict-identical; at deployment scale the swap is a table-format /
+    * metastore pointer flip instead of a filesystem rename. Returns
+    * (files_before, files_after) per table so the caller can audit the
+    * shrink; DedupSpec asserts verdict parity across the compaction.
+    */
+  def compactFingerprintStore(s: SparkSession, path: String,
+      targetBytes: Long = 16L * 1024 * 1024): Map[String, (Int, Int)] = {
+    def parquetFiles(p: String): Array[java.io.File] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    Seq("exact", "sigs", "bands").map { t =>
+      val live = s"$path/$t"
+      val before = parquetFiles(live)
+      val totalBytes = before.map(_.length()).sum
+      val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = s"$path/${t}_compacting"
+      s.read.parquet(live).coalesce(nOut).write.mode("overwrite").parquet(tmp)
+      def rm(f: java.io.File): Unit = {
+        val children = if (java.nio.file.Files.isSymbolicLink(f.toPath)) null
+        else f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(live))
+      require(new java.io.File(tmp).renameTo(new java.io.File(live)),
+        s"compaction swap failed for $live")
+      t -> ((before.length, parquetFiles(live).length))
+    }.toMap
+  }
+
   /** One verdict row per NEW-snapshot document, against a PRIOR store:
     *
     *   - `exact_prior` — content hash already in the store (anti-joined
@@ -530,6 +570,22 @@ object DedupOps extends OpModule {
           .otherwise(col("keep_id")).as("ref_id"))
     exact.unionByName(near).unionByName(internal).orderBy("doc_id")
   }
+
+  /** Store band buckets [[incrementalVerdicts]]'s cap would drop — the
+    * dd9 audit surface for the "no silent caps" posture, mirroring
+    * [[simhashDroppedBuckets]]: the verdict path silently skips
+    * candidates from over-cap buckets (ambient boilerplate, by design),
+    * so a pipeline at scale should run this against the store each crawl
+    * round and alert when it is non-empty — an unexpectedly dense bucket
+    * means genuine near-dups are no longer being caught via that key.
+    * One groupBy over the fingerprint-sized band table; never touches
+    * text.
+    */
+  def dd9DroppedBuckets(bandStore: DataFrame,
+      bucketCap: Int = IncrementalBucketCap): DataFrame =
+    bandStore.groupBy("band", "bkey").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > bucketCap)
+      .select(col("band"), col("bkey"), col("n_members"))
 
   /** Roll the fingerprint store forward after a dd9 run: the next
     * crawl's store is the prior store UNION the kept documents'

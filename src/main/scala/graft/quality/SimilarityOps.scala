@@ -282,7 +282,8 @@ object SimilarityOps extends OpModule {
     * independent of N, each matvec dot and norm summed in DECIMAL →
     * order-free, engine-exact trajectory); the final per-vector
     * projection (x−μ)·v is a sequential per-row fold against the
-    * broadcast component. The all-ones start vector pins the sign;
+    * broadcast component. The uniform positive start vector (0.125 per
+    * coordinate, same on both engines) pins the sign;
     * convergence is irrelevant to parity — the oracle unrolls the same
     * `iters` steps.
     */
@@ -819,6 +820,11 @@ object SimilarityOps extends OpModule {
     // independently; nn6 pins the composition.
     Q("nn6_ivfpq_ann", Some(ivfPqOracleSql),
       (s, dir) => knnIvfPq(s, dir, nQueries = 3, k = 10)) :+
+    // nn6b — the refine/recheck stage production IVF-PQ ships with
+    // (FAISS IndexRefineFlat): exact-L2 re-rank of the ADC top-3k
+    // candidates against the raw vectors. See knnIvfPqRefined.
+    Q("nn6b_ivfpq_refine", Some(ivfPqRefineOracleSql),
+      (s, dir) => knnIvfPqRefined(s, dir, nQueries = 3, k = 10, rerank = 30)) :+
     // dd10 — SemDeDup: the embedding-space dedup production corpora
     // actually run (cluster first, then pairs only WITHIN a cluster —
     // never the all-pairs dd5 shape). τ=0.35 is fixture-calibrated: the
@@ -966,7 +972,54 @@ object SimilarityOps extends OpModule {
     * ~zero — useless seeds).
     */
   def knnIvfPq(s: SparkSession, dir: String, nQueries: Int, k: Int,
-      nCoarse: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCoarse: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfPqAdc(s, dir, nQueries, nCoarse, nProbe)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("adc"))
+      .orderBy("qid", "rnk")
+
+  /** nn6b — the FAISS refine/recheck stage over [[knnIvfPq]]: ADC ranks
+    * are 4-byte-code approximations, so the standard production index
+    * (IndexRefineFlat) takes the ADC top-`rerank` candidates (3k here)
+    * and re-ranks them by EXACT distance against the raw stored vectors
+    * before returning top-k. Re-ranking uses the index's own metric —
+    * exact squared L2, the metric the coarse quantizer and ADC
+    * approximate — so every refine can only move a candidate toward its
+    * true rank; recall against exact-L2 ground truth is ≥ the unrefined
+    * nn6's by construction (SimilaritySpec pins it). Scale shape: the
+    * candidate set is nQueries × rerank rows — BROADCAST to the raw
+    * vector scan for a single shuffle-free equi-join on vec_id (at 100 TB
+    * the full-fidelity vectors live on disk untouched by the ADC pass;
+    * the refine reads exactly the candidate rows' pages) — then the tiny
+    * query side joins broadcast and the exact l2sq fold re-ranks.
+    */
+  def knnIvfPqRefined(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      rerank: Int, nCoarse: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cand = ivfPqAdc(s, dir, nQueries, nCoarse, nProbe)
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("arnk") <= rerank)
+      .select("qid", "vec_id")
+    val base = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qemb = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    base.join(broadcast(cand), "vec_id")
+      .join(broadcast(qemb), "qid")
+      .withColumn("d2", l2sq(col("qemb"), col("embedding")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("d2"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The shared IVF-PQ pipeline up to the per-candidate ADC sums:
+    * (qid, vec_id, adc), one row per (query, probed candidate).
+    */
+  private def ivfPqAdc(s: SparkSession, dir: String, nQueries: Int,
+      nCoarse: Int, nProbe: Int): DataFrame = {
     graft.tensor.VectorFunctions.register(s)
     val base = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val coarse = base.filter(col("vec_id") < nCoarse)
@@ -1025,11 +1078,6 @@ object SimilarityOps extends OpModule {
       .groupBy("qid", "vec_id")
       .agg(sum(col("d2q").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
         .cast("double").as("adc"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("adc"))
-      .orderBy("qid", "rnk")
   }
 
   /** DuckDB twin of [[knnIvfPq]] (nQueries=3, k=10, 16 coarse cells,
@@ -1043,11 +1091,46 @@ object SimilarityOps extends OpModule {
     * bit-identical; every distance is the same sequential
     * subtract-square double fold as the float_l2sq kernel.
     */
-  private def ivfPqOracleSql: String = {
+  private def ivfPqOracleSql: String =
+    s"""WITH ${ivfPqAdcCtes}
+       |SELECT qid, cid, rnk, adc FROM (
+       |  SELECT qid, cid, adc,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS BIGINT) AS rnk
+       |  FROM adc) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[knnIvfPqRefined]] (rerank=30): the shared ADC
+    * CTEs, the top-30-by-ADC candidate cut, then the exact squared-L2
+    * re-rank against the raw embeddings — the same sequential
+    * subtract-square double fold as the float_l2sq kernel, so `d2` is
+    * bit-identical cross-engine.
+    */
+  private def ivfPqRefineOracleSql: String = {
     val l2 = "list_sum(list_transform(list_zip(%s, %s), " +
       "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
       "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-    s"""WITH c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+    s"""WITH ${ivfPqAdcCtes},
+       |cand AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS arnk
+       |    FROM adc) WHERE arnk <= 30),
+       |ex AS (SELECT cn.qid, cn.cid, ${l2.format("q.embedding", "e.embedding")} AS d2
+       |       FROM cand cn JOIN embeddings q ON q.vec_id = cn.qid
+       |                    JOIN embeddings e ON e.vec_id = cn.cid)
+       |SELECT qid, cid, rnk, d2 FROM (
+       |  SELECT qid, cid, d2,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid ASC) AS BIGINT) AS rnk
+       |  FROM ex) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Shared CTE prefix of the nn6/nn6b oracles, ending at `adc`
+    * (qid, cid, adc) — see [[ivfPqOracleSql]]'s scaladoc for the replay
+    * notes.
+    */
+  private def ivfPqAdcCtes: String = {
+    val l2 = "list_sum(list_transform(list_zip(%s, %s), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    s"""c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < 16),
        |dc AS (SELECT e.vec_id, e.embedding, c.cell, c.cemb,
        |         ${l2.format("e.embedding", "c.cemb")} AS d2c
        |       FROM embeddings e, c0 c),
@@ -1080,11 +1163,7 @@ object SimilarityOps extends OpModule {
        |adc AS (SELECT t.qid, c.vec_id AS cid,
        |          CAST(sum(CAST(t.d2q AS DECIMAL(38,12))) AS DOUBLE) AS adc
        |        FROM codes c JOIN dtab t USING (cell, s, code) WHERE c.vec_id <> t.qid
-       |        GROUP BY t.qid, c.vec_id)
-       |SELECT qid, cid, rnk, adc FROM (
-       |  SELECT qid, cid, adc,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS BIGINT) AS rnk
-       |  FROM adc) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+       |        GROUP BY t.qid, c.vec_id)""".stripMargin
   }
 
   /** DuckDB twin of [[knnPq]] (nQueries=3, k=10, m=4×16 dims, 8

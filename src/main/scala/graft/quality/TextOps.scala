@@ -1,7 +1,7 @@
 package graft.quality
 
 import graft.{OpModule, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over
@@ -654,9 +654,11 @@ object TextOps extends OpModule {
     // x17 — CCNet-style per-language quality buckets: rank every document
     // by the x2 quality score WITHIN its language and split head/middle/
     // tail thirds (the bucketing CCNet uses to keep only the head of each
-    // language's distribution). Per-LANGUAGE windows — the partition
-    // count is the language count, so the sort parallelizes by language
-    // at any scale, never a global order.
+    // language's distribution). Per-LANGUAGE `ntile` windows — EXACT and
+    // oracled, but one window partition per language: the dominant
+    // language of a real corpus is a single-task sort at 100×, so this
+    // is the small-scale/audit twin; x17b below is the scale path
+    // (histogram cuts, no per-language sort).
     Q("x17_quality_buckets", Some(
       s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents)
         |SELECT doc_id, lang, quality,
@@ -684,7 +686,10 @@ object TextOps extends OpModule {
     // normalizer sums through the Dec decimal accumulator (order-free,
     // engine-exact); the per-language draw is x13's md5-order
     // thresholding, stable under repartition/retry; budget T = half the
-    // corpus, capped per language at its pool.
+    // corpus, capped per language at its pool. The per-language
+    // `row_number` window makes the draw EXACT but single-task for the
+    // dominant language at 100× — x18b below is the scale path
+    // (hash-threshold selection, no rank window).
     Q("x18_temperature_mixture", Some(
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |s AS (SELECT ${graft.Dec.sqlSum("sqrt(CAST(n AS DOUBLE))")} AS z,
@@ -719,6 +724,117 @@ object TextOps extends OpModule {
           .filter(col("rn") <= col("keep_n"))
           .select(col("doc_id"), col("lang"), col("rn"))
           .orderBy("lang", "rn")
-      })
+      }),
+
+    // x17b — the 100× SCALE PATH for x17's per-language buckets. x17's
+    // `ntile` window sorts each language in ONE task — the dominant
+    // language of a real corpus (~half the rows) is a single-task sort
+    // at scale. Here the sort disappears: quality (∈ [0,1] by
+    // construction) is binned into 1024 fixed-width cells — a pure
+    // map-side expression — and the per-(lang, bin) COUNTS (≤ langs×1024
+    // rows however large the corpus) carry all the rank information:
+    // cumulative counts over the tiny histogram give each bin its
+    // tercile, and docs inherit the bucket through a broadcast join.
+    // One partial-aggregated shuffle of (lang, bin) keys; the windows
+    // run over the histogram, never the data. Docs in a boundary bin
+    // land whole-bin on one side — the deterministic, cross-engine-exact
+    // approximation (TextOpsSpec bounds the disagreement vs x17), so
+    // unlike an approxQuantile-cut variant this one is fully
+    // DuckDB-oracled: both engines compute identical bins and cuts.
+    Q("x17b_quality_buckets_hist", Some(
+      s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents),
+        |b AS (SELECT doc_id, lang, quality,
+        |        CAST(least(floor(quality * 1024), 1023) AS INTEGER) AS bin FROM q),
+        |h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY lang, bin),
+        |cum AS (SELECT lang, bin,
+        |          coalesce(sum(c) OVER (PARTITION BY lang ORDER BY bin DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM h),
+        |bb AS (SELECT lang, bin,
+        |         CASE WHEN cum_prev < n / 3.0 THEN 'head'
+        |              WHEN cum_prev < n * 2.0 / 3.0 THEN 'middle'
+        |              ELSE 'tail' END AS bucket FROM cum)
+        |SELECT b.doc_id, b.lang, b.quality, bb.bucket
+        |FROM b JOIN bb USING (lang, bin) ORDER BY doc_id""".stripMargin),
+      (s, dir) => qualityBucketsHist(s, dir)),
+
+    // x18b — the 100× SCALE PATH for x18's temperature mixture. x18
+    // ranks every doc within its language (`row_number` window — the
+    // same dominant-partition sort), then keeps the first keep_n by
+    // md5 order. Here selection is THRESHOLDING, not ranking: keep a
+    // doc iff its md5-derived uniform u ∈ [0,1) is below keep_n/n_lang —
+    // a pure map-side predicate against a broadcast per-language
+    // fraction, zero windows, zero data-side sorts. The kept COUNT is
+    // binomial around keep_n instead of exactly keep_n (TextOpsSpec
+    // bounds the deviation); membership is deterministic and
+    // cross-engine-exact — both engines fold the same 8 md5 hex chars
+    // to the same integer — so the query is fully DuckDB-oracled.
+    Q("x18b_temperature_threshold", Some(
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT ${graft.Dec.sqlSum("sqrt(CAST(n AS DOUBLE))")} AS z,
+        |             CAST(sum(n) AS BIGINT) AS total FROM c),
+        |k AS (SELECT c.lang,
+        |        CAST(least(CAST(floor(CAST(total AS DOUBLE) / 2.0 *
+        |          (sqrt(CAST(n AS DOUBLE)) / z)) AS BIGINT), n) AS DOUBLE) / n AS keep_frac
+        |      FROM c CROSS JOIN s),
+        |u AS (SELECT doc_id, lang,
+        |        list_reduce(list_transform(range(1, 9), i ->
+        |          CAST(ord(substr(h, CAST(i AS INTEGER), 1)) -
+        |            CASE WHEN ord(substr(h, CAST(i AS INTEGER), 1)) >= 97
+        |                 THEN 87 ELSE 48 END AS BIGINT)),
+        |          (acc, d) -> acc * 16 + d) / 4294967296.0 AS u
+        |      FROM (SELECT doc_id, lang,
+        |              substr(md5(concat_ws('|', doc_id, 'temp/5')), 1, 8) AS h
+        |            FROM documents))
+        |SELECT u.doc_id, u.lang FROM u JOIN k USING (lang)
+        |WHERE u.u < k.keep_frac ORDER BY lang, doc_id""".stripMargin),
+      (s, dir) => temperatureThreshold(s, dir))
   )
+
+  /** x17b implementation — see the Q above for the scale argument. */
+  def qualityBucketsHist(s: SparkSession, dir: String, bins: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val binned = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
+      .withColumn("bin",
+        least(floor(col("quality") * bins), lit(bins - 1).cast("long")).cast("int"))
+    val hist = binned.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+    val byBinDesc = w.partitionBy("lang").orderBy(col("bin").desc)
+    val cuts = hist
+      .withColumn("cum_prev", coalesce(
+        sum("c").over(byBinDesc.rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(w.partitionBy("lang")))
+      .select(col("lang"), col("bin"),
+        when(col("cum_prev") < col("n") / 3.0, "head")
+          .when(col("cum_prev") < col("n") * 2.0 / 3.0, "middle")
+          .otherwise("tail").as("bucket"))
+    binned.join(broadcast(cuts), Seq("lang", "bin"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** x18b implementation — see the Q above for the scale argument. */
+  def temperatureThreshold(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = c.agg(graft.Dec.dsum(sqrt(col("n").cast("double"))).as("z"),
+      sum(col("n")).cast("long").as("total"))
+    val k = c.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        (least(floor(col("total").cast("double") / lit(2.0) *
+          (sqrt(col("n").cast("double")) / col("z"))).cast("long"),
+          col("n")).cast("double") / col("n").cast("double")).as("keep_frac"))
+    docs
+      .withColumn("h", substring(md5(concat_ws("|", col("doc_id"), lit("temp/5"))), 1, 8))
+      .withColumn("u", expr(
+        """aggregate(transform(sequence(1, 8), i ->
+          |  CAST(ascii(substr(h, i, 1)) -
+          |    IF(ascii(substr(h, i, 1)) >= 97, 87, 48) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d) / 4294967296.0""".stripMargin))
+      .join(broadcast(k), Seq("lang"))
+      .filter(col("u") < col("keep_frac"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("lang", "doc_id")
+  }
 }

@@ -33,11 +33,18 @@ object EventStream {
     * NTZ, µs UTC — see [[graft.EventTs]]). Streaming needs an explicit
     * schema up front; the footer of the files already staged supplies
     * it, so spec fixtures (ns-long) and driver testdata (µs) both read
-    * through the same path.
+    * through the same path. If `dir` has no files yet (stream started
+    * before the first producer write), the probe cannot see a footer and
+    * we fall back to [[eventSchema]] (the ns-long layout) — files of a
+    * different generation staged later still normalize correctly because
+    * [[graft.EventTs.normalize]] keys on the declared type.
     */
   def eventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(graft.EventTs.probeSchema(spark, dir))
+    val schema =
+      try graft.EventTs.probeSchema(spark, dir)
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     graft.EventTs.normalize(reader.parquet(dir))
   }

@@ -59,8 +59,16 @@ object IncrementalStream {
       .filter(col("n_agree") >= minAgree)
       .select(col("doc_id"), col("a_id"), col("n_agree"))
 
+  /** `onBatchAppended` fires after the parquet append and before
+    * foreachBatch returns (i.e. before the checkpoint commit) — the
+    * exactly-once window. Production leaves it a no-op; the spec throws
+    * from it to kill the query between append and commit and then
+    * replays, pinning that the (batch_id, doc_id) consumer dedup
+    * restores exactly-once semantics over the at-least-once append.
+    */
   def incrementalDedupToFiles(spark: SparkSession, inDir: String,
-      outDir: String, checkpointDir: String, storeDir: String)
+      outDir: String, checkpointDir: String, storeDir: String,
+      onBatchAppended: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
       .schema(DedupStream.docSchema)
@@ -72,6 +80,7 @@ object IncrementalStream {
         DedupOps.incrementalVerdicts(s, batch, exact, sigs, bands)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
+        onBatchAppended(batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

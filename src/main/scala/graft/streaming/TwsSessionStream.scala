@@ -58,10 +58,13 @@ object TwsSessionStream {
       if (remaining.isEmpty) buf.clear()
       else {
         buf.update(OpenBuf(remaining.toArray))
-        // wake when the watermark passes the tail's close point (+1 ms
-        // so an exact-boundary fire still satisfies the strict `<`);
-        // a stale duplicate timer just triggers an empty sweep
-        getHandle.registerTimer(remaining.max / 1000L + GapUs / 1000L + 1L)
+        // wake when the watermark passes the EARLIEST open run's close
+        // point (min over runs of last+gap, +1 ms so an exact-boundary
+        // fire still satisfies the strict `<`) — arming at the tail's
+        // close point would delay an already-closable earlier run until
+        // the tail expires; that run's next sweep re-arms for the next
+        // one, and a stale duplicate timer just triggers an empty sweep
+        getHandle.registerTimer(open.map(_.last).min / 1000L + GapUs / 1000L + 1L)
       }
       closed.iterator.map(s => ClosedSession(key, s.head, s.length.toLong))
     }

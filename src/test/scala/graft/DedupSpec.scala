@@ -196,6 +196,73 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(bd2.count() == bd1.count(), "replayed roll-forward duplicated band rows")
   }
 
+  test("dd9 dropped-bucket audit: empty on the corpus store; a planted over-cap bucket is reported") {
+    // the verdict path silently skips candidates from over-cap store
+    // buckets (ambient boilerplate, by design) — the audit function is
+    // how a pipeline notices when that starts swallowing genuine dups
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+    val (_, _, bands) = DedupOps.fingerprintStore(spark, docs)
+    assert(DedupOps.dd9DroppedBuckets(bands).isEmpty,
+      "planted corpus store unexpectedly has over-cap band buckets")
+    // plant a bucket one over the cap: 1001 prior docs sharing one band
+    // key — every probe through (3, 424242) would silently find nothing
+    val dense = spark.range(0, DedupOps.IncrementalBucketCap + 1)
+      .select(col("id").as("doc_id"), lit(3).as("band"), lit(424242L).as("bkey"))
+    val rows = DedupOps.dd9DroppedBuckets(bands.unionByName(dense)).collect()
+    assert(rows.length == 1, s"expected exactly the planted bucket, got ${rows.toSeq}")
+    assert(rows(0).getInt(0) == 3 && rows(0).getLong(1) == 424242L
+      && rows(0).getLong(2) == DedupOps.IncrementalBucketCap + 1L,
+      s"planted over-cap bucket misreported: ${rows(0)}")
+  }
+
+  test("dd9 store maintenance: k8-style compaction shrinks files, verdicts unchanged") {
+    import spark.implicits._
+    def mk(ids: Range, seedBase: Int, tag: String) = ids.map { i =>
+      val rng = new scala.util.Random(seedBase + i)
+      (i.toLong, Seq.fill(60)(s"$tag${rng.nextInt(500)}").mkString(" "), "en", s"$tag$i", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val storeDir = java.nio.file.Files.createTempDirectory("dd9maint").toString
+    // each round's store write is an 8-task job (the production shape —
+    // one file per writer task per round is where small files come from)
+    def writeStore(ex: org.apache.spark.sql.DataFrame, sg: org.apache.spark.sql.DataFrame,
+        bd: org.apache.spark.sql.DataFrame): Unit = {
+      ex.repartition(8).write.mode("overwrite").parquet(s"$storeDir/exact")
+      sg.repartition(8).write.mode("overwrite").parquet(s"$storeDir/sigs")
+      bd.repartition(8).write.mode("overwrite").parquet(s"$storeDir/bands")
+    }
+    val t0 = DedupOps.fingerprintStore(spark, mk(0 until 15, 5000, "p"))
+    writeStore(t0._1, t0._2, t0._3)
+    // three crawl rounds: read the persisted store back, verdict a new
+    // snapshot, roll the store forward with the kept docs, re-persist
+    for (r <- 1 to 3) {
+      val (ex, sg, bd) = DedupOps.readFingerprintStore(spark, storeDir)
+      val snap = mk(100 * r until 100 * r + 10, 6000 + r, s"s$r")
+      val kept = snap.join(DedupOps.incrementalVerdicts(spark, snap, ex, sg, bd)
+        .filter(col("status") === "kept").select("doc_id"), "doc_id")
+      val (ex1, sg1, bd1) = DedupOps.updatedFingerprintStore(spark, kept, ex, sg, bd)
+      writeStore(ex1.localCheckpoint(true), sg1.localCheckpoint(true),
+        bd1.localCheckpoint(true)) // V1 cannot overwrite a path it also reads
+    }
+    // probe with one exact copy of a stored round-1 doc plus fresh docs,
+    // so the parity check covers a non-trivial verdict mix
+    val stored = mk(100 until 110, 6001, "s1").filter($"doc_id" === 100L)
+      .withColumn("doc_id", lit(900L))
+    val probe = mk(910 until 915, 9000, "q").unionByName(stored)
+    def verdicts(): Seq[String] = {
+      val (ex, sg, bd) = DedupOps.readFingerprintStore(spark, storeDir)
+      DedupOps.incrementalVerdicts(spark, probe, ex, sg, bd)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    val before = verdicts()
+    assert(before.exists(_.contains("exact_prior")),
+      s"probe should hit the store: $before")
+    val shrunk = DedupOps.compactFingerprintStore(spark, storeDir)
+    shrunk.foreach { case (t, (nBefore, nAfter)) =>
+      assert(nAfter < nBefore, s"$t: $nBefore -> $nAfter files (no shrink)")
+    }
+    assert(verdicts() == before, "verdicts changed across store compaction")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

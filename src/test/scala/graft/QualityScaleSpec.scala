@@ -1,0 +1,58 @@
+package graft
+
+import graft.quality.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** x17b/x18b — the scale variants of the per-language window family —
+  * against their exact twins: both variants are fully DuckDB-oracled
+  * (deterministic bins / hash thresholds), so correctness is the
+  * driver's job; THESE tests bound how far the scale approximation can
+  * drift from the exact windowed answer, which is the contract a user
+  * switching x17→x17b at 100× needs.
+  */
+class QualityScaleSpec extends AnyFunSuite with SparkSuite {
+
+  test("x17b histogram buckets agree with the exact ntile buckets except near tercile boundaries") {
+    val exact = SparkEntry.queries("x17_quality_buckets")(spark, sf)
+      .select(col("doc_id"), col("bucket").as("b_exact"))
+    val hist = TextOps.qualityBucketsHist(spark, sf)
+      .select(col("doc_id"), col("bucket").as("b_hist"))
+    val joined = exact.join(hist, "doc_id").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(joined.nonEmpty)
+    // only docs in a tercile-straddling histogram bin can differ; with
+    // 1024 bins and continuous-valued scores that is a sliver of each
+    // language — bound the total disagreement at 5%
+    val disagree = joined.count { case (a, b) => a != b }
+    info(s"x17b/x17 disagreement: $disagree of ${joined.length}")
+    assert(disagree <= joined.length * 0.05,
+      s"histogram buckets diverge from exact terciles on $disagree of ${joined.length}")
+    // and a disagreement is always between ADJACENT buckets — a bin
+    // cannot straddle two tercile boundaries unless a whole tercile
+    // fits inside one of 1024 bins
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(joined.forall { case (a, b) => math.abs(order(a) - order(b)) <= 1 },
+      "non-adjacent bucket disagreement")
+  }
+
+  test("x18b threshold selection lands within binomial range of x18's exact per-language quota") {
+    val exactCounts = SparkEntry.queries("x18_temperature_mixture")(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("keep_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCounts = TextOps.temperatureThreshold(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts.keySet == exactCounts.keySet,
+      s"language sets differ: ${gotCounts.keySet} vs ${exactCounts.keySet}")
+    exactCounts.foreach { case (lang, keepN) =>
+      val got = gotCounts(lang)
+      // selection is Binomial(n_lang, keep_n/n_lang): mean keep_n,
+      // sd ≤ sqrt(keep_n) — allow 5 sd plus slack for tiny languages
+      val tol = math.max(15.0, 5.0 * math.sqrt(keepN.toDouble))
+      info(s"$lang: exact quota $keepN, threshold kept $got (tol ±$tol)")
+      assert(math.abs(got - keepN) <= tol,
+        s"$lang: threshold selection $got vs exact quota $keepN exceeds ±$tol")
+    }
+  }
+}

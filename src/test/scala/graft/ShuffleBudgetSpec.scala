@@ -82,6 +82,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "nn4_int8_quant" -> 1,
     "nn5_pq_ann" -> 4,
     "nn6_ivfpq_ann" -> 6,
+    // nn6b: nn6's ADC pipeline + the rerank-cut window; the exact
+    // re-rank itself is broadcast-joined (no data-side exchange)
+    "nn6b_ivfpq_refine" -> 7,
     // nn7: the iterations run EAGERLY at plan time (localCheckpoint), so
     // the captured plan is covariance moments + the final projection
     "nn7_pca_power" -> 4,
@@ -162,9 +165,15 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "x15_ngram_topk" -> 1,
     "x16_heavy_hitters" -> 1,
     "x17_quality_buckets" -> 2,
+    // x17b: (lang, bin) histogram agg + histogram-sized windows + final
+    // sort — the windows run over ≤ langs×1024 rows, never the data
+    "x17b_quality_buckets_hist" -> 3,
     // x18: lang-count agg, single-row total agg, per-lang rank window,
     // broadcast keep-table join, final range sort
     "x18_temperature_mixture" -> 5,
+    // x18b: lang counts + single-row total + final sort; selection is a
+    // map-side hash threshold — no rank window at all
+    "x18b_temperature_threshold" -> 4,
     "x1_token_count" -> 1,
     "x1b_bpe_tokens" -> 1,
     "x2_quality_score" -> 1,

@@ -134,6 +134,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val hit = ivfpq.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
     info(s"IVF-PQ recall: $hit of ${exact.size}")
     assert(hit >= 6, s"IVF-PQ recalled only $hit of ${exact.size} exact-L2 pairs")
+    // nn6b refine: exact-L2 re-rank of the ADC top-30 can only move true
+    // neighbors UP within the candidate set, so its top-10 recall is ≥
+    // the unrefined ADC top-10's — the FAISS refine contract
+    val refined = SimilarityOps.knnIvfPqRefined(spark, sf, nQueries = 3, k = 10, rerank = 30)
+      .collect()
+    assert(refined.length == 30)
+    refined.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ds = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted && ds.forall(_ >= 0.0), s"refined d2 not ascending: $ds")
+    }
+    val refinedHit = refined.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    info(s"IVF-PQ refined recall: $refinedHit of ${exact.size}")
+    assert(refinedHit >= hit,
+      s"refine stage LOST recall: $refinedHit < unrefined $hit")
   }
 
   test("power-iteration PC1 variance dominates every single coordinate axis") {

@@ -488,13 +488,20 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       dir.resolve("events.parquet"))
     val default = EventStream.runToCompletion(spark, dir.toString, "rocks_base")
       .collect().map(_.toString).sorted
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // snapshot/restore rather than unset: a pre-set providerClass on the
+    // shared session must survive this test (TwsSessionStream pattern)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val rocks = EventStream.runToCompletion(spark, dir.toString, "rocks_test")
         .collect().map(_.toString).sorted
       assert(rocks.nonEmpty && rocks.sameElements(default),
         "RocksDB-backed aggregate differs from the default state store")
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
