@@ -78,20 +78,28 @@ object ZOrder {
     */
   def zorderWriteQuantile(df: DataFrame, ca: String, cb: String, path: String,
       numFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024,
-      buckets: Int = 256): Unit = {
+      buckets: Int = 256): Unit =
+    writeByZ(df.withColumn("__z", quantileZColumn(df, ca, cb, buckets)),
+      path, numFiles, rowGroupBytes)
+
+  /** The quantile-ranked Morton code as a reusable Column (one
+    * approxQuantile pass over `df`, cuts embedded as literals): 8-bit
+    * quantile ranks spread to alternating bits — coarser cells than the
+    * 16-bit linear rank, but cell POPULATIONS are uniform, which is the
+    * property pruning needs on skewed keys. Shared by the flat
+    * [[zorderWriteQuantile]] writer and the partitioned composed layout
+    * (LayoutOps.partitionedZorderLayout), so both cluster identically.
+    */
+  def quantileZColumn(df: DataFrame, ca: String, cb: String,
+      buckets: Int = 256): Column = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val Array(cutsA, cutsB) =
       df.stat.approxQuantile(Array(ca, cb), probs, 0.001)
     def qrank(v: Column, cuts: Array[Double]): Column =
       size(filter(array(cuts.map(lit(_)): _*), c => v.cast("double") >= c))
         .cast("long")
-    // 8-bit quantile ranks spread to alternating bits — coarser cells
-    // than the 16-bit linear rank, but cell POPULATIONS are uniform,
-    // which is the property pruning needs on skewed keys
-    val zed = df.withColumn("__z",
-      spread16(qrank(col(ca), cutsA))
-        .bitwiseOR(shiftleft(spread16(qrank(col(cb), cutsB)), 1)))
-    writeByZ(zed, path, numFiles, rowGroupBytes)
+    spread16(qrank(col(ca), cutsA))
+      .bitwiseOR(shiftleft(spread16(qrank(col(cb), cutsB)), 1))
   }
 
   private def writeByZ(zed: DataFrame, path: String, numFiles: Int,

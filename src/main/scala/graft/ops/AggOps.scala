@@ -53,29 +53,79 @@ object AggOps extends OpModule {
         .orderBy("o_orderpriority")),
 
     // A2c — approx_count_distinct: the 100 TB path (HLL++ sketch, one
-    // pass, no distinct shuffle). Rows-only; AggInvariantSpec bounds its
-    // error against a2b.
-    Q("a2c_approx_distinct", None,
+    // pass, no distinct shuffle). HLL register contents aren't
+    // reproducible on a second engine, so the sketch VALUE can't be
+    // hash-compared — instead the query emits the exact count (oracled
+    // bit-for-bit) plus a bound flag the sketch must satisfy:
+    // |approx − exact| ≤ 5%·exact (the configured rsd is 2%, so 5% is
+    // a slack-but-meaningful envelope). The oracle states the flag as
+    // the literal 1 — if Spark's sketch ever lands outside the bound
+    // the flag flips to 0 and the driver's hash compare goes red. This
+    // is the bounded-oracle form: nothing rows-only, no pretense that
+    // sketches are portable. Production uses the approx column alone
+    // (no countDistinct shuffle); the exact twin here is the
+    // verification harness.
+    Q("a2c_approx_distinct", Some(
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs_exact,
+        |       1 AS hll_within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       (s, dir) => Tables(s, dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_custs_approx"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("__approx"))
+        .select(col("o_orderpriority"), col("n_custs_exact"),
+          when(abs(col("__approx") - col("n_custs_exact"))
+            <= col("n_custs_exact") * 0.05, lit(1)).otherwise(lit(0))
+            .as("hll_within_5pct"))
         .orderBy("o_orderpriority")),
 
     // Quantile sketch (the reference's score-range prints, generalized):
-    // the approx sketch's register contents aren't oracle-reproducible, so
-    // it stays rows-only (scalar columns — the driver compare cannot hash
-    // array cells); a11b below is the exact rank-based twin that carries a
-    // full oracle. AggInvariantSpec bounds the sketch against the exact.
-    Q("a11_quantiles", None,
-      (s, dir) => Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("q"))
-        .select(col("l_returnflag"),
-          element_at(col("q"), 1).as("q25"),
-          element_at(col("q"), 2).as("q50"),
-          element_at(col("q"), 3).as("q75"))
-        .orderBy("l_returnflag")),
+    // percentile_approx's internal state isn't oracle-reproducible, but
+    // its CONTRACT is — the returned value is an actual data value whose
+    // rank lies within ε·n of the target rank (ε = 1/accuracy = 0.001
+    // here). So the bounded-oracle form emits the exact rank-statistic
+    // quantiles (oracled bit-for-bit, a11b's arithmetic) plus one flag
+    // asserting each sketch value lies between the exact values at ranks
+    // (q−0.05)·n and (q+0.05)·n — a 50× slack envelope over the
+    // guarantee. The oracle states the flag as the literal 1; a sketch
+    // outside the window flips it and the hash compare goes red.
+    // Production runs the one-pass sketch alone; the rank windows here
+    // are the verification harness. a11b remains the plain exact twin.
+    Q("a11_quantiles", Some(
+      """WITH g AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n * 0.25) THEN l_extendedprice END) AS q25_exact,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS q50_exact,
+        |  max(CASE WHEN rn = ceil(n * 0.75) THEN l_extendedprice END) AS q75_exact,
+        |  1 AS sketch_in_rank_window
+        |FROM g GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val byFlag = Window.partitionBy("l_returnflag")
+        val g = Tables(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice")
+          .withColumn("rn", row_number().over(byFlag.orderBy("l_extendedprice")))
+          .withColumn("n", count(lit(1)).over(byFlag))
+        def at(q: Double) =
+          max(when(col("rn") === ceil(col("n") * q), col("l_extendedprice")))
+        val agg = g.groupBy("l_returnflag").agg(
+          at(0.25).as("q25_exact"), at(0.5).as("q50_exact"), at(0.75).as("q75_exact"),
+          at(0.20).as("__lo25"), at(0.30).as("__hi25"),
+          at(0.45).as("__lo50"), at(0.55).as("__hi50"),
+          at(0.70).as("__lo75"), at(0.80).as("__hi75"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("__q"))
+        agg.select(col("l_returnflag"),
+            col("q25_exact"), col("q50_exact"), col("q75_exact"),
+            when(element_at(col("__q"), 1).between(col("__lo25"), col("__hi25")) &&
+                 element_at(col("__q"), 2).between(col("__lo50"), col("__hi50")) &&
+                 element_at(col("__q"), 3).between(col("__lo75"), col("__hi75")),
+              lit(1)).otherwise(lit(0)).as("sketch_in_rank_window"))
+          .orderBy("l_returnflag")
+      }),
 
     // A11b — exact discrete quantiles: the value at rank ceil(q·n) per
     // group. Pure rank arithmetic on actual data values — no float

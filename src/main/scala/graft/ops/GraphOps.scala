@@ -1,14 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge-list DataFrames — the engine's
   * answer to the reference's graph step (radius_graph + scatter
   * aggregation, /root/reference/larennet/larennet.py:53-61) and the final
   * stage of any dedup pipeline: turning near-dup pairs into clusters.
+  * Beyond components, [[pageRank]] adds the influence-ranking primitive a
+  * web-scale corpus pipeline uses as a document-quality prior (link-graph
+  * rank is a standard crawl-filtering signal alongside the x2 heuristics).
   */
-object GraphOps {
+object GraphOps extends OpModule {
 
   /** Connected components by iterative min-label propagation: each
     * vertex repeatedly adopts the smallest component id among itself and
@@ -91,4 +95,100 @@ object GraphOps {
     }
     labels
   }
+
+  /** Rank mass is carried in integer micro-units of 1e-12 so every
+    * operation (division by degree, damping ×85/100) is BIGINT floor
+    * arithmetic — bit-identical on any engine, which is what lets a
+    * fixed-iteration PageRank carry a full DuckDB oracle where a
+    * floating-point formulation could only ever be rows-only.
+    */
+  val RankScale = 1000000000000L
+
+  /** Fixed-iteration PageRank (damping 0.85, `iters` rounds) over an
+    * undirected edge list `(src, dst)` already symmetrized (every edge
+    * present in both directions, so every node has degree ≥ 1 and no
+    * dangling-mass correction is needed).
+    *
+    * Each round is one equi-join (ranks ⋈ edges on src) plus one
+    * aggregation (contributions summed per dst) — the Pregel message
+    * pattern expressed relationally, shuffle-keyed on node id both
+    * times. `edges` and the degree table are lineage-truncated once up
+    * front (the standard iterative-DataFrame guard); at deployment scale
+    * both sides would be bucketed by node id so the per-round join
+    * co-locates without re-shuffling. Fixed `iters` (no convergence
+    * probe) keeps the job count deterministic; web-graph practice runs
+    * a fixed small round budget the same way.
+    *
+    * Arithmetic per node v:
+    *   r'(v) = (15·(S div N)) div 100 + (85·Σ_{u→v} (r(u) div deg(u))) div 100
+    * with S = [[RankScale]] — all BIGINT, floor division, positive
+    * operands, so Spark and the oracle agree exactly.
+    */
+  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.select("src", "dst").localCheckpoint(true)
+    val base = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "id")
+    val withC = base.crossJoin(broadcast(base.agg(count(lit(1)).as("c"))))
+      .localCheckpoint(true)
+    var r = withC.withColumn("r", expr(s"${RankScale}L div c"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.select(col("id").as("src"), expr("r div d").as("contrib")), "src")
+        .groupBy("dst").agg(sum("contrib").as("t"))
+        .withColumnRenamed("dst", "id")
+      r = withC.join(contrib, "id")
+        .withColumn("r",
+          expr(s"(15 * (${RankScale}L div c)) div 100 + (85 * t) div 100"))
+        .select("id", "d", "c", "r")
+    }
+    r.select(col("id").as("node_id"), col("r").as("rank_units"))
+  }
+
+  /** The customer–supplier interaction graph: one undirected edge per
+    * distinct (customer, supplier) trading pair, nodes disambiguated
+    * into one id space (customer → 2k, supplier → 2k+1). Bipartite, so
+    * symmetrization cannot create duplicate edges.
+    */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val PrIters = 5
+
+  /** DuckDB oracle: the identical integer recurrence with the iteration
+    * chain unrolled into CTEs (r1..r5), `//` mirroring `div` and the
+    * per-round CAST pinning DuckDB's HUGEINT sum back to BIGINT.
+    */
+  private def pageRankOracleSql: String = {
+    val S = RankScale
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT b.id, b.d, CAST((15 * ($S // (SELECT c FROM nn))) // 100
+         |         + (85 * s.t) // 100 AS BIGINT) AS r
+         |       FROM base b JOIN (SELECT e.dst AS id, sum(r.r // r.d) AS t
+         |                         FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |                         GROUP BY e.dst) s ON s.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |base AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS c FROM base),
+       |r0 AS (SELECT id, d, $S // (SELECT c FROM nn) AS r FROM base),
+       |$iterCtes
+       |SELECT id AS node_id, r AS rank_units FROM r$PrIters ORDER BY node_id""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    // g1 — link-graph influence rank as a corpus-quality prior: 5
+    // damped power-iteration rounds over the trading graph, integer
+    // micro-unit arithmetic end-to-end so the DuckDB oracle reproduces
+    // every rank bit-for-bit.
+    Q("g1_pagerank", Some(pageRankOracleSql),
+      (s, dir) => pageRank(tradeEdges(s, dir), PrIters).orderBy("node_id"))
+  )
 }

@@ -838,7 +838,17 @@ object SimilarityOps extends OpModule {
     // then O(d²) power iterations and a map-side projection. The whole
     // trajectory is decimal-summed, so the oracle replays it exactly.
     Q("nn7_pca_power", Some(powerPcaOracleSql(10)),
-      (s, dir) => powerPca(s, dir, iters = 10))
+      (s, dir) => powerPca(s, dir, iters = 10)) :+
+    // nn8 — maximum-inner-product search (retrieval scoring is raw
+    // q·x, not cosine — recommendation / retrieval-augmented lookups):
+    // sign-RP LSH hashes by ANGLE, so it cannot serve MIPS directly.
+    // The classic norm-augmentation reduction (Shrivastava & Li's
+    // asymmetric transform, simplified): lift every candidate to
+    // x' = [x, √(M²−|x|²)] (M = max norm ⇒ |x'| = M for all), queries
+    // to q' = [q, 0]; then q'·x' = q·x with all candidates equal-norm,
+    // so angular LSH on the lifted space IS inner-product LSH.
+    Q("nn8_mips_ann", Some(mipsOracleSql),
+      (s, dir) => knnMips(s, dir, nQueries = 10, k = 3))
 
   /** Squared-L2 between two float-array columns — codegen'd
     * [[graft.tensor.FloatL2Sq]]; same fold/null contract as [[dot]].
@@ -850,6 +860,116 @@ object SimilarityOps extends OpModule {
     aggregate(zip_with(a, b,
       (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
+
+  /** 65-dim double hyperplanes for the LIFTED MIPS space: 64 data dims
+    * plus the augmented coordinate. Doubles (not the float planes of
+    * nn2): the augmented coordinate √(M²−|x|²) is born double, and
+    * `Double.toString` round-trips through the oracle's SQL literals
+    * exactly, so both engines hash with bit-identical planes.
+    */
+  // defs/lazy, not vals: the qs chain (declared ABOVE this point)
+  // evaluates mipsOracleSql during object init, before later plain vals
+  // are assigned — a val here would read as 0/null (measured the hard
+  // way; object vals are NOT constant-inlined).
+  private def MipsNPlanes = 8
+  /** Multi-probe masks: hamming ≤ 2 (1 + 8 + 28 = 37 of 256 buckets).
+    * DEEPER than nn2's hamming-1 on purpose: the augmented coordinate
+    * adds a per-plane bias aug·p₆₄ to every CANDIDATE signature that
+    * the aug=0 QUERY signature never sees, so lifted-space signatures
+    * sit systematically farther from their query's than in the
+    * symmetric cosine case — probe depth is the recall knob that
+    * compensates (SimilaritySpec pins the resulting recall floor).
+    */
+  private def mipsProbeMasks: Seq[Int] =
+    Seq(0) ++ (0 until MipsNPlanes).map(1 << _) ++
+      (for { i <- 0 until MipsNPlanes; j <- i + 1 until MipsNPlanes }
+        yield (1 << i) | (1 << j))
+  private lazy val mipsPlanes: Seq[Array[Double]] = {
+    val rng = new scala.util.Random(11)
+    Seq.fill(MipsNPlanes)(Array.fill(65)(rng.nextGaussian()))
+  }
+
+  /** q·x with a plane's first 64 coords: left-to-right double fold,
+    * the same arithmetic as the oracle's list_sum fold.
+    */
+  private def mipsPlaneDot(emb: Column, p: Array[Double]): Column =
+    aggregate(zip_with(emb, array(p.take(64).toIndexedSeq.map(lit): _*),
+      (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+
+  /** MIPS top-k via the norm-augmentation reduction + sign-RP LSH (see
+    * the nn8 Q): candidates hash the lifted vector (plane dot + aug ×
+    * plane's 65th coord), queries hash with aug = 0 and multi-probe
+    * hamming-1, pairs meet through the bucket equi-join, and the final
+    * score is the RAW inner product (kernel fold). The augmented
+    * coordinate never materializes as a 65-array — it contributes one
+    * multiply-add per plane. Scale shape is knnLsh's: one tiny max-norm
+    * broadcast, shuffle keyed on a 1-byte signature, sort-limit top-k.
+    */
+  def knnMips(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    graft.tensor.VectorFunctions.register(s)
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(
+        Tables(s, dir, "embeddings")
+          .agg(max(l2norm(col("embedding"))).as("mx"))))
+      .withColumn("aug", sqrt(col("mx") * col("mx") - col("nrm") * col("nrm")))
+    def sig(withAug: Boolean): Column =
+      mipsPlanes.zipWithIndex.map { case (p, j) =>
+        val d = mipsPlaneDot(col("embedding"), p) +
+          (if (withAug) col("aug") * lit(p(64)) else lit(0.0))
+        when(d > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val cand = base.withColumn("sig", sig(withAug = true))
+      .select("vec_id", "embedding", "sig")
+    val probes = mipsProbeMasks.map(m => col("qsig").bitwiseXOR(lit(m)))
+    val q = base.filter(col("vec_id") < nQueries)
+      .withColumn("qsig", sig(withAug = false))
+      .withColumn("probe", explode(array(probes: _*)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("probe").as("sig"))
+    cand.join(q, Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ip", dot(col("qemb"), col("embedding")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("ip"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB oracle for nn8: max-norm lift, plane signatures (aug term
+    * for candidates, aug = 0 for queries), hamming-1 multi-probe, raw
+    * inner-product ranking — plane coords and fold order identical to
+    * the Spark plan.
+    */
+  private def mipsOracleSql: String = {
+    def planeArr(p: Array[Double]): String =
+      p.take(64).map(_.toString).mkString("[", ", ", "]")
+    def sigExpr(withAug: Boolean): String =
+      mipsPlanes.zipWithIndex.map { case (p, j) =>
+        val aug = if (withAug) s" + aug * ${p(64)}" else ""
+        s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, ${planeArr(p)}),
+           |z -> CAST(z[1] AS DOUBLE) * z[2]))$aug > 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+    val probeList = mipsProbeMasks
+      .map(m => s"xor(qsig, $m)").mkString("[", ", ", "]")
+    s"""WITH n AS (SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding,
+       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+       |m AS (SELECT max(nrm) AS mx FROM n),
+       |a AS (SELECT vec_id, embedding, sqrt(mx * mx - nrm * nrm) AS aug FROM n, m),
+       |c AS (SELECT vec_id, embedding, ${sigExpr(withAug = true)} AS sig FROM a),
+       |q0 AS (SELECT vec_id, embedding, ${sigExpr(withAug = false)} AS qsig
+       |       FROM a WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS qid, embedding AS qemb, unnest($probeList) AS sig FROM q0),
+       |d AS (SELECT q.qid, c.vec_id AS cid,
+       |        list_sum(list_transform(list_zip(q.qemb, c.embedding),
+       |          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS ip
+       |      FROM q JOIN c ON q.sig = c.sig AND c.vec_id <> q.qid)
+       |SELECT qid, cid, rnk, ip FROM (
+       |  SELECT qid, cid, ip,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ip DESC, cid ASC) AS BIGINT) AS rnk
+       |  FROM d) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
 
   private val PqM = 4        // subspaces
   private val PqSubDim = 16  // dims per subspace (4 × 16 = 64)

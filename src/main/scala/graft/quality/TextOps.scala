@@ -789,8 +789,47 @@ object TextOps extends OpModule {
         |            FROM documents))
         |SELECT u.doc_id, u.lang FROM u JOIN k USING (lang)
         |WHERE u.u < k.keep_frac ORDER BY lang, doc_id""".stripMargin),
-      (s, dir) => temperatureThreshold(s, dir))
+      (s, dir) => temperatureThreshold(s, dir)),
+
+    // x19 — sliding-window token chunking (context-window prep): split
+    // each document into 128-token windows advancing by a 64-token
+    // stride, so every token appears in ≤ 2 chunks and no window
+    // boundary loses cross-chunk context. Chunk count is integer
+    // arithmetic ((n−W+S−1) div S + 1 when n>W, else 1) and the slice
+    // is a codegen HOF over the token array — one Generate (explode)
+    // per doc, no shuffle until the final presentation sort; at 100 TB
+    // chunking is embarrassingly parallel map-side work. DuckDB mirrors
+    // it with generate_series + 1-based inclusive list slicing.
+    Q("x19_chunk_windows", Some(
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, len(tok) AS n,
+        |        CASE WHEN len(tok) <= 128 THEN 1
+        |             ELSE (len(tok) - 128 + 63) // 64 + 1 END AS k
+        |      FROM t),
+        |e AS (SELECT doc_id, tok, n, unnest(generate_series(0, k - 1)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 64 + 1 AS BIGINT) AS start_tok,
+        |  CAST(least(n - i * 64, 128) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(tok[(i * 64 + 1):(i * 64 + 128)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) => chunkWindows(s, dir))
   )
+
+  /** x19 implementation — see the Q above for the scale argument. */
+  def chunkWindows(s: SparkSession, dir: String, win: Int = 128,
+      stride: Int = 64): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tok"))
+      .withColumn("n", size(col("tok")))
+      .withColumn("k", when(col("n") <= win, lit(1))
+        .otherwise(expr(s"(n - $win + ${stride - 1}) div $stride + 1")))
+      .withColumn("i", explode(sequence(lit(0), col("k") - 1)))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        (col("i") * stride + 1).cast("long").as("start_tok"),
+        least(col("n") - col("i") * stride, lit(win)).cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("tok"), col("i") * stride + 1, lit(win))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
 
   /** x17b implementation — see the Q above for the scale argument. */
   def qualityBucketsHist(s: SparkSession, dir: String, bins: Int = 1024): DataFrame = {

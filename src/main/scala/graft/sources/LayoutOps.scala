@@ -77,6 +77,107 @@ object LayoutOps extends OpModule {
       .orderBy("event_type")
   }
 
+  /** The COMPOSED 100 TB read-path layout: directories partitioned by
+    * `event_date` (so DPP prunes whole directories) AND rows z-ordered
+    * on (user_id, value) within each directory with small row groups
+    * (so min/max statistics prune row groups inside the directories
+    * that survive). One warehouse write serves both pruning layers; a
+    * probe that names neither the date nor the user directly still
+    * reads only the intersection. Quantile-cut z-ranks
+    * (`ZOrder.quantileZColumn`) keep cell populations uniform under
+    * skew; `repartitionByRange` on (date, z) makes every output file a
+    * contiguous (date, z) slab, so FILE-level stats are tight too.
+    */
+  def partitionedZorderLayout(s: SparkSession, dir: String): (String, String) = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val base = graft.etl.ScratchDirs.keyed(
+      s"s9b_zorder_${src.length()}_${src.lastModified()}", dir)
+    val factDir = s"$base/events_by_day_z"
+    val dimDir = s"$base/date_dim"
+    val done = new java.io.File(factDir, "_SUCCESS").exists() &&
+      new java.io.File(dimDir, "_SUCCESS").exists()
+    if (!done) {
+      val ev = Tables(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      // 128 range partitions over 30 dates ⇒ each date lands in ~4
+      // contiguous z-SLAB FILES (plus small-block row groups inside
+      // them). A z-quartile slab fixes the top Morton bits, i.e. the
+      // top user-rank bit — so even a coarse file count gives the
+      // user predicate whole FILES to prune, and granularity deepens
+      // automatically as the data (and file/row-group count) grows.
+      ev.withColumn("__z", graft.etl.ZOrder.quantileZColumn(ev, "user_id", "value"))
+        .repartitionByRange(128, col("event_date"), col("__z"))
+        .sortWithinPartitions("event_date", "__z")
+        .drop("__z")
+        .write.mode("overwrite").partitionBy("event_date")
+        .option("parquet.block.size", (8 * 1024).toString)
+        .parquet(factDir)
+      ev.select("event_date").distinct()
+        .withColumn("dow", dayofweek(to_date(col("event_date"))).cast("int"))
+        .withColumn("is_weekend", col("dow") === 1 || col("dow") === 7)
+        .write.mode("overwrite").parquet(dimDir)
+    }
+    (factDir, dimDir)
+  }
+
+  /** s9's star with a fact-side user predicate on the composed layout:
+    * the dim's weekend filter reaches the scan as a `dynamicpruning#`
+    * PartitionFilter (directory layer) and `user_id < 10` reaches it as
+    * a PushedFilter that the z-clustered row-group statistics can
+    * actually serve (row-group layer). SourcesSpec pins both on this
+    * exact plan, plus the measured scan-output row count.
+    */
+  def weekendUserStar(s: SparkSession, factDir: String, dimDir: String,
+      maxUser: Long = 10L): DataFrame = {
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir)
+    fact.filter(col("user_id") < maxUser)
+      .join(dim.filter(col("dow").isin(1, 7)), Seq("event_date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Iceberg-style MANIFEST pruning — the file-level layer above row
+    * groups: a tiny metadata table holding each data file's (path,
+    * min_key, max_key, rows), built once per layout from
+    * `input_file_name()`. Scan planning reads the MANIFEST (KB), not
+    * file footers (at 100 TB: millions of footer reads vs one metadata
+    * scan), and hands the surviving file list to the reader. The
+    * driver-side collect is manifest-sized by construction — it IS the
+    * scan-planning step every table format (and Spark's own FileIndex
+    * listing) performs on the driver.
+    */
+  def manifestLayout(s: SparkSession, dir: String): (String, String) = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val base = graft.etl.ScratchDirs.keyed(
+      s"k9_manifest_${src.length()}_${src.lastModified()}", dir)
+    val dataDir = s"$base/lineitem_ranged"
+    val manifestDir = s"$base/manifest"
+    val done = new java.io.File(dataDir, "_SUCCESS").exists() &&
+      new java.io.File(manifestDir, "_SUCCESS").exists()
+    if (!done) {
+      Tables(s, dir, "lineitem")
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(dataDir)
+      s.read.parquet(dataDir)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          count(lit(1)).as("rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestDir)
+    }
+    (dataDir, manifestDir)
+  }
+
+  /** Files whose [min_key, max_key] overlaps [lo, hi], per the manifest. */
+  def manifestSelect(s: SparkSession, manifestDir: String,
+      lo: Long, hi: Long): Array[String] =
+    s.read.parquet(manifestDir)
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("file").collect().map(_.getString(0)).sorted
+
   val qs: Seq[Q] = Seq(
     // Star join on the date-partitioned fact: the dim's weekend filter
     // must reach the fact scan as a dynamicpruning# PartitionFilter (8 of
@@ -91,6 +192,38 @@ object LayoutOps extends OpModule {
       (s, dir) => {
         val (factDir, dimDir) = partitionedEventsLayout(s, dir)
         weekendStar(s, factDir, dimDir)
+      }),
+
+    // s9b — BOTH pruning layers in one plan: DPP selects the weekend
+    // directories, z-clustered row-group stats serve the user_id
+    // predicate inside them. The oracle states the combined semantics
+    // against the source table.
+    Q("s9b_dpp_zorder_star", Some(
+      s"""SELECT event_type, count(*) AS n, ${Dec.sqlSum("value")} AS sum_value
+         |FROM events
+         |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6) AND user_id < 10
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val (factDir, dimDir) = partitionedZorderLayout(s, dir)
+        weekendUserStar(s, factDir, dimDir)
+      }),
+
+    // k9 — manifest-pruned key-range aggregate: scan planning consults
+    // the manifest table, reads only overlapping files, and the result
+    // matches the full-table oracle exactly. SourcesSpec pins the file
+    // count actually read.
+    Q("k9_manifest_prune", Some(
+      s"""SELECT l_returnflag, count(*) AS n, ${Dec.sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val (dataDir, manifestDir) = manifestLayout(s, dir)
+        val files = manifestSelect(s, manifestDir, 100L, 500L)
+        s.read.parquet(files.toIndexedSeq: _*)
+          .filter(col("l_orderkey").between(100, 500))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), Dec.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
       })
   )
 }

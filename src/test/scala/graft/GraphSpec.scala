@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphSpec extends AnyFunSuite with SparkSuite {
@@ -29,5 +30,35 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       val members = clusters.filter(_._2 == rep).keys
       assert(members.min == rep)
     }
+  }
+
+  // PageRank invariants the DuckDB oracle can't see from one run: mass
+  // conservation under floor arithmetic, node-set preservation, and
+  // rerun determinism (the property the integer formulation buys).
+
+  test("g1: pagerank preserves the node set and (almost all) rank mass") {
+    val edges = GraphOps.tradeEdges(spark, sf)
+    val nodes = edges.select(col("src")).distinct().count()
+    val ranks = GraphOps.pageRank(edges, iters = 5).collect()
+    assert(ranks.length == nodes, s"${ranks.length} ranked nodes of $nodes")
+    assert(ranks.forall(_.getLong(1) > 0), "non-positive rank")
+    // floor division leaks < 1 micro-unit per div; with ~3 divs per node
+    // per round the total loss over 5 rounds is far under 5% of the mass
+    val mass = ranks.map(_.getLong(1)).sum
+    assert(mass <= GraphOps.RankScale, s"mass $mass exceeds the scale")
+    assert(mass > (GraphOps.RankScale * 0.95).toLong,
+      s"mass $mass lost more than 5% to floor arithmetic")
+    // hub property: suppliers (odd ids) touch ~15x more partners than
+    // customers at every SF, so the top-ranked node must be a supplier
+    val top = ranks.maxBy(_.getLong(1)).getLong(0)
+    assert(top % 2 == 1, s"top-ranked node $top is not a supplier hub")
+  }
+
+  test("g1: integer arithmetic makes reruns bit-identical") {
+    val a = SparkEntry.queries("g1_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val b = SparkEntry.queries("g1_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.sameElements(b), "pagerank reruns disagree")
   }
 }

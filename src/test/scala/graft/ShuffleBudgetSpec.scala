@@ -29,7 +29,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "a1_mode_majority" -> 3,
     "a2_distinct" -> 2,
     "a2b_count_distinct" -> 3,
-    "a2c_approx_distinct" -> 2,
+    // a2c: bounded-oracle form carries the exact countDistinct twin
+    // (two-phase distinct agg) beside the HLL sketch
+    "a2c_approx_distinct" -> 3,
     "a3_dup_audit" -> 2,
     "a4_count" -> 2,
     "a5_minmax" -> 2,
@@ -56,6 +58,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "e1_json_extract" -> 2,
     "e2_json_typed" -> 1,
     "e3_variant_extract" -> 2,
+    // g1: 5 unrolled power-iteration rounds, each a node-keyed join +
+    // per-dst aggregation, plus the final sort; the edge/degree tables
+    // are lineage-truncated and their exchanges reused across rounds
+    "g1_pagerank" -> 24,
     "j1_hash_join" -> 2,
     "j2_zip_join" -> 1,
     "j3_map_lookup" -> 1,
@@ -73,6 +79,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "k8_compact_small_files" -> 2,
     "k5_jsonl_roundtrip" -> 2,
     "k6_csv_roundtrip" -> 2,
+    // k9: the captured plan is the pruned-file-list agg + final sort;
+    // manifest consultation happens at planning time
+    "k9_manifest_prune" -> 2,
     "mm1_binary_ingest" -> 1,
     "mm2_chunk_features" -> 1,
     "mm3_frame_sample" -> 1,
@@ -88,6 +97,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // nn7: the iterations run EAGERLY at plan time (localCheckpoint), so
     // the captured plan is covariance moments + the final projection
     "nn7_pca_power" -> 4,
+    // nn8: max-norm stats agg + sig-keyed bucket join + per-query
+    // top-k window + final sort (nn2's shape plus the one-row lift agg)
+    "nn8_mips_ann" -> 6,
     "p1_project" -> 1,
     "p2_array_slice" -> 1,
     "p3_mask_filter" -> 1,
@@ -101,6 +113,7 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "r5_stratified_sample" -> 1,
     "s1_root_facade" -> 1,
     "s9_dpp_star" -> 2,
+    "s9b_dpp_zorder_star" -> 2,
     "set1_union" -> 2,
     "set2_except" -> 2,
     "st1_window_agg" -> 2,
@@ -174,6 +187,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // x18b: lang counts + single-row total + final sort; selection is a
     // map-side hash threshold — no rank window at all
     "x18b_temperature_threshold" -> 4,
+    // x19: explode + slice are map-side; only the presentation sort
+    "x19_chunk_windows" -> 1,
     "x1_token_count" -> 1,
     "x1b_bpe_tokens" -> 1,
     "x2_quality_score" -> 1,

@@ -41,6 +41,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(hit >= 3, s"LSH recalled only $hit of ${brute.size} brute-force pairs")
   }
 
+  test("MIPS ANN scores raw inner products and overlaps the exact MIPS top-k") {
+    graft.tensor.VectorFunctions.register(spark)
+    // exact all-pairs inner products for the 10 query rows (small table;
+    // the spec's ground truth, not a query path)
+    val base = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val allIp = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        SimilarityOps.dot(col("qemb"), col("embedding")).as("ip"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (seq first — flatMap over a Map of pair-seqs would re-collapse
+    // the (qid, cid) tuples into a one-entry-per-qid Map)
+    val exactTop = allIp.toSeq.groupBy(_._1._1).values.flatMap { g =>
+      g.sortBy { case ((_, cid), ip) => (-ip, cid) }.take(3).map(_._1)
+    }.toSet
+    val mips = SimilarityOps.knnMips(spark, sf, nQueries = 10, k = 3).collect()
+    assert(mips.nonEmpty)
+    // every reported score must be the exact raw inner product — the
+    // augmentation affects only candidate generation, never the score
+    mips.foreach { r =>
+      val ip = allIp((r.getLong(0), r.getLong(1)))
+      assert(math.abs(ip - r.getDouble(3)) < 1e-12)
+    }
+    // recall is approximate by design; require non-trivial overlap with
+    // the true MIPS top-k
+    val hit = mips.map(r => (r.getLong(0), r.getLong(1))).count(exactTop.contains)
+    assert(hit >= 3, s"MIPS LSH recalled only $hit of ${exactTop.size} exact pairs")
+  }
+
   test("Gaussian and rational keypoint kernels agree on the argmax keypoint") {
     val rational = SparkEntry.queries("v5_keypoint_score")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

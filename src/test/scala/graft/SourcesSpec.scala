@@ -165,6 +165,64 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(fromCompacted == fromSource, "compacted row counts differ from source")
   }
 
+  test("s9b: one plan prunes BOTH layers — DPP directories + z-slab files/row groups") {
+    // sf0.001 has only 15 distinct users, so the measured probe uses a
+    // threshold proportionate to THIS sf (user_id < 2 ≈ the bottom
+    // 13% — the production query's user_id < 10 means 6.7% at the
+    // driver's sf0.01); the pruning mechanics are identical.
+    val maxUser = 2L
+    val (factDir, dimDir) = sources.LayoutOps.partitionedZorderLayout(spark, sf)
+    val q = sources.LayoutOps.weekendUserStar(spark, factDir, dimDir, maxUser)
+    val plan = q.queryExecution.executedPlan.toString
+    // layer 1: the dim's weekend filter reaches the fact scan as a
+    // runtime dynamicpruning# PartitionFilter
+    assert(plan.contains("dynamicpruning#"),
+      s"no dynamicpruning subquery in fact scan:\n$plan")
+    // and the fact-side user predicate reaches the scan as a pushed
+    // parquet filter, not a post-scan residual only
+    assert(plan.contains(s"LessThan(user_id,$maxUser)"), s"user_id not pushed:\n$plan")
+    q.collect()
+    val scans = plans.PlanScans.fileScans(q.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(scans.nonEmpty, "no partitioned fact scan found")
+    // layer 1 measured: 8 weekend directories of 30
+    assert(scans.head.metrics("numPartitions").value == 8)
+    // layer 2 measured: inside the weekend directories, each z-slab
+    // file pins the top user-rank bit, so a far-below-median user
+    // predicate must skip the upper-half slabs — the scan emits well
+    // under the full weekend row count
+    val weekendRows = Tables(spark, sf, "events")
+      .filter(dayofweek(col("ts").cast("date")).isin(1, 7)).count()
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    assert(scanned < (weekendRows * 0.7).toLong,
+      s"scan emitted $scanned of $weekendRows weekend rows — no row-group/file pruning")
+    // result parity with the direct computation on the source table
+    val direct = Tables(spark, sf, "events")
+      .filter(dayofweek(col("ts").cast("date")).isin(1, 7) && col("user_id") < maxUser)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct, s"composed star $got != direct $direct")
+  }
+
+  test("k9: manifest pruning reads only key-overlapping files") {
+    val (dataDir, manifestDir) = sources.LayoutOps.manifestLayout(spark, sf)
+    val allFiles = spark.read.parquet(manifestDir).count()
+    assert(allFiles == 16, s"manifest should carry 16 files, has $allFiles")
+    val picked = sources.LayoutOps.manifestSelect(spark, manifestDir, 100L, 500L)
+    // a 400-key probe of the 0..~1500 key space at sf0.001 overlaps ~5
+    // of the 16 range files; at the driver's sf0.01 (0..15000 keys)
+    // it's 1 — either way the manifest must exclude the majority
+    assert(picked.nonEmpty && picked.length <= allFiles / 2,
+      s"manifest selected ${picked.length} of $allFiles files")
+    // the pruned read computes the same answer as the full-table scan
+    val pruned = spark.read.parquet(picked.toIndexedSeq: _*)
+      .filter(col("l_orderkey").between(100, 500)).count()
+    val full = Tables(spark, sf, "lineitem")
+      .filter(col("l_orderkey").between(100, 500)).count()
+    assert(pruned == full, s"pruned count $pruned != full $full")
+  }
+
   private implicit class RichJIterator[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext

@@ -8,6 +8,35 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TrainingPrepSpec extends AnyFunSuite with SparkSuite {
 
+  test("x19 chunk windows cover every token with the promised overlap") {
+    val win = 128L
+    val stride = 64L
+    val chunks = quality.TextOps.chunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val nTokens = SparkEntry.queries("x1_token_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.map(_._1).toSet == nTokens.keySet, "docs lost or invented")
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      // chunk ids dense from 0; starts advance by exactly the stride
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until cs.length).toSeq)
+      sorted.foreach { case (_, i, start, len, text) =>
+        assert(start == i * stride + 1)
+        assert(len == math.min(win, n - i * stride), s"doc $doc chunk $i length")
+        // the text really holds `len` whitespace tokens
+        assert(text.split("\\s+").count(_.nonEmpty) == len, s"doc $doc chunk $i text")
+      }
+      // full coverage: the last chunk reaches the final token, and no
+      // chunk starts beyond it
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      assert(lastStart + lastLen - 1 == n, s"doc $doc: tail token uncovered")
+      // the second-to-last chunk (if any) did NOT already cover the end —
+      // i.e. the chunk count is minimal for this (win, stride)
+      if (cs.length > 1) assert(sorted(cs.length - 2)._3 + win - 1 < n)
+    }
+  }
+
   test("x7 packing conserves documents and tokens per shard") {
     val docs = graft.Tables(spark, sf, "documents")
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
