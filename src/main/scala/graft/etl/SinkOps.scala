@@ -172,6 +172,33 @@ object SinkOps extends OpModule {
           .orderBy("lang")
       }),
 
+    // ORC sink/source round-trip: the second columnar format a
+    // warehouse interop surface speaks (Hive-lineage pipelines read
+    // ORC the way lakehouse stacks read parquet); zstd compression,
+    // explicit-schema read-back (no inference scan). The oracle
+    // recomputes the k1 digest audit from the SOURCE table — the sink
+    // format is invisible to it, which is exactly the point: the
+    // round-trip must be lossless or fp_min/fp_max break.
+    Q("k10_orc_roundtrip", Some(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+         |  min($rowFp) AS fp_min, max($rowFp) AS fp_max
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val out = ScratchDirs.keyed("k10_orc", dir)
+        val docs = Tables(s, dir, "documents")
+        docs.write.mode("overwrite").option("compression", "zstd").orc(out)
+        s.read.schema(docs.schema).orc(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").as("id_sum"),
+            sum(length(col("text")).cast("long")).as("chars_sum"),
+            min(expr(rowFp)).as("fp_min"),
+            max(expr(rowFp)).as("fp_max"))
+          .orderBy("lang")
+      }),
+
     // k7 — partition-scoped UPSERT on plain parquet: the "MERGE without
     // a table format" pattern an ETL pipeline runs when there is no
     // Delta/Iceberg log — dynamic partition overwrite

@@ -61,7 +61,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // g1: 5 unrolled power-iteration rounds, each a node-keyed join +
     // per-dst aggregation, plus the final sort; the edge/degree tables
     // are lineage-truncated and their exchanges reused across rounds
-    "g1_pagerank" -> 24,
+    // (measured 17 = 5×3 + final join exchange + range sort)
+    "g1_pagerank" -> 17,
     "j1_hash_join" -> 2,
     "j2_zip_join" -> 1,
     "j3_map_lookup" -> 1,
@@ -82,6 +83,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // k9: the captured plan is the pruned-file-list agg + final sort;
     // manifest consultation happens at planning time
     "k9_manifest_prune" -> 2,
+    // k10: same digest-audit read-back shape as k5/k6
+    "k10_orc_roundtrip" -> 2,
     "mm1_binary_ingest" -> 1,
     "mm2_chunk_features" -> 1,
     "mm3_frame_sample" -> 1,
@@ -99,7 +102,7 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "nn7_pca_power" -> 4,
     // nn8: max-norm stats agg + sig-keyed bucket join + per-query
     // top-k window + final sort (nn2's shape plus the one-row lift agg)
-    "nn8_mips_ann" -> 6,
+    "nn8_mips_ann" -> 4,
     "p1_project" -> 1,
     "p2_array_slice" -> 1,
     "p3_mask_filter" -> 1,
