@@ -25,6 +25,29 @@ object EventOps extends OpModule {
         .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // st1b — HOPPING (sliding) window aggregate: 1-hour windows every 15
+    // minutes, so each event lands in exactly 4 overlapping windows (the
+    // trend-smoothing grain rate monitors use). Spark's `window`
+    // expression computes membership natively in batch AND streaming —
+    // EventStream.slidingAgg is the streaming twin, StreamingSpec pins
+    // them equal — while the oracle derives the same 4 epoch-aligned
+    // starts per event in exact integer microseconds.
+    Q("st1b_sliding_agg", Some(
+      s"""WITH w AS (
+         |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+         |           - k * 900000000) AS wstart, event_type, value
+         |  FROM (SELECT ts, event_type, value,
+         |          unnest(generate_series(0, 3)) AS k FROM events))
+         |SELECT wstart AS window_ts, event_type,
+         |  count(*) AS n, ${Dec.sqlSum("value")} AS sum_value
+         |FROM w GROUP BY window_ts, event_type ORDER BY window_ts, event_type""".stripMargin),
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_ts", "event_type")),
+
     // JSON scalar extraction from the props column.
     Q("e1_json_extract", Some(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k FROM (

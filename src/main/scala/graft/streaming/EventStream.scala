@@ -63,13 +63,30 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming HOPPING-window aggregate (1-hour windows, 15-minute
+    * slide): each event contributes to 4 overlapping windows, state is
+    * bounded by the watermark exactly as in the tumbling case — the
+    * streaming twin of the st1b batch query, spec-pinned equal.
+    */
+  def slidingAgg(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    eventStream(spark, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Dec.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Run the streaming aggregate to completion over the (bounded) files
     * and return the final result as a batch DataFrame (memory sink, used
     * by StreamingSpec; `complete` mode so late-window rows are present
     * without waiting for watermark expiry).
     */
-  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val q = hourlyAgg(spark, dir).writeStream
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String,
+      sliding: Boolean = false): DataFrame = {
+    val agg = if (sliding) slidingAgg(spark, dir) else hourlyAgg(spark, dir)
+    val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)

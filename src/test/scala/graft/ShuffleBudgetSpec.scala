@@ -120,6 +120,7 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "set1_union" -> 2,
     "set2_except" -> 2,
     "st1_window_agg" -> 2,
+    "st1b_sliding_agg" -> 2,
     "st2_sessionize" -> 2,
     "st2b_session_window" -> 2,
     "st3_interval_join" -> 1,

@@ -32,6 +32,21 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sliding-window aggregate equals the batch hopping windows") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_sl")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.runToCompletion(spark, dir.toString, "st1b_test",
+      sliding = true)
+    val batch = ops.EventOps.qs.find(_.name == "st1b_sliding_agg").get.fn(spark, sf)
+    // 4 overlapping windows per event: the sliding row count must be ~4x
+    // the tumbling grain's (distinct windows x types, not a per-event law)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming dedup audit equals batch dd1 on any replay split") {
     // split the corpus across two files to force multiple micro-batch
     // arrivals — the min-id/count contract must not depend on the split
