@@ -66,6 +66,58 @@ object CorpusPipeline extends OpModule {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("source")
-    })
+    }),
+
+    // pipe2 — the TRAINING-PREP half of the pipeline, downstream of
+    // cleaning: exact dedup (content md5, first-occurrence keeper) →
+    // quality gate (x2's score ≥ 0.63, ~60% pass on the synthetic
+    // corpus at every SF) → x19 sliding-window chunking (128/64) →
+    // x8's hash-threshold split assignment → per-split shard
+    // accounting (docs, chunks, tokens). One Catalyst plan end-to-end:
+    // a window keyed on the content hash, map-side scoring/chunking
+    // (one Generate), and a single final aggregation — nothing
+    // driver-side. Split assignment reuses x8's exact md5 fold, so a
+    // doc's split here matches its x8 split (the consistency a real
+    // pipeline needs between its split audit and its shard writer).
+    Q("pipe2_training_chunks", Some(
+      s"""WITH keep AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (SELECT doc_id, text FROM keep WHERE ${TextOps.QualitySql} >= 0.63),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN substr(md5(concat_ws('|', doc_id, 'split/42')), 1, 8) < 'cccccccc' THEN 'train'
+         |             WHEN substr(md5(concat_ws('|', doc_id, 'split/42')), 1, 8) < 'e6666666' THEN 'val'
+         |             ELSE 'test' END AS split,
+         |        len(regexp_split_to_array(trim(text), '\\s+')) AS n
+         |      FROM q),
+         |e AS (SELECT split, doc_id, n,
+         |        CASE WHEN n <= 128 THEN 1 ELSE (n - 128 + 63) // 64 + 1 END AS k FROM s),
+         |x AS (SELECT split, doc_id, n, unnest(generate_series(0, k - 1)) AS i FROM e)
+         |SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_chunks, CAST(sum(least(n - i * 64, 128)) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY split ORDER BY split""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy("doc_id")
+        val h = substring(md5(concat_ws("|", col("doc_id"), lit("split/42"))), 1, 8)
+        Tables(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .filter(TextOps.qualityScore(col("text")) >= 0.63)
+          .select(col("doc_id"),
+            when(h < "cccccccc", "train").when(h < "e6666666", "val")
+              .otherwise("test").as("split"),
+            size(split(trim(col("text")), "\\s+")).as("n"))
+          .withColumn("k", when(col("n") <= 128, lit(1))
+            .otherwise(expr("(n - 128 + 63) div 64 + 1")))
+          .withColumn("i", explode(sequence(lit(0), col("k") - 1)))
+          .groupBy("split")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(least(col("n") - col("i") * 64, lit(128)).cast("long")).as("n_tokens"))
+          .orderBy("split")
+      })
   )
 }

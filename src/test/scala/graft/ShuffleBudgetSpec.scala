@@ -111,6 +111,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "p6_entry_index" -> 0,
     "p7_category_filter" -> 2,
     "pipe1_clean_corpus" -> 4,
+    // pipe2: content-hash dedup window + countDistinct two-phase split
+    // agg + final sort; scoring/chunking are map-side
+    "pipe2_training_chunks" -> 4,
     "r1_bernoulli_sample" -> 1,
     "r2_shuffle_epoch" -> 0,
     "r5_stratified_sample" -> 1,
