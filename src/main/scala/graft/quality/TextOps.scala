@@ -651,6 +651,50 @@ object TextOps extends OpModule {
           .orderBy("rnk")
       }),
 
+    // x20 — statistical-LM familiarity scoring (the CCNet/KenLM
+    // perplexity-filter shape with EXACT arithmetic): train the "model"
+    // on the corpus itself — global bigram counts — then score each doc
+    // by the summed corpus frequency of its bigrams. High familiarity =
+    // stock phrasing, low = rare constructions (or noise); rankings
+    // feed the same bucket machinery as x2/x17. Integer end-to-end
+    // (counts and sums, no log-prob floats), which is what makes a
+    // cross-engine oracle possible where a real log-space LM score
+    // would differ in ulps. Scale shape: one bigram groupBy builds the
+    // LM (bounded vocab → broadcast join; open vocab → keyed shuffle,
+    // or substitute x16's capped Misra–Gries LM), one per-doc
+    // aggregation scores.
+    Q("x20_bigram_familiarity", Some(
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |      FROM t WHERE len(toks) >= 2),
+        |lm AS (SELECT bigram, count(*) AS c FROM b GROUP BY bigram),
+        |sc AS (SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(lm.c) AS BIGINT) AS familiarity
+        |       FROM b JOIN lm USING (bigram) GROUP BY b.doc_id)
+        |SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(sc.familiarity, 0) AS familiarity
+        |FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val b = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "),
+              element_at(col("toks"), i + 2)))).as("bigram"))
+        val lm = b.groupBy("bigram").agg(count(lit(1)).as("c"))
+        val sc = b.join(lm, "bigram").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("c").as("familiarity"))
+        Tables(s, dir, "documents").select("doc_id")
+          .join(sc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("familiarity"), lit(0L)).as("familiarity"))
+          .orderBy("doc_id")
+      }),
+
     // x17 — CCNet-style per-language quality buckets: rank every document
     // by the x2 quality score WITHIN its language and split head/middle/
     // tail thirds (the bucketing CCNet uses to keep only the head of each

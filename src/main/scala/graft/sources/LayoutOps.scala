@@ -178,6 +178,56 @@ object LayoutOps extends OpModule {
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select("file").collect().map(_.getString(0)).sorted
 
+  /** VERSIONED manifests — snapshot isolation / time travel over plain
+    * parquet, the other half of what a table format's metadata layer
+    * buys (k9 is its stats-pruning half): every write APPENDS immutable
+    * data files and publishes a NEW manifest listing the snapshot's
+    * file set; a reader pins a manifest version and later files are
+    * invisible to it even though they share the directory, because
+    * readers never list the directory at all. Two snapshots here: v1 =
+    * the lower half of the key space, v2 = v1's files plus the upper
+    * half appended. Returns (dataDir, manifestV1Dir, manifestV2Dir).
+    */
+  def snapshotLayout(s: SparkSession, dir: String): (String, String, String) = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val base = graft.etl.ScratchDirs.keyed(
+      s"k9b_snap_${src.length()}_${src.lastModified()}", dir)
+    val dataDir = s"$base/data"
+    val m1 = s"$base/manifest_v1"
+    val m2 = s"$base/manifest_v2"
+    val done = new java.io.File(m1, "_SUCCESS").exists() &&
+      new java.io.File(m2, "_SUCCESS").exists()
+    if (!done) {
+      val li = Tables(s, dir, "lineitem")
+      val r = li.agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+      val cut = (r.getLong(0) + r.getLong(1)) / 2
+      def publishManifest(to: String): Unit =
+        s.read.parquet(dataDir)
+          .groupBy(input_file_name().as("file"))
+          .agg(min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+            count(lit(1)).as("rows"))
+          .coalesce(1).write.mode("overwrite").parquet(to)
+      li.filter(col("l_orderkey") < cut)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(dataDir)
+      publishManifest(m1)
+      li.filter(col("l_orderkey") >= cut)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("append").parquet(dataDir)
+      publishManifest(m2)
+    }
+    (dataDir, m1, m2)
+  }
+
+  /** Read exactly a snapshot's file set, as pinned by its manifest. */
+  def readSnapshot(s: SparkSession, manifestDir: String): DataFrame = {
+    val files = s.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0)).sorted
+    s.read.parquet(files.toIndexedSeq: _*)
+  }
+
   val qs: Seq[Q] = Seq(
     // Star join on the date-partitioned fact: the dim's weekend filter
     // must reach the fact scan as a dynamicpruning# PartitionFilter (8 of
@@ -206,6 +256,30 @@ object LayoutOps extends OpModule {
       (s, dir) => {
         val (factDir, dimDir) = partitionedZorderLayout(s, dir)
         weekendUserStar(s, factDir, dimDir)
+      }),
+
+    // k9b — time travel through versioned manifests: the same aggregate
+    // at snapshot v1 (lower key half) and v2 (after the upper-half
+    // append), both read through their pinned manifests from ONE shared
+    // data directory. The oracle restates both snapshots against the
+    // source table with the identical integer midpoint rule. SourcesSpec
+    // pins the isolation property (a v1 reader never sees v2's files).
+    Q("k9b_snapshot_diff", Some(
+      """WITH h AS (SELECT (min(l_orderkey) + max(l_orderkey)) // 2 AS cut FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_orderkey < (SELECT cut FROM h)) AS BIGINT) AS n_v1,
+        |  count(*) AS n_v2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val (_, m1, m2) = snapshotLayout(s, dir)
+        val v1 = readSnapshot(s, m1).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_v1"))
+        val v2 = readSnapshot(s, m2).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_v2"))
+        v2.join(v1, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"),
+            coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_v2"))
+          .orderBy("l_returnflag")
       }),
 
     // k9 — manifest-pruned key-range aggregate: scan planning consults

@@ -85,6 +85,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "k9_manifest_prune" -> 2,
     // k10: same digest-audit read-back shape as k5/k6
     "k10_orc_roundtrip" -> 2,
+    // k9b: two snapshot aggregates + their join + final sort
+    "k9b_snapshot_diff" -> 3,
     "mm1_binary_ingest" -> 1,
     "mm2_chunk_features" -> 1,
     "mm3_frame_sample" -> 1,
@@ -197,6 +199,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // x19: explode + slice are map-side; only the presentation sort
     "x19_chunk_windows" -> 1,
     "x1_token_count" -> 1,
+    // x20: LM-build groupBy + per-doc score agg + final sort
+    "x20_bigram_familiarity" -> 3,
     "x1b_bpe_tokens" -> 1,
     "x2_quality_score" -> 1,
     "x3_langid" -> 1,

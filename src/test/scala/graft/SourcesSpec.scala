@@ -205,6 +205,26 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(got == direct, s"composed star $got != direct $direct")
   }
 
+  test("k9b: a pinned manifest version is isolated from later appends") {
+    val (dataDir, m1, m2) = sources.LayoutOps.snapshotLayout(spark, sf)
+    val filesV1 = spark.read.parquet(m1).count()
+    val filesV2 = spark.read.parquet(m2).count()
+    val onDisk = new java.io.File(dataDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    // v2 appended real files into the SAME directory...
+    assert(filesV2 > filesV1, s"v2 manifest ($filesV2) not larger than v1 ($filesV1)")
+    assert(onDisk == filesV2, s"$onDisk files on disk vs $filesV2 in v2 manifest")
+    // ...yet the v1 reader sees exactly the v1 snapshot: the lower key half
+    val li = Tables(spark, sf, "lineitem")
+    val r = li.agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    val v1Rows = sources.LayoutOps.readSnapshot(spark, m1).count()
+    assert(v1Rows == li.filter(col("l_orderkey") < cut).count(),
+      "v1 snapshot read does not equal the lower key half")
+    assert(sources.LayoutOps.readSnapshot(spark, m2).count() == li.count(),
+      "v2 snapshot read does not equal the full table")
+  }
+
   test("k9: manifest pruning reads only key-overlapping files") {
     val (dataDir, manifestDir) = sources.LayoutOps.manifestLayout(spark, sf)
     val allFiles = spark.read.parquet(manifestDir).count()
