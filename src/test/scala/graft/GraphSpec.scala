@@ -54,6 +54,19 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(top % 2 == 1, s"top-ranked node $top is not a supplier hub")
   }
 
+  test("g1: the iteration rounds REUSE the edge/degree exchanges, not re-shuffle them") {
+    // SCALING.md claims the per-round join re-reads the same shuffled
+    // edge/degree subtrees; pin the runtime evidence — the executed plan
+    // must carry ReusedExchange nodes for the repeated subtrees (one
+    // fresh exchange each, reused by the later rounds)
+    val q = SparkEntry.queries("g1_pagerank")(spark, sf)
+    q.collect()
+    val reused = "ReusedExchange".r
+      .findAllIn(q.queryExecution.executedPlan.toString).size
+    assert(reused >= 4,
+      s"only $reused ReusedExchange nodes — iteration rounds are re-shuffling")
+  }
+
   test("g1: integer arithmetic makes reruns bit-identical") {
     val a = SparkEntry.queries("g1_pagerank")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

@@ -205,6 +205,45 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(got == direct, s"composed star $got != direct $direct")
   }
 
+  test("K5 robustness: corrupt JSONL lines quarantine without touching good rows") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // stage a JSONL export of documents, then plant malformed lines —
+    // the crawl-ingest reality a PERMISSIVE reader must survive
+    val out = java.nio.file.Files.createTempDirectory("k5_corrupt").toString
+    val docs = Tables(spark, sf, "documents")
+    docs.write.mode("overwrite").json(s"$out/clean")
+    val part = new java.io.File(s"$out/clean").listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val planted = Seq(
+      """{"doc_id": 900001, "text": "truncated""",
+      """not json at all""",
+      """{"doc_id": "not-a-number-for-a-long-field?", "n_chars": []}""")
+    val all = java.nio.file.Files.readString(part.toPath) +
+      planted.mkString("", "\n", "\n")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$out/dirty"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/dirty/part.json"), all)
+    val schema = StructType(docs.schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$out/dirty").cache()
+    // quarantine catches the malformed lines (the type-mismatch row is
+    // corrupt too under the declared long schema)...
+    val bad = back.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 3, s"expected 3 quarantined rows, got ${bad.count()}")
+    // ...and the clean rows survive byte-exact: same per-lang counts and
+    // doc_id sums as the source table
+    val good = back.filter(col("_corrupt_record").isNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = docs.groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(good == src, "good rows were altered by the corrupt-record pass")
+    back.unpersist()
+  }
+
   test("k9b: a pinned manifest version is isolated from later appends") {
     val (dataDir, m1, m2) = sources.LayoutOps.snapshotLayout(spark, sf)
     val filesV1 = spark.read.parquet(m1).count()
