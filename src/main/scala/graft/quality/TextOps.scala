@@ -93,6 +93,71 @@ object TextOps extends OpModule {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** dd11's chunker as a reusable table: (doc_id, st, h, len) — one row
+    * per content-defined chunk of `docs(doc_id, text)`. Boundaries where
+    * the rolling 8-gram poly hash ≡ 0 (mod 64), tail cuts excluded so
+    * the cut list is strictly increasing; all map-side HOF work.
+    * TextOpsSpec uses it directly to pin the re-synchronization law.
+    */
+  def cdcChunkTable(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    docs
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(1, length(text) - 7)), i -> poly_hash31(substring(text, i, 8)))"))
+      .withColumn("cuts", expr(
+        """concat(array(0),
+          |  transform(filter(sequence(1, size(hs)),
+          |    i -> element_at(hs, i) % 64 = 0 AND i + 7 < length(text)),
+          |    i -> i + 7),
+          |  array(length(text)))""".stripMargin))
+      .withColumn("ch", explode(expr(
+        """transform(sequence(1, size(cuts) - 1), j -> struct(
+          |  element_at(cuts, j) AS st,
+          |  substring(text, element_at(cuts, j) + 1,
+          |    element_at(cuts, j + 1) - element_at(cuts, j)) AS body))""".stripMargin)))
+      .select(col("doc_id"), col("ch.st").as("st"),
+        md5(col("ch.body")).as("h"), length(col("ch.body")).as("len"))
+  }
+
+  /** DuckDB twin of dd11's content-defined chunking: x5's rolling-hash
+    * CTE, the same `≡ 0 (mod 64)` boundary rule with tail-cut exclusion,
+    * 1-based inclusive slicing for the chunk bodies, and the identical
+    * first-occurrence window on the chunk md5.
+    */
+  private def cdcOracleSql: String = {
+    val coefs = (0 until 8).map(j => BigInt(HashBase).pow(7 - j)).mkString("[", ", ", "]")
+    s"""WITH h AS (
+       |  SELECT doc_id, text,
+       |    list_transform(range(1, greatest(2, length(text) - 6)), i ->
+       |      CAST(list_sum(list_transform(range(0, 8), j ->
+       |        ord(substr(text, CAST(i + j AS INTEGER), 1)) * ($coefs)[CAST(j + 1 AS INTEGER)]))
+       |        % $HashMod AS BIGINT)) AS hs
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text,
+       |    [0] || list_transform(list_filter(range(1, len(hs) + 1),
+       |        i -> hs[CAST(i AS INTEGER)] % 64 = 0 AND i + 7 < length(text)),
+       |        i -> i + 7)
+       |      || [length(text)] AS cuts
+       |  FROM h),
+       |x AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(cuts)), j -> struct_pack(
+       |      st := cuts[CAST(j AS INTEGER)],
+       |      body := substr(text, CAST(cuts[CAST(j AS INTEGER)] + 1 AS INTEGER),
+       |        CAST(cuts[CAST(j + 1 AS INTEGER)] - cuts[CAST(j AS INTEGER)] AS INTEGER))))) AS ch
+       |  FROM c),
+       |r AS (
+       |  SELECT doc_id, ch.st AS st, md5(ch.body) AS hh, length(ch.body) AS len,
+       |         row_number() OVER (PARTITION BY md5(ch.body) ORDER BY doc_id, ch.st) AS rn
+       |  FROM x)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup,
+       |  CAST(coalesce(sum(len) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_chars
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     // Token counting (whitespace tokenizer).
     Q("x1_token_count", Some(
@@ -649,6 +714,30 @@ object TextOps extends OpModule {
               .orderBy(col("n").desc, col("bigram").asc)).cast("long"))
           .select("bigram", "n", "rnk")
           .orderBy("rnk")
+      }),
+
+    // dd11 — CONTENT-DEFINED chunking dedup (the FastCDC/rsync boundary
+    // rule): chunk boundaries fall where the rolling 8-gram hash ≡ 0
+    // (mod 64) — a property of the CONTENT, not the offset — so an
+    // insertion early in a document shifts every byte yet re-synchronizes
+    // the very next boundary, where dd8's fixed segmentation would mark
+    // every downstream chunk changed. Expected chunk ≈ 64 chars. The
+    // rolling hashes are x5's poly_hash31 codegen kernel; boundaries,
+    // slicing and lengths are HOF arithmetic (map-side); the only
+    // shuffle is the first-occurrence window keyed on the chunk hash
+    // (dd8's shape). Integer/md5 end-to-end ⇒ fully DuckDB-oracled.
+    Q("dd11_cdc_chunks", Some(cdcOracleSql),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy("doc_id", "st")
+        cdcChunkTable(s, Tables(s, dir, "documents"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("rn") > 1, 1)).as("n_dup"),
+            coalesce(sum(when(col("rn") > 1, col("len"))), lit(0))
+              .cast("long").as("dup_chars"))
+          .orderBy("doc_id")
       }),
 
     // x20 — statistical-LM familiarity scoring (the CCNet/KenLM

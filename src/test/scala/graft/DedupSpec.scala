@@ -274,4 +274,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val far = for (a <- ids; b <- ids if a < b) yield java.lang.Long.bitCount(sh(a) ^ sh(b))
     assert(far.sum.toDouble / far.size > 12.0)
   }
+
+  test("dd11: content-defined boundaries re-synchronize after a prefix insertion") {
+    import spark.implicits._
+    // the CDC selling point vs dd8's fixed segmentation: shift every
+    // byte with an inserted prefix and all chunks except the first
+    // one(s) must come out content-identical, because boundaries are a
+    // function of local content, not offset
+    val doc = Tables(spark, sf, "documents")
+      .orderBy(desc("n_chars")).select("text").head().getString(0) * 3
+    val pair = Seq((1L, doc), (2L, "INSERTED-PREFIX-XYZ " + doc))
+      .toDF("doc_id", "text")
+    val chunks = quality.TextOps.cdcChunkTable(spark, pair).collect()
+    val a = chunks.filter(_.getLong(0) == 1L).map(_.getString(2)).toSeq
+    val b = chunks.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    assert(a.size >= 3, s"fixture produced only ${a.size} chunks")
+    val shared = a.count(b.contains)
+    assert(shared >= a.size - 2,
+      s"only $shared of ${a.size} chunks survived the shifted prefix — " +
+        "boundaries did not re-synchronize")
+  }
 }

@@ -55,6 +55,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // dd10: pair join keyed on cent + distinct + verdict join/sort over
     // the localCheckpointed assignment (itself shuffle-free argmax)
     "dd10_semdedup" -> 3,
+    // dd11: chunking is map-side HOFs; first-occurrence window + per-doc
+    // agg + final sort
+    "dd11_cdc_chunks" -> 3,
     "e1_json_extract" -> 2,
     "e2_json_typed" -> 1,
     "e3_variant_extract" -> 2,
