@@ -284,6 +284,36 @@ object RelationalOps extends OpModule {
           .orderBy("c_custkey")
       }),
 
+    // set3/set4 complete the set-operator family: INTERSECT (left semi
+    // under the hood) and UNION ALL with the duplicate kept — the
+    // bag-semantics twin whose count differs from set1 by exactly the
+    // overlap.
+    Q("set3_intersect", Some(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      }),
+
+    Q("set4_union_all", Some(
+      """SELECT c_custkey, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .unionAll(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("c_custkey")
+      }),
+
     // Cube (free via Catalyst, SURVEY §2.5 note).
     Q("a10b_cube", Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,

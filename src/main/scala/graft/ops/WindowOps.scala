@@ -173,6 +173,37 @@ object WindowOps extends OpModule {
           .withColumn("sum_1h", sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
           .select("event_id", "user_id", "n_1h", "sum_1h")
           .orderBy("event_id")
+      }),
+
+    // w10 — first/last/nth value per group, one row per customer. The
+    // frame gotcha this pins: with an ORDER BY, the DEFAULT window frame
+    // ends at CURRENT ROW, so last_value/nth_value silently return the
+    // running last (= the current row) unless the frame is widened to
+    // UNBOUNDED FOLLOWING — both engines share the trap and the fix.
+    Q("w10_first_last", Some(
+      """SELECT o_custkey, first_key, last_key, second_key FROM (
+        |  SELECT o_custkey,
+        |    first_value(o_orderkey) OVER w AS first_key,
+        |    last_value(o_orderkey) OVER wf AS last_key,
+        |    nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |    row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "orders")
+          .select("o_custkey", "o_orderdate", "o_orderkey")
+          .withColumn("first_key", first("o_orderkey").over(w))
+          .withColumn("last_key", last("o_orderkey").over(wf))
+          .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wf))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "first_key", "last_key", "second_key")
+          .orderBy("o_custkey")
       })
   )
 }

@@ -127,6 +127,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "s9b_dpp_zorder_star" -> 2,
     "set1_union" -> 2,
     "set2_except" -> 2,
+    "set3_intersect" -> 2,
+    "set4_union_all" -> 2,
     "st1_window_agg" -> 2,
     "st1b_sliding_agg" -> 2,
     "st2_sessionize" -> 2,
@@ -182,6 +184,7 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "w7_percent_rank" -> 2,
     "w8_above_avg" -> 2,
     "w9_range_frame" -> 2,
+    "w10_first_last" -> 2,
     "x10_repetition" -> 1,
     "x11_redact" -> 1,
     "x12_tfidf" -> 6,
