@@ -303,6 +303,57 @@ object AggOps extends OpModule {
       (s, dir) => Tables(s, dir, "events")
         .filter(col("value") > 10.0)
         .select("event_id", "value")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // v7 — occupancy-grid INSTANCE labeling: connected components over
+    // a sparse 2-D occupancy grid (4-neighborhood), the cluster/
+    // instance-segmentation step the reference's larmatch stage runs
+    // after voxelization (its dense-array flood fill, re-expressed as
+    // the dd6 CC machinery over sparse adjacency). The grid is the
+    // (l_partkey, l_suppkey) support — ~4 occupied cells per part row
+    // at EVERY scale factor, so the instance structure is SF-robust
+    // where a binned price/quantity grid saturates into one blob.
+    // Adjacency is an EQUI-join on shifted coordinates — never a
+    // distance cross product — CC runs on occupied cells only with
+    // pointer jumping, and isolated cells label themselves. The oracle
+    // is the recursive min-reachability CTE over the identical grid.
+    Q("v7_voxel_instances", Some(
+      """WITH RECURSIVE v AS (SELECT DISTINCT l_partkey AS ix, l_suppkey AS iy FROM lineitem),
+        |n AS (SELECT ix, iy, ix * 1000000 + iy AS id FROM v),
+        |e0 AS (SELECT a.id AS a, b.id AS b FROM n a JOIN n b
+        |       ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+        |       OR (b.ix = a.ix AND b.iy = a.iy + 1)),
+        |sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |lab AS (SELECT n.ix, n.iy, c.comp FROM n JOIN comp c ON c.id = n.id)
+        |SELECT comp AS instance, count(*) AS n_vox,
+        |  min(ix) AS min_ix, max(ix) AS max_ix,
+        |  min(iy) AS min_iy, max(iy) AS max_iy
+        |FROM lab GROUP BY comp ORDER BY instance""".stripMargin),
+      (s, dir) => {
+        val vox = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("ix"), col("l_suppkey").as("iy"))
+          .distinct()
+          .withColumn("id", col("ix") * 1000000L + col("iy"))
+          .localCheckpoint(true) // reused by both edge joins + the label join
+        def shiftEdges(dx: Int, dy: Int) =
+          vox.as("x").join(vox.as("y"),
+            col("y.ix") === col("x.ix") + dx && col("y.iy") === col("x.iy") + dy)
+            .select(col("x.id").as("a"), col("y.id").as("b"))
+        val comp = GraphOps.connectedComponents(
+          shiftEdges(1, 0).union(shiftEdges(0, 1)))
+        vox.join(comp, Seq("id"), "left")
+          .select(col("ix"), col("iy"),
+            coalesce(col("comp"), col("id")).as("comp"))
+          .groupBy(col("comp").as("instance"))
+          .agg(count(lit(1)).as("n_vox"),
+            min("ix").as("min_ix"), max("ix").as("max_ix"),
+            min("iy").as("min_iy"), max("iy").as("max_iy"))
+          .orderBy("instance")
+      })
   )
 }

@@ -74,5 +74,30 @@ object SamplingOps extends OpModule {
             .otherwise("00000000"))
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber"))
+  ,
+
+    // r6 — FIXED-SIZE per-stratum sample (eval-set construction: exactly
+    // k docs per language, not a fraction): rank every doc within its
+    // language by the seeded hash — a deterministic uniform order — and
+    // keep the first k. Unlike r5's Bernoulli thresholding the output
+    // size is exact, retry-stable, and oracle-reproducible. The
+    // per-language rank window is exact like x17's (one partition per
+    // language); for k ≪ group size at 100 TB the scale path is a
+    // mergeable bounded-heap Aggregator (k smallest hashes per group —
+    // x16's merge-tree shape), same answer without the full sort.
+    Q("r6_fixed_stratified", Some(
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${sqlU32hex("r6/11", "doc_id")}, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(u32hex("r6/11", col("doc_id")), col("doc_id"))
+        Tables(s, dir, "documents").select("lang", "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("lang", "doc_id")
+          .orderBy("lang", "doc_id")
+      })
   )
 }

@@ -122,6 +122,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "r1_bernoulli_sample" -> 1,
     "r2_shuffle_epoch" -> 0,
     "r5_stratified_sample" -> 1,
+    // r6: per-language hash-rank window + final sort
+    "r6_fixed_stratified" -> 2,
     "s1_root_facade" -> 1,
     "s9_dpp_star" -> 2,
     "s9b_dpp_zorder_star" -> 2,
@@ -176,6 +178,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "v5_keypoint_score" -> 2,
     "v5b_keypoint_gauss" -> 2,
     "v6_sce_lut" -> 1,
+    // v7: CC rounds run eagerly (localCheckpoint); captured plan is the
+    // label join + instance agg + sort
+    "v7_voxel_instances" -> 4,
     "w2_topk" -> 0,
     "w3_ntile" -> 1,
     "w4_argmax" -> 2,
