@@ -14,7 +14,8 @@ object SparkEntry {
     ops.RelationalOps, ops.AggOps, ops.WindowOps, ops.EventOps,
     ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.MisraGriesOps,
     ops.TpchOps, ops.ScalarOps, ops.GraphOps,
-    quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.Multimodal,
+    quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.ClusterOps,
+    quality.Multimodal,
     quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps)
 
   lazy val all: Seq[Q] = {

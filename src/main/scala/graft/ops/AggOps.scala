@@ -354,6 +354,50 @@ object AggOps extends OpModule {
             min("ix").as("min_ix"), max("ix").as("max_ix"),
             min("iy").as("min_iy"), max("iy").as("max_iy"))
           .orderBy("instance")
+      }),
+
+    // a13 — exact bivariate statistics per group: covariance and Pearson
+    // correlation of (quantity, extendedprice) per return flag. Spark's
+    // covar_pop/corr built-ins sum doubles in shuffle-arrival order
+    // (nondeterministic, never oracle-matchable), so the moments
+    // (Σx, Σy, Σxy, Σx², Σy²) accumulate in DecimalType(38,4) — exact
+    // and order-free — and the covariance/correlation formulas run ONCE
+    // per group on the agreed decimal sums. The composite a·b − c·d
+    // can still drift one ulp across engines (FMA contraction), so the
+    // emitted doubles are round(x, 9) on both sides — the v5b/nn7
+    // precedent. One partial-aggregated groupBy — the same plan shape
+    // as the built-in, with determinism added.
+    Q("a13_covar_corr", Some(
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((sxy - sx * sy / n) / n, 9) AS covar_pop,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr
+        |FROM (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(38, 4))).cast("double")
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+            dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 9)
+              .as("covar_pop"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr"))
+          .orderBy("l_returnflag")
       })
   )
 }

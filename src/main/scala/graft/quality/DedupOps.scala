@@ -793,9 +793,115 @@ object DedupOps extends OpModule {
        |SELECT a, b, hamming FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
        |ORDER BY a, b""".stripMargin
 
+  /** dd12 — Bloom-filter membership probe against a prior snapshot: the
+    * constant-space alternative to dd9's exact fingerprint store for the
+    * cheap FIRST gate of incremental dedup ("definitely new" vs "maybe
+    * seen"). The filter is m=4096 bits as 128 packed 32-bit words; k=4
+    * positions per document derive from the codegen poly_hash31 content
+    * hash via fixed affine maps — every step integer arithmetic both
+    * engines reproduce, so unlike a production xxhash Bloom this one is
+    * fully DuckDB-oracled, false positives included (the spec plants
+    * one). Probe verdict per new doc: `bloom_hit` (all k bits set) next
+    * to the ground-truth `exact_dup` (md5 equi-join, the audit column) —
+    * rows with bloom_hit ∧ ¬exact_dup are the filter's false positives,
+    * visible in the result rather than asserted away.
+    *
+    * Scale shape: the build is one map-side position explode + a
+    * 128-group bit_or; the probe is a pure map-side forall against the
+    * BROADCAST word array — zero shuffles on the probe path, which is
+    * the whole point (dd9's three equi-joins become one broadcast
+    * lookup). At corpus scales where m no longer broadcasts (~10 bits
+    * per prior doc), the same words table probes as an equi-join keyed
+    * on the word index — the relational form is already what the build
+    * emits; the dense-array collapse here is the small-m fast path.
+    */
+  def bloomProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val withCut = docs.crossJoin(
+      broadcast(docs.agg(expr("(max(doc_id) + 1) div 2").as("cut"))))
+    bloomVerdicts(s,
+      withCut.filter(col("doc_id") < col("cut")),
+      withCut.filter(col("doc_id") >= col("cut")))
+  }
+
+  /** [[bloomProbe]]'s core over explicit prior/fresh doc tables
+    * (doc_id, text); `mBits` must be a multiple of 32. DedupSpec drives
+    * it at tiny m to PLANT false positives (a saturated filter) and at
+    * the default m to pin the no-false-negative law.
+    */
+  def bloomVerdicts(s: SparkSession, prior0: DataFrame, fresh0: DataFrame,
+      mBits: Int = 4096): DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    val nWords = mBits / 32 // 32-bit words: shift stays sign-safe in BIGINT
+    val posArr = expr(
+      s"array((31L * h + 7L) % $mBits, (131L * h + 101L) % $mBits, " +
+        s"(1031L * h + 389L) % $mBits, (8191L * h + 2003L) % $mBits)")
+    val prior = prior0.select(col("doc_id"), col("text"),
+      expr("poly_hash31(text)").as("h"))
+    val fresh = fresh0.select(col("doc_id"), col("text"),
+      expr("poly_hash31(text)").as("h"))
+    val wordsRow = prior.select(explode(posArr).as("pos"))
+      .groupBy(expr("pos div 32").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("wm"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        w => coalesce(element_at(col("wm"), w.cast("long")), lit(0L))).as("words"))
+    val priorHashes = prior.select(md5(col("text")).as("pm")).distinct()
+    fresh.select(col("doc_id"), posArr.as("ps"), md5(col("text")).as("fm"))
+      .crossJoin(broadcast(wordsRow))
+      .join(priorHashes, col("fm") === col("pm"), "left")
+      .select(col("doc_id"),
+        expr("forall(ps, x -> ((shiftright(element_at(words, cast(x div 32 as int) + 1), " +
+          "cast(x % 32 as int)) & 1) = 1))").as("bloom_hit"),
+        col("pm").isNotNull.as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[bloomProbe]]: the per-char Horner fold replays
+    * poly_hash31 (ASCII corpus, the [[TcodesSql]] contract), the same
+    * affine position maps and 32-bit word packing, and the dense word
+    * list assembles by LEFT JOIN against range(0,128). Bit semantics
+    * match because `& 1` after any shift reads the same bit whether the
+    * engine's `>>` is arithmetic or logical.
+    */
+  private def dd12OracleSql: String =
+    s"""WITH cutv AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
+       |ph AS (SELECT doc_id, text,
+       |         CASE WHEN length(text) = 0 THEN 0 ELSE
+       |           list_reduce(list_transform(range(1, length(text) + 1), i ->
+       |             CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+       |             (acc, x) -> (acc * 127 + x) % 2147483647) END AS h
+       |       FROM documents),
+       |pr AS (SELECT doc_id, text, h FROM ph, cutv WHERE doc_id < cut),
+       |fr AS (SELECT doc_id, text, h FROM ph, cutv WHERE doc_id >= cut),
+       |pp AS (SELECT unnest([(31 * h + 7) % 4096, (131 * h + 101) % 4096,
+       |                     (1031 * h + 389) % 4096, (8191 * h + 2003) % 4096]) AS pos
+       |       FROM pr),
+       |w AS (SELECT pos // 32 AS word,
+       |        bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+       |      FROM pp GROUP BY 1),
+       |warr AS (SELECT list(coalesce(w.bits, 0) ORDER BY r.i) AS words
+       |         FROM range(0, 128) r(i) LEFT JOIN w ON w.word = r.i),
+       |pm AS (SELECT DISTINCT md5(text) AS m FROM pr),
+       |probe AS (SELECT doc_id,
+       |            [(31 * h + 7) % 4096, (131 * h + 101) % 4096,
+       |             (1031 * h + 389) % 4096, (8191 * h + 2003) % 4096] AS ps,
+       |            md5(text) AS fm
+       |          FROM fr)
+       |SELECT p.doc_id,
+       |  len(list_filter(p.ps, x ->
+       |    ((words[CAST(x // 32 AS INTEGER) + 1] >> CAST(x % 32 AS INTEGER)) & 1) = 0)) = 0
+       |    AS bloom_hit,
+       |  pm.m IS NOT NULL AS exact_dup
+       |FROM probe p CROSS JOIN warr LEFT JOIN pm ON pm.m = p.fm
+       |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("dd2_minhash_lsh", Some(dd2OracleSql),
       (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
+
+    // dd12 — constant-space Bloom membership gate (see [[bloomProbe]]).
+    Q("dd12_bloom_probe", Some(dd12OracleSql), (s, dir) => bloomProbe(s, dir)),
 
     Q("dd3b_simhash_lsh", Some(dd3bOracleSql),
       (s, dir) => simhashPairs(s, dir, maxHamming = 8)),

@@ -946,7 +946,47 @@ object TextOps extends OpModule {
         |  CAST(least(n - i * 64, 128) AS BIGINT) AS chunk_tokens,
         |  array_to_string(tok[(i * 64 + 1):(i * 64 + 128)], ' ') AS chunk_text
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
-      (s, dir) => chunkWindows(s, dir))
+      (s, dir) => chunkWindows(s, dir)),
+
+    // x21 — CORPUS-level duplicated n-gram fraction (the Gopher/Dolma
+    // repetition signal x10 computes only WITHIN a doc): per document,
+    // the share of its 5-gram token shingles that occur more than once
+    // across the whole corpus — high dup_frac means boilerplate that
+    // survives exact and near dedup (navigation chrome, license
+    // headers). Shingles travel as 16-hex-char md5 prefixes, not
+    // strings, so the global count shuffle carries 16-byte keys
+    // instead of ~5-token texts (the dd1 key-narrowing move); the plan
+    // is one map-side Generate, one partial-aggregated count keyed on
+    // the gram hash, one equi-join back on the same key (AQE handles
+    // popular-gram skew), and the per-doc aggregation. Docs with fewer
+    // than 5 tokens have no shingles and are excluded on both sides.
+    Q("x21_dup_ngram_frac", Some(
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 3), i ->
+        |        substr(md5(array_to_string(tok[i:i+4], ' ')), 1, 16))) AS g
+        |      FROM t WHERE len(tok) >= 5),
+        |c AS (SELECT g, count(*) AS c FROM g GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM g JOIN c USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .withColumn("tok", split(trim(col("text")), "\\s+"))
+          .filter(size(col("tok")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tok) - 4), i -> " +
+              "substring(md5(concat_ws(' ', slice(tok, i, 5))), 1, 16))")).as("g"))
+        val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+        grams.join(counts, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("c") > 1, 1).otherwise(0)).cast("long").as("n_dup"),
+            (sum(when(col("c") > 1, 1).otherwise(0)).cast("double")
+              / count(lit(1))).as("dup_frac"))
+          .orderBy("doc_id")
+      })
   )
 
   /** x19 implementation — see the Q above for the scale argument. */

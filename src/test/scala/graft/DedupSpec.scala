@@ -294,4 +294,32 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"only $shared of ${a.size} chunks survived the shifted prefix — " +
         "boundaries did not re-synchronize")
   }
+
+  test("dd12: bloom never misses an exact dup; a saturated tiny filter shows false positives") {
+    import spark.implicits._
+    def doc(i: Int): String = {
+      val rng = new scala.util.Random(9000 + i)
+      Seq.fill(30)(s"b${rng.nextInt(2000)}").mkString(" ")
+    }
+    val prior = (0 until 30).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    // fresh: 10 exact copies of prior docs + 20 genuinely new texts
+    val fresh = ((100 until 110).map(i => (i.toLong, doc(i - 100))) ++
+      (200 until 220).map(i => (i.toLong, doc(i)))).toDF("doc_id", "text")
+
+    // Tiny m = 64 bits with 30×4 set attempts saturates the filter, so
+    // unseen texts collide — the false-positive regime made visible.
+    val tiny = DedupOps.bloomVerdicts(spark, prior, fresh, mBits = 64).collect()
+    val missed = tiny.filter(r => r.getBoolean(2) && !r.getBoolean(1))
+    assert(missed.isEmpty, s"false NEGATIVES are impossible by construction: ${missed.toSeq}")
+    assert(tiny.exists(r => r.getBoolean(1) && !r.getBoolean(2)),
+      "64-bit filter over 30 docs should produce at least one false positive")
+
+    // Default m on the same corpus: still no false negatives, and the
+    // sparse filter lets most genuinely-new texts through.
+    val big = DedupOps.bloomVerdicts(spark, prior, fresh).collect()
+    assert(big.filter(r => r.getBoolean(2) && !r.getBoolean(1)).isEmpty)
+    val newTexts = big.filter(_.getLong(0) >= 200)
+    assert(newTexts.count(!_.getBoolean(1)) >= 18,
+      "4096-bit filter should pass nearly all of the 20 new texts as definitely-new")
+  }
 }

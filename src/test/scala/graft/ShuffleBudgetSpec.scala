@@ -26,6 +26,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "a11b_quantiles_exact" -> 2,
     // a12: two per-type median windows + their rollups + the final sort
     "a12_mad_outliers" -> 5,
+    // a13: one partial-aggregated moment groupBy + final sort
+    "a13_covar_corr" -> 2,
     "a1_mode_majority" -> 3,
     "a2_distinct" -> 2,
     "a2b_count_distinct" -> 3,
@@ -55,6 +57,11 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // dd10: pair join keyed on cent + distinct + verdict join/sort over
     // the localCheckpointed assignment (itself shuffle-free argmax)
     "dd10_semdedup" -> 3,
+    // dd12: filter build (word groupBy + single-row collapse) + the
+    // exact-audit join (distinct + both join sides) + final sort; the
+    // production bloom verdict itself is a map-side forall over the
+    // broadcast word array
+    "dd12_bloom_probe" -> 7,
     // dd11: chunking is map-side HOFs; first-occurrence window + per-doc
     // agg + final sort
     "dd11_cdc_chunks" -> 3,
@@ -108,6 +115,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // nn8: max-norm stats agg + sig-keyed bucket join + per-query
     // top-k window + final sort (nn2's shape plus the one-row lift agg)
     "nn8_mips_ann" -> 4,
+    // nn9: the Lloyd rounds run eagerly behind localCheckpoint; the
+    // captured plan is the final map-side assignment + its sort
+    "nn9_kmeans_lloyd" -> 2,
     "p1_project" -> 1,
     "p2_array_slice" -> 1,
     "p3_mask_filter" -> 1,
@@ -210,6 +220,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // x19: explode + slice are map-side; only the presentation sort
     "x19_chunk_windows" -> 1,
     "x1_token_count" -> 1,
+    // x21: gram-count agg + per-doc agg downstream of the gram join +
+    // final sort
+    "x21_dup_ngram_frac" -> 3,
     // x20: LM-build groupBy + per-doc score agg + final sort
     "x20_bigram_familiarity" -> 3,
     "x1b_bpe_tokens" -> 1,
