@@ -829,30 +829,45 @@ object DedupOps extends OpModule {
     * it at tiny m to PLANT false positives (a saturated filter) and at
     * the default m to pin the no-false-negative law.
     */
-  def bloomVerdicts(s: SparkSession, prior0: DataFrame, fresh0: DataFrame,
-      mBits: Int = 4096): DataFrame = {
+  /** The k=4 affine bit positions of a doc's poly_hash31 column `h`. */
+  def bloomPositions(mBits: Int): Column = expr(
+    s"array((31L * h + 7L) % $mBits, (131L * h + 101L) % $mBits, " +
+      s"(1031L * h + 389L) % $mBits, (8191L * h + 2003L) % $mBits)")
+
+  /** Probe predicate over a `ps` positions array and the packed `words`
+    * array: every addressed bit is set.
+    */
+  def bloomHitCol: Column = expr(
+    "forall(ps, x -> ((shiftright(element_at(words, cast(x div 32 as int) + 1), " +
+      "cast(x % 32 as int)) & 1) = 1))")
+
+  /** Build the packed Bloom filter of `prior0` (doc_id, text) as ONE row
+    * holding `mBits / 32` 32-bit words in an array<long> — the broadcast
+    * side of every probe, batch ([[bloomVerdicts]]) or streaming
+    * ([[graft.streaming.DedupStream.bloomGate]]).
+    */
+  def bloomWordsRow(s: SparkSession, prior0: DataFrame, mBits: Int = 4096): DataFrame = {
     graft.tensor.TextFunctions.register(s)
     val nWords = mBits / 32 // 32-bit words: shift stays sign-safe in BIGINT
-    val posArr = expr(
-      s"array((31L * h + 7L) % $mBits, (131L * h + 101L) % $mBits, " +
-        s"(1031L * h + 389L) % $mBits, (8191L * h + 2003L) % $mBits)")
-    val prior = prior0.select(col("doc_id"), col("text"),
-      expr("poly_hash31(text)").as("h"))
-    val fresh = fresh0.select(col("doc_id"), col("text"),
-      expr("poly_hash31(text)").as("h"))
-    val wordsRow = prior.select(explode(posArr).as("pos"))
+    prior0.select(expr("poly_hash31(text)").as("h"))
+      .select(explode(bloomPositions(mBits)).as("pos"))
       .groupBy(expr("pos div 32").as("word"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").as("bits"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("wm"))
       .select(transform(sequence(lit(0), lit(nWords - 1)),
         w => coalesce(element_at(col("wm"), w.cast("long")), lit(0L))).as("words"))
-    val priorHashes = prior.select(md5(col("text")).as("pm")).distinct()
-    fresh.select(col("doc_id"), posArr.as("ps"), md5(col("text")).as("fm"))
+  }
+
+  def bloomVerdicts(s: SparkSession, prior0: DataFrame, fresh0: DataFrame,
+      mBits: Int = 4096): DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    val wordsRow = bloomWordsRow(s, prior0, mBits)
+    val priorHashes = prior0.select(md5(col("text")).as("pm")).distinct()
+    fresh0.select(col("doc_id"), col("text"), expr("poly_hash31(text)").as("h"))
+      .select(col("doc_id"), bloomPositions(mBits).as("ps"), md5(col("text")).as("fm"))
       .crossJoin(broadcast(wordsRow))
       .join(priorHashes, col("fm") === col("pm"), "left")
-      .select(col("doc_id"),
-        expr("forall(ps, x -> ((shiftright(element_at(words, cast(x div 32 as int) + 1), " +
-          "cast(x % 32 as int)) & 1) = 1))").as("bloom_hit"),
+      .select(col("doc_id"), bloomHitCol.as("bloom_hit"),
         col("pm").isNotNull.as("exact_dup"))
       .orderBy("doc_id")
   }

@@ -89,6 +89,33 @@ object DedupStream {
       .withWatermark("crawl_ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming twin of dd12 ([[graft.quality.DedupOps.bloomVerdicts]]):
+    * gate a live document stream against the Bloom filter of a PRIOR
+    * corpus. The packed word array builds ONCE from the static side and
+    * rides a stream-static broadcast cross join; the verdict itself is a
+    * pure map-side forall — the gate is STATELESS, so it never grows
+    * state-store footprint no matter how long the stream runs (contrast
+    * [[dedupAudit]], whose state is one row per distinct hash). That is
+    * the production split: the Bloom gate drops the "definitely new"
+    * fast path to an append-only write, and only `maybe_seen` survivors
+    * pay the stateful/exact machinery downstream. Per-row verdicts are
+    * bit-identical to the batch dd12 on the same documents under ANY
+    * file arrival order (StreamingSpec replays a split corpus to pin
+    * it).
+    */
+  def bloomGate(spark: SparkSession, prior: DataFrame, streamDir: String,
+      mBits: Int = 4096): DataFrame = {
+    graft.tensor.TextFunctions.register(spark)
+    val words = broadcast(graft.quality.DedupOps.bloomWordsRow(spark, prior, mBits))
+    spark.readStream
+      .schema(docSchema)
+      .parquet(streamDir)
+      .select(col("doc_id"), expr("poly_hash31(text)").as("h"))
+      .select(col("doc_id"), graft.quality.DedupOps.bloomPositions(mBits).as("ps"))
+      .crossJoin(words)
+      .select(col("doc_id"), graft.quality.DedupOps.bloomHitCol.as("maybe_seen"))
+  }
+
   /** Run to completion over the (bounded) staged files; complete-mode
     * memory sink, final state as a batch DataFrame.
     */

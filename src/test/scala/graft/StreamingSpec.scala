@@ -64,6 +64,29 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stateless bloom gate: streaming verdicts equal batch dd12 on any replay split") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2"))
+      .head().getLong(0)
+    val prior = docs.filter(col("doc_id") < cut)
+    val fresh = docs.filter(col("doc_id") >= cut)
+    val streamDir = java.nio.file.Files.createTempDirectory("bloom_stream_in")
+    stageParquet(fresh.filter(col("doc_id") % 2 === 0), streamDir, "0.parquet")
+    stageParquet(fresh.filter(col("doc_id") % 2 === 1), streamDir, "1.parquet")
+    val q = graft.streaming.DedupStream.bloomGate(spark, prior, streamDir.toString)
+      .writeStream.outputMode("append").format("memory").queryName("bloom_gate_test")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_gate_test")
+    val batch = quality.DedupOps.bloomVerdicts(spark, prior, fresh)
+      .select(col("doc_id"), col("bloom_hit").as("maybe_seen"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming IVF centroid assignment equals the batch window-ranked form") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("stream_emb")
