@@ -15,7 +15,7 @@ object SparkEntry {
     ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.MisraGriesOps,
     ops.TpchOps, ops.ScalarOps, ops.GraphOps,
     quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.ClusterOps,
-    quality.Multimodal,
+    quality.EntityOps, quality.Multimodal,
     quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps)
 
   lazy val all: Seq[Q] = {

@@ -204,6 +204,33 @@ object WindowOps extends OpModule {
           .filter(col("rn") === 1)
           .select("o_custkey", "first_key", "last_key", "second_key")
           .orderBy("o_custkey")
+      }),
+
+    // w11 — SCD-2 history build: treat events as a changelog (each row
+    // sets `value` for its user at ts) and derive the slowly-changing-
+    // dimension validity table every warehouse maintains — valid_from =
+    // the change time, valid_to = the NEXT change (null while current),
+    // is_current on the open row. One lead() window per user — the
+    // partition key is the entity key, so state per partition is one
+    // entity's history and the build parallelizes over entities at any
+    // scale; this is the standard distributed SCD2 merge shape.
+    // Timestamps emit as timestamp_ntz (wall-clock parity with the
+    // oracle's raw parquet read).
+    Q("w11_scd2_history", Some(
+      """SELECT user_id, event_id, value, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM (SELECT user_id, event_id, value, ts AS valid_from FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts").cast("timestamp_ntz").as("valid_from"))
+          .withColumn("valid_to", lead("valid_from", 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "valid_from", "event_id")
       })
   )
 }

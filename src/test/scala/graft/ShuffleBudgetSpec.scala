@@ -66,6 +66,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // agg + final sort
     "dd11_cdc_chunks" -> 3,
     "e1_json_extract" -> 2,
+    // er1: trigram-block agg + candidate-pair distinct + the two
+    // set-join sides feeding the Jaccard filter/sort
+    "er1_fuzzy_match" -> 4,
+    // er2: CC rounds run eagerly; captured plan is the label join +
+    // final sort over the (tiny) name vocabulary
+    "er2_canonical_entities" -> 3,
     "e2_json_typed" -> 1,
     "e3_variant_extract" -> 2,
     // g1: 5 unrolled power-iteration rounds, each a node-keyed join +
@@ -200,6 +206,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "w8_above_avg" -> 2,
     "w9_range_frame" -> 2,
     "w10_first_last" -> 2,
+    // w11: one per-entity lead window + the presentation sort
+    "w11_scd2_history" -> 2,
     "x10_repetition" -> 1,
     "x11_redact" -> 1,
     "x12_tfidf" -> 6,
