@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics — the OLAP trio every events table
+  * eventually answers (resampling onto a regular grid, cohort
+  * retention, funnel conversion), expressed as single Catalyst plans
+  * keyed on the entity so each parallelizes over users at any scale.
+  * Extends the reference's event-table surface (§2 events queries)
+  * with the workload shapes its users run downstream.
+  */
+object AnalyticsOps extends OpModule {
+
+  val qs: Seq[Q] = Seq(
+    // ev1 — resample each user's irregular value series onto a DAILY
+    // grid with last-observation-carried-forward (LOCF — exact, unlike
+    // float interpolation): generate the per-user day grid with
+    // sequence(), union it under the raw events, and run ONE per-user
+    // ordered window whose last_value(IGNORE NULLS) carries the latest
+    // reading onto every grid row (the j8 merged-stream as-of pass onto
+    // a synthetic right side). Grid rows before a user's first reading
+    // stay null by design. One window exchange keyed on user_id; grid
+    // size is span-days × users, independent of event count.
+    Q("ev1_resample_locf", Some(
+      """WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
+        |sp AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+        |              date_trunc('day', max(ts)) AS d1 FROM ev GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gts FROM sp),
+        |u AS (SELECT user_id, ts, value, 0 AS is_grid, event_id FROM ev
+        |      UNION ALL SELECT user_id, gts, NULL, 1, NULL FROM g),
+        |l AS (SELECT user_id, ts, is_grid,
+        |        last_value(value IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |      FROM u)
+        |SELECT user_id, ts AS grid_ts, locf FROM l WHERE is_grid = 1
+        |ORDER BY user_id, grid_ts""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("day", min("ts")).as("d0"), date_trunc("day", max("ts")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("ts"))
+          .withColumn("value", lit(null).cast("double"))
+          .withColumn("is_grid", lit(1))
+          .withColumn("event_id", lit(null).cast("long"))
+        val tagged = ev.withColumn("is_grid", lit(0))
+          .unionByName(grid.select("user_id", "ts", "value", "is_grid", "event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "is_grid", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("locf", last("value", ignoreNulls = true).over(w))
+          .filter(col("is_grid") === 1)
+          .select(col("user_id"), col("ts").cast("timestamp_ntz").as("grid_ts"), col("locf"))
+          .orderBy("user_id", "grid_ts")
+      }),
+
+    // ev2 — weekly cohort retention: a user's cohort is the Monday of
+    // their FIRST event's week; each later event lands at an integer
+    // week offset from it (both ends week-truncated, so the day
+    // difference is exactly divisible by 7). Output is the classic
+    // retention matrix (cohort_week × week_offset → distinct users).
+    // Two aggregations and a user-keyed join — the cohort table is one
+    // row per user, broadcastable far beyond any real user count.
+    Q("ev2_cohort_retention", Some(
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |           FROM events GROUP BY user_id)
+        |SELECT f.cohort_week, date_diff('day', f.cohort_week,
+        |         date_trunc('week', e.ts)) // 7 AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val cohorts = ev.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).as("cohort_week"))
+        ev.join(cohorts, "user_id")
+          .withColumn("week_offset",
+            (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+              .cast("long"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+            col("week_offset"), col("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      }),
+
+    // ev3 — strict-order funnel conversion (view → click → purchase):
+    // a user converts a stage only with an event STRICTLY AFTER their
+    // earliest completion of the previous stage — the sequence
+    // semantics a naive per-type count gets wrong. Three per-user min
+    // aggregations chained by user-keyed joins (each stage table is one
+    // row per qualifying user); the final count is a single row.
+    Q("ev3_funnel", Some(
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click_after_view,
+        |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        def stage(typ: String, prev: org.apache.spark.sql.DataFrame,
+            prevTs: String, out: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, "user_id")
+            .filter(col("ts") > col(prevTs))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val c = stage("click", v, "tv", "tc")
+        val p = stage("purchase", c, "tc", "tp")
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      })
+  )
+}

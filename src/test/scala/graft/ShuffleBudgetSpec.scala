@@ -66,6 +66,13 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // agg + final sort
     "dd11_cdc_chunks" -> 3,
     "e1_json_extract" -> 2,
+    // ev1: span agg + the per-user LOCF window + presentation sort
+    "ev1_resample_locf" -> 3,
+    // ev2: cohort agg + user join + retention-cell agg + final sort
+    "ev2_cohort_retention" -> 4,
+    // ev3: three chained per-user stage aggs with their joins; the
+    // single-row stage counts collapse the rest
+    "ev3_funnel" -> 8,
     // er1: trigram-block agg + candidate-pair distinct + the two
     // set-join sides feeding the Jaccard filter/sort
     "er1_fuzzy_match" -> 4,
