@@ -13,7 +13,7 @@ object SparkEntry {
   private def modules: Seq[OpModule] = Seq(
     ops.RelationalOps, ops.AggOps, ops.WindowOps, ops.EventOps,
     ops.ArrayOps, ops.SamplingOps, ops.VectorSumAgg, ops.MisraGriesOps,
-    ops.TpchOps, ops.ScalarOps, ops.GraphOps, ops.AnalyticsOps,
+    ops.TpchOps, ops.ScalarOps, ops.GraphOps, ops.AnalyticsOps, ops.FeatureOps,
     quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.ClusterOps,
     quality.EntityOps, quality.Multimodal,
     quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps)

@@ -183,6 +183,56 @@ object GraphOps extends OpModule {
        |SELECT id AS node_id, r AS rank_units FROM r$PrIters ORDER BY node_id""".stripMargin
   }
 
+  /** Bounded-hop BFS distances from `source` over a symmetrized edge
+    * list: `rounds` Bellman–Ford relaxations, each ONE node-keyed
+    * equi-join (frontier distances onto edge sources) plus one per-dst
+    * min aggregation — the Pregel message pattern again, with min
+    * instead of sum. Distances are hop counts (exact integers);
+    * unreached nodes after `rounds` hops emit −1. Per-round state is
+    * the (id, d) table, lineage-cut like [[pageRank]]'s; at deployment
+    * scale both sides bucket by node id so the per-round join
+    * co-locates.
+    */
+  def bfsHops(edges0: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val edges = edges0.select("src", "dst").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var d = nodes.withColumn("d",
+      when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(d.filter(col("d").isNotNull)
+          .select(col("id").as("src"), col("d").as("ds")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("ds") + 1).as("dn"))
+      d = d.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(coalesce(col("d"), col("dn")),
+          coalesce(col("dn"), col("d"))).as("d"))
+        .localCheckpoint(true)
+    }
+    d.select(col("id").as("node_id"), coalesce(col("d"), lit(-1L)).as("hops"))
+  }
+
+  private val BfsRounds = 6
+
+  /** DuckDB oracle for g2: an INDEPENDENT algorithm — recursive BFS
+    * enumeration bounded at [[BfsRounds]] hops, min per node — rather
+    * than the unrolled relaxation, so the check is cross-algorithm as
+    * well as cross-engine.
+    */
+  private def bfsOracleSql: String =
+    s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, d) AS (
+       |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+       |  UNION
+       |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.d < $BfsRounds),
+       |md AS (SELECT id, min(d) AS d FROM reach GROUP BY id)
+       |SELECT n.id AS node_id, coalesce(md.d, -1) AS hops
+       |FROM nodes n LEFT JOIN md ON md.id = n.id ORDER BY node_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // g1 — link-graph influence rank as a corpus-quality prior: 5
     // damped power-iteration rounds over the trading graph, integer
@@ -190,5 +240,13 @@ object GraphOps extends OpModule {
     // every rank bit-for-bit.
     Q("g1_pagerank", Some(pageRankOracleSql),
       (s, dir) => pageRank(tradeEdges(s, dir), PrIters).orderBy("node_id"))
+,
+    // g2 — bounded-hop BFS distance from customer 0's node over the
+    // trading graph (6 relaxation rounds; unreached → −1). The oracle
+    // recomputes it with a bounded recursive enumeration — a different
+    // algorithm on a second engine agreeing on every hop count.
+    Q("g2_bfs_hops", Some(bfsOracleSql),
+      (s, dir) => bfsHops(tradeEdges(s, dir), source = 0L, rounds = BfsRounds)
+        .orderBy("node_id"))
   )
 }

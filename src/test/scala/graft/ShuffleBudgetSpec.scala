@@ -79,6 +79,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // er2: CC rounds run eagerly; captured plan is the label join +
     // final sort over the (tiny) name vocabulary
     "er2_canonical_entities" -> 3,
+    // ft1: per-(row,bucket) agg + final sort (hashing is map-side)
+    "ft1_feature_hash" -> 2,
+    // ft2: category agg + final sort; encode join is broadcast
+    "ft2_target_encode" -> 2,
     "e2_json_typed" -> 1,
     "e3_variant_extract" -> 2,
     // g1: 5 unrolled power-iteration rounds, each a node-keyed join +
@@ -86,6 +90,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // are lineage-truncated and their exchanges reused across rounds
     // (measured 17 = 5×3 + final join exchange + range sort)
     "g1_pagerank" -> 17,
+    // g2: relaxation rounds run eagerly (localCheckpoint); captured
+    // plan is the final -1 fill + sort
+    "g2_bfs_hops" -> 1,
     "j1_hash_join" -> 2,
     "j2_zip_join" -> 1,
     "j3_map_lookup" -> 1,
