@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming funnel / CEP pattern match — the live twin of the batch
+  * ev3 funnel ([[graft.ops.AnalyticsOps]]): track each user's progress
+  * through view → click → purchase, each stage completed only by an
+  * event STRICTLY AFTER the earliest completion of the previous stage.
+  * This is the simplest complex-event-processing shape (ordered pattern
+  * over an unbounded keyed stream), expressed as a three-timestamp
+  * `GroupState` machine per user — state is THREE longs per user
+  * forever, regardless of stream length, and monotone (stages only
+  * advance), so Update-mode emissions are always safe to overwrite by
+  * key downstream.
+  *
+  * ORDERING CONTRACT (the [[SessionStream]] precedent): rows sort by
+  * (ts, event_id) WITHIN a micro-batch, so streamed stages equal the
+  * batch funnel exactly when each user's events arrive in ts order
+  * ACROSS batches (staged logs split on time boundaries — the spec
+  * case). A live out-of-order source would buffer within the watermark
+  * first; the greedy first-qualifying-event transition is then the same
+  * chained-minimum the batch query computes, because processing in ts
+  * order makes "first after" and "min after" coincide.
+  */
+object FunnelStream {
+
+  case class FEv(user_id: Long, event_type: String, us: Long, event_id: Long)
+  case class FState(tv: Long, tc: Long, tp: Long)
+  case class UserStage(user_id: Long, stage: Int)
+
+  private val Unset = Long.MinValue
+
+  def advance(key: Long, rows: Iterator[FEv],
+      state: GroupState[FState]): Iterator[UserStage] = {
+    val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+    var st = state.getOption.getOrElse(FState(Unset, Unset, Unset))
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" if st.tv == Unset => st = st.copy(tv = e.us)
+        case "click" if st.tv != Unset && st.tc == Unset && e.us > st.tv =>
+          st = st.copy(tc = e.us)
+        case "purchase" if st.tc != Unset && st.tp == Unset && e.us > st.tc =>
+          st = st.copy(tp = e.us)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    val stage = if (st.tp != Unset) 3 else if (st.tc != Unset) 2
+      else if (st.tv != Unset) 1 else 0
+    Iterator.single(UserStage(key, stage))
+  }
+
+  /** Per-user live funnel stage over a staged events directory. */
+  def funnelStages(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    EventStream.eventStream(spark, dir, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
+      .toDF()
+  }
+
+  /** Run to completion over bounded staged files; returns the FINAL
+    * stage per user (the last Update emission wins — stages are
+    * monotone, so that is also the max).
+    */
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = funnelStages(spark, dir).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+  }
+}

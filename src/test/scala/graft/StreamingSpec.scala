@@ -87,6 +87,25 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming funnel stages equal the batch ev3 funnel on a time-split replay") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables(spark, sf, "events")
+    // split ON TIME so each user's events arrive in ts order across
+    // micro-batches — the ordering contract under which streamed == batch
+    val mid = ev.agg(org.apache.spark.sql.functions
+      .expr("timestamp_micros(cast(avg(unix_micros(ts)) as long))")).head().getTimestamp(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("funnel_stream_in")
+    stageParquet(ev.filter(col("ts") <= mid), streamDir, "0.parquet")
+    stageParquet(ev.filter(col("ts") > mid), streamDir, "1.parquet")
+    val staged = graft.streaming.FunnelStream
+      .runToCompletion(spark, streamDir.toString, "funnel_test").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = SparkEntry.queries("ev3_funnel")(spark, sf).head()
+    assert(staged.values.count(_ >= 1).toLong == batch.getLong(0))
+    assert(staged.values.count(_ >= 2).toLong == batch.getLong(1))
+    assert(staged.values.count(_ >= 3).toLong == batch.getLong(2))
+  }
+
   test("streaming IVF centroid assignment equals the batch window-ranked form") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("stream_emb")
