@@ -3,6 +3,7 @@ package graft.ops
 import graft.{OpModule, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream product analytics — the OLAP trio every events table
   * eventually answers (resampling onto a regular grid, cohort
@@ -119,6 +120,47 @@ object AnalyticsOps extends OpModule {
         v.agg(count(lit(1)).as("n_view"))
           .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
           .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      }),
+
+    // ev4 — RFM segmentation: per user, recency (days since last
+    // event), frequency (event count) and monetary (exact decimal value
+    // sum), each cut into quartiles — the classic user-scoring shape.
+    // The quartile windows run over the per-USER aggregate (cardinality
+    // = users, already corpus-reduced); at the user counts where even
+    // that sort dominates, the x17b histogram-cut pattern replaces the
+    // ntile windows — same trade, documented there. Ties break on
+    // user_id so both engines cut identically.
+    Q("ev4_rfm_segments", Some(
+      """WITH m AS (SELECT max(date_trunc('day', ts)) AS d1 FROM events),
+        |u AS (SELECT user_id,
+        |        date_diff('day', date_trunc('day', max(ts)), (SELECT d1 FROM m)) AS recency_days,
+        |        count(*) AS frequency,
+        |        CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS monetary
+        |      FROM events GROUP BY user_id)
+        |SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_quartile
+        |FROM u ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val u = ev.crossJoin(broadcast(
+            ev.agg(date_trunc("day", max("ts")).as("d1"))))
+          .groupBy("user_id")
+          .agg(datediff(first("d1"), date_trunc("day", max("ts"))).cast("long")
+            .as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(col("value").cast(DecimalType(38, 4))).cast("double").as("monetary"))
+        import org.apache.spark.sql.expressions.Window
+        u.withColumn("r_quartile", ntile(4).over(
+            Window.orderBy(col("recency_days").asc, col("user_id").asc)).cast("long"))
+          .withColumn("f_quartile", ntile(4).over(
+            Window.orderBy(col("frequency").desc, col("user_id").asc)).cast("long"))
+          .withColumn("m_quartile", ntile(4).over(
+            Window.orderBy(col("monetary").desc, col("user_id").asc)).cast("long"))
+          .select("user_id", "recency_days", "frequency", "monetary",
+            "r_quartile", "f_quartile", "m_quartile")
+          .orderBy("user_id")
       })
   )
 }

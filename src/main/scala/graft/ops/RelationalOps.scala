@@ -172,6 +172,36 @@ object RelationalOps extends OpModule {
           .orderBy("c_custkey")
       }),
 
+    // j11 — static band lookup (the IP-geolocation / tax-bracket shape):
+    // map a measure into half-open [lo, hi) ranges from a tiny literal
+    // dimension. Catalyst plans a BroadcastNestedLoopJoin with the range
+    // predicate — the right physical join for a non-equi condition
+    // against a broadcast side; at any fact size the probe is a
+    // per-row scan of the 6-row band array, never a shuffle. (A huge
+    // band table would bucket on a band prefix and turn equi; this is
+    // the small-dim fast path every banding lookup actually is.)
+    Q("j11_band_join", Some(
+      """SELECT o_orderkey, o_totalprice, band FROM orders
+        |JOIN (VALUES (0.0, 100000.0, 'xs'), (100000.0, 200000.0, 's'),
+        |             (200000.0, 300000.0, 'm'), (300000.0, 400000.0, 'l'),
+        |             (400000.0, 500000.0, 'xl'), (500000.0, 1e9, 'xxl'))
+        |  b(lo, hi, band)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          (0.0, 100000.0, "xs"), (100000.0, 200000.0, "s"),
+          (200000.0, 300000.0, "m"), (300000.0, 400000.0, "l"),
+          (400000.0, 500000.0, "xl"), (500000.0, 1e9, "xxl"))
+          .toDF("lo", "hi", "band")
+        Tables(s, dir, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .select("o_orderkey", "o_totalprice", "band")
+          .orderBy("o_orderkey")
+      }),
+
     // Semi-join: key membership probe (the reference's `trackid in dict`
     // pattern) — never materializes the probe side.
     Q("j6_semi_join", Some(

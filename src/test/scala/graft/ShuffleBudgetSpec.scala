@@ -73,6 +73,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ev3: three chained per-user stage aggs with their joins; the
     // single-row stage counts collapse the rest
     "ev3_funnel" -> 8,
+    // ev4: per-user agg + the user-table quartile windows + final sort
+    // (windows run over user cardinality, not events)
+    "ev4_rfm_segments" -> 3,
     // er1: trigram-block agg + candidate-pair distinct + the two
     // set-join sides feeding the Jaccard filter/sort
     "er1_fuzzy_match" -> 4,
@@ -94,6 +97,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // plan is the final -1 fill + sort
     "g2_bfs_hops" -> 1,
     "j1_hash_join" -> 2,
+    // j11: broadcast nested-loop band probe + presentation sort
+    "j11_band_join" -> 1,
     "j2_zip_join" -> 1,
     "j3_map_lookup" -> 1,
     "j4b_map_join" -> 2,
