@@ -98,6 +98,44 @@ object SamplingOps extends OpModule {
           .filter(col("rn") <= 20)
           .select("lang", "doc_id")
           .orderBy("lang", "doc_id")
+      }),
+
+    // r7 — WEIGHTED Bernoulli sampling: each row keeps with probability
+    // proportional to its weight (importance sampling by quantity —
+    // the "sample big documents more" shape of data-mixture tuning).
+    // keep ⇔ u < f·2³²·(qty / max_qty), tested CROSS-MULTIPLIED in
+    // BIGINTs — u·max_qty < floor(f·2³²)·qty — so the draw is exact
+    // integer arithmetic on both engines (no float probabilities), and
+    // hash-keyed like r1: stable under repartition, retry, resize.
+    // One broadcast max + a map-side predicate; no data shuffle before
+    // the presentation sort.
+    Q("r7_weighted_sample", Some(
+      s"""WITH m AS (SELECT CAST(max(l_quantity) AS BIGINT) AS mq FROM lineitem),
+         |u AS (SELECT l_orderkey, l_linenumber, l_quantity,
+         |        list_reduce(list_transform(range(1, 9), i ->
+         |          CAST(ord(substr(h, CAST(i AS INTEGER), 1)) -
+         |            CASE WHEN ord(substr(h, CAST(i AS INTEGER), 1)) >= 97
+         |                 THEN 87 ELSE 48 END AS BIGINT)),
+         |          (acc, d) -> acc * 16 + d) AS u
+         |      FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+         |              ${sqlU32hex("r7/42", "l_orderkey", "l_linenumber")} AS h
+         |            FROM lineitem))
+         |SELECT l_orderkey, l_linenumber, l_quantity FROM u, m
+         |WHERE u * mq < 858993459 * CAST(l_quantity AS BIGINT)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.crossJoin(broadcast(
+            li.agg(max("l_quantity").cast("long").as("mq"))))
+          .withColumn("h", u32hex("r7/42", col("l_orderkey"), col("l_linenumber")))
+          .withColumn("u", expr(
+            """aggregate(transform(sequence(1, 8), i ->
+              |  CAST(ascii(substr(h, i, 1)) -
+              |    IF(ascii(substr(h, i, 1)) >= 97, 87, 48) AS BIGINT)),
+              |  CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)""".stripMargin))
+          .filter(col("u") * col("mq") < lit(858993459L) * col("l_quantity").cast("long"))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
       })
   )
 }

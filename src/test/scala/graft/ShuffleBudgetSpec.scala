@@ -159,6 +159,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "r5_stratified_sample" -> 1,
     // r6: per-language hash-rank window + final sort
     "r6_fixed_stratified" -> 2,
+    // r7: broadcast max + map-side weighted draw + presentation sort
+    "r7_weighted_sample" -> 2,
     "s1_root_facade" -> 1,
     "s9_dpp_star" -> 2,
     "s9b_dpp_zorder_star" -> 2,
