@@ -76,6 +76,18 @@ object EventTs {
     spark.read.parquet(path).schema
   }
 
+  /** [[probeSchema]] with a declared-schema fallback for a staging
+    * directory that has no files yet (stream started before the first
+    * producer write) — the footer probe throws AnalysisException there.
+    * Every streaming caller should use this form; a bare [[probeSchema]]
+    * silently narrows the helper's contract to "at least one file
+    * staged".
+    */
+  def probeSchemaOr(spark: SparkSession, path: String,
+      fallback: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    try probeSchema(spark, path)
+    catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+
   /** `ts` in any known layout → session-zoned TimestampType. */
   def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -94,6 +106,27 @@ object EventTs {
   * fractions have no factor-5 denominators), so the decimal cast itself is
   * also engine-agnostic.
   */
+/** The md5-prefix uniform draw shared by x18b, r7 and ft1: the first 8
+  * hex chars of an md5 (a column named `h`) folded base-16 into a BIGINT
+  * in [0, 2^32), spelled once for Spark (`expr`, a SQL-expression
+  * string) and once for DuckDB (`sql`). ONE copy on purpose — this fold
+  * must stay bit-identical across engines and across call sites, and
+  * drift between scattered copies would silently break oracle parity.
+  */
+object U32Fold {
+  val expr: String =
+    """aggregate(transform(sequence(1, 8), i ->
+      |  CAST(ascii(substr(h, i, 1)) -
+      |    IF(ascii(substr(h, i, 1)) >= 97, 87, 48) AS BIGINT)),
+      |  CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)""".stripMargin
+  val sql: String =
+    """list_reduce(list_transform(range(1, 9), i ->
+      |  CAST(ord(substr(h, CAST(i AS INTEGER), 1)) -
+      |    CASE WHEN ord(substr(h, CAST(i AS INTEGER), 1)) >= 97
+      |         THEN 87 ELSE 48 END AS BIGINT)),
+      |  (acc, d) -> acc * 16 + d)""".stripMargin
+}
+
 object Dec {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
   def davg(c: Column): Column = dsum(c) / count(c)

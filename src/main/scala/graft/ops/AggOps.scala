@@ -366,12 +366,15 @@ object AggOps extends OpModule {
     // can still drift one ulp across engines (FMA contraction), so the
     // emitted doubles are round(x, 9) on both sides — the v5b/nn7
     // precedent. One partial-aggregated groupBy — the same plan shape
-    // as the built-in, with determinism added.
+    // as the built-in, with determinism added. Zero-variance (or
+    // single-row) groups emit NULL corr, guarded on BOTH sides — ANSI
+    // Spark throws DIVIDE_BY_ZERO where DuckDB would return NULL.
     Q("a13_covar_corr", Some(
       """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  round((sxy - sx * sy / n) / n, 9) AS covar_pop,
-        |  round((n * sxy - sx * sy)
-        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |       THEN round((n * sxy - sx * sy)
+        |         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) END AS corr
         |FROM (
         |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
@@ -394,9 +397,11 @@ object AggOps extends OpModule {
           .select(col("l_returnflag"), col("n").cast("long").as("n"),
             round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 9)
               .as("covar_pop"),
-            round((col("n") * col("sxy") - col("sx") * col("sy"))
-              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                * (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr"))
+            when((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              round((col("n") * col("sxy") - col("sx") * col("sy"))
+                / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  * (col("n") * col("syy") - col("sy") * col("sy"))), 9)).as("corr"))
           .orderBy("l_returnflag")
       })
   )

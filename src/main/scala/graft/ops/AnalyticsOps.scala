@@ -151,7 +151,6 @@ object AnalyticsOps extends OpModule {
             .as("recency_days"),
             count(lit(1)).as("frequency"),
             sum(col("value").cast(DecimalType(38, 4))).cast("double").as("monetary"))
-        import org.apache.spark.sql.expressions.Window
         u.withColumn("r_quartile", ntile(4).over(
             Window.orderBy(col("recency_days").asc, col("user_id").asc)).cast("long"))
           .withColumn("f_quartile", ntile(4).over(

@@ -14,21 +14,8 @@ object FeatureOps extends OpModule {
 
   private val HashDim = 64
 
-  /** The x18b md5-prefix fold: first 8 hex chars → BIGINT, identical on
-    * both engines (hex digits folded base-16 left to right).
-    */
-  private val foldU =
-    """aggregate(transform(sequence(1, 8), i ->
-      |  CAST(ascii(substr(h, i, 1)) -
-      |    IF(ascii(substr(h, i, 1)) >= 97, 87, 48) AS BIGINT)),
-      |  CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)""".stripMargin
-
-  private val foldUSql =
-    """list_reduce(list_transform(range(1, 9), i ->
-      |  CAST(ord(substr(h, CAST(i AS INTEGER), 1)) -
-      |    CASE WHEN ord(substr(h, CAST(i AS INTEGER), 1)) >= 97
-      |         THEN 87 ELSE 48 END AS BIGINT)),
-      |  (acc, d) -> acc * 16 + d)""".stripMargin
+  private def foldU = graft.U32Fold.expr
+  private def foldUSql = graft.U32Fold.sql
 
   val qs: Seq[Q] = Seq(
     // ft1 — the HASHING TRICK (Weinberger et al.): project categorical
@@ -68,6 +55,8 @@ object FeatureOps extends OpModule {
     // (sum − own) / (n − 1) is one subtraction and one division —
     // single correctly-rounded IEEE ops on agreed inputs, so the result
     // is bit-identical UNROUNDED (round(x, 9) would itself diverge here:
+    // singleton categories encode NULL — guarded on BOTH sides because
+    // ANSI-mode Spark throws DIVIDE_BY_ZERO where DuckDB returns NULL;
     // at ~2.6e5 magnitude, 9 decimals exceeds double precision and the
     // engines' round implementations disagree in the last ulp — measured).
     // One tiny category aggregate broadcast
@@ -78,7 +67,7 @@ object FeatureOps extends OpModule {
         |             CAST(count(*) AS DOUBLE) AS nc
         |           FROM orders GROUP BY 1)
         |SELECT o_orderkey, o.o_orderpriority,
-        |  (sc - o_totalprice) / (nc - 1) AS te_loo
+        |  CASE WHEN nc > 1 THEN (sc - o_totalprice) / (nc - 1) END AS te_loo
         |FROM orders o JOIN c ON c.o_orderpriority = o.o_orderpriority
         |ORDER BY o_orderkey""".stripMargin),
       (s, dir) => {
@@ -88,7 +77,8 @@ object FeatureOps extends OpModule {
             count(lit(1)).cast("double").as("nc"))
         orders.join(broadcast(cat), "o_orderpriority")
           .select(col("o_orderkey"), col("o_orderpriority"),
-            ((col("sc") - col("o_totalprice")) / (col("nc") - 1)).as("te_loo"))
+            when(col("nc") > 1,
+              (col("sc") - col("o_totalprice")) / (col("nc") - 1)).as("te_loo"))
           .orderBy("o_orderkey")
       })
   )

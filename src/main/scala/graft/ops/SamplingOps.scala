@@ -112,11 +112,7 @@ object SamplingOps extends OpModule {
     Q("r7_weighted_sample", Some(
       s"""WITH m AS (SELECT CAST(max(l_quantity) AS BIGINT) AS mq FROM lineitem),
          |u AS (SELECT l_orderkey, l_linenumber, l_quantity,
-         |        list_reduce(list_transform(range(1, 9), i ->
-         |          CAST(ord(substr(h, CAST(i AS INTEGER), 1)) -
-         |            CASE WHEN ord(substr(h, CAST(i AS INTEGER), 1)) >= 97
-         |                 THEN 87 ELSE 48 END AS BIGINT)),
-         |          (acc, d) -> acc * 16 + d) AS u
+         |        ${graft.U32Fold.sql} AS u
          |      FROM (SELECT l_orderkey, l_linenumber, l_quantity,
          |              ${sqlU32hex("r7/42", "l_orderkey", "l_linenumber")} AS h
          |            FROM lineitem))
@@ -128,11 +124,7 @@ object SamplingOps extends OpModule {
         li.crossJoin(broadcast(
             li.agg(max("l_quantity").cast("long").as("mq"))))
           .withColumn("h", u32hex("r7/42", col("l_orderkey"), col("l_linenumber")))
-          .withColumn("u", expr(
-            """aggregate(transform(sequence(1, 8), i ->
-              |  CAST(ascii(substr(h, i, 1)) -
-              |    IF(ascii(substr(h, i, 1)) >= 97, 87, 48) AS BIGINT)),
-              |  CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)""".stripMargin))
+          .withColumn("u", expr(graft.U32Fold.expr))
           .filter(col("u") * col("mq") < lit(858993459L) * col("l_quantity").cast("long"))
           .select("l_orderkey", "l_linenumber", "l_quantity")
           .orderBy("l_orderkey", "l_linenumber")

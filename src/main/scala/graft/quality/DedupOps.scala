@@ -486,6 +486,7 @@ object DedupOps extends OpModule {
       val totalBytes = before.map(_.length()).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       val tmp = s"$path/${t}_compacting"
+      val old = s"$path/${t}_old"
       s.read.parquet(live).coalesce(nOut).write.mode("overwrite").parquet(tmp)
       def rm(f: java.io.File): Unit = {
         val children = if (java.nio.file.Files.isSymbolicLink(f.toPath)) null
@@ -493,9 +494,20 @@ object DedupOps extends OpModule {
         if (children != null) children.foreach(rm)
         f.delete(): Unit
       }
-      rm(new java.io.File(live))
-      require(new java.io.File(tmp).renameTo(new java.io.File(live)),
-        s"compaction swap failed for $live")
+      // swap via aside-rename, never delete-then-rename: at every
+      // instant either `live` or `live_old` holds a complete table, so
+      // a crash mid-swap is recoverable (the scaladoc's either-old-or-new
+      // guarantee; a bare delete+rename has a window with NO live table)
+      rm(new java.io.File(old)) // clear any debris from a prior crash
+      require(new java.io.File(live).renameTo(new java.io.File(old)),
+        s"compaction aside-rename failed for $live")
+      val renamed = new java.io.File(tmp).renameTo(new java.io.File(live))
+      if (!renamed) { // restore the original table before failing
+        require(new java.io.File(old).renameTo(new java.io.File(live)),
+          s"compaction rollback failed for $live")
+        throw new IllegalStateException(s"compaction swap failed for $live")
+      }
+      rm(new java.io.File(old))
       t -> ((before.length, parquetFiles(live).length))
     }.toMap
   }

@@ -899,7 +899,7 @@ object SimilarityOps extends OpModule {
   /** MIPS top-k via the norm-augmentation reduction + sign-RP LSH (see
     * the nn8 Q): candidates hash the lifted vector (plane dot + aug ×
     * plane's 65th coord), queries hash with aug = 0 and multi-probe
-    * hamming-1, pairs meet through the bucket equi-join, and the final
+    * hamming ≤ 2, pairs meet through the bucket equi-join, and the final
     * score is the RAW inner product (kernel fold). The augmented
     * coordinate never materializes as a 65-array — it contributes one
     * multiply-add per plane. Scale shape is knnLsh's: one tiny max-norm
@@ -938,7 +938,7 @@ object SimilarityOps extends OpModule {
   }
 
   /** DuckDB oracle for nn8: max-norm lift, plane signatures (aug term
-    * for candidates, aug = 0 for queries), hamming-1 multi-probe, raw
+    * for candidates, aug = 0 for queries), hamming ≤ 2 multi-probe, raw
     * inner-product ranking — plane coords and fold order identical to
     * the Spark plan.
     */

@@ -912,11 +912,7 @@ object TextOps extends OpModule {
         |          (sqrt(CAST(n AS DOUBLE)) / z)) AS BIGINT), n) AS DOUBLE) / n AS keep_frac
         |      FROM c CROSS JOIN s),
         |u AS (SELECT doc_id, lang,
-        |        list_reduce(list_transform(range(1, 9), i ->
-        |          CAST(ord(substr(h, CAST(i AS INTEGER), 1)) -
-        |            CASE WHEN ord(substr(h, CAST(i AS INTEGER), 1)) >= 97
-        |                 THEN 87 ELSE 48 END AS BIGINT)),
-        |          (acc, d) -> acc * 16 + d) / 4294967296.0 AS u
+        |        ${graft.U32Fold.sql} / 4294967296.0 AS u
         |      FROM (SELECT doc_id, lang,
         |              substr(md5(concat_ws('|', doc_id, 'temp/5')), 1, 8) AS h
         |            FROM documents))
@@ -1039,11 +1035,7 @@ object TextOps extends OpModule {
           col("n")).cast("double") / col("n").cast("double")).as("keep_frac"))
     docs
       .withColumn("h", substring(md5(concat_ws("|", col("doc_id"), lit("temp/5"))), 1, 8))
-      .withColumn("u", expr(
-        """aggregate(transform(sequence(1, 8), i ->
-          |  CAST(ascii(substr(h, i, 1)) -
-          |    IF(ascii(substr(h, i, 1)) >= 97, 87, 48) AS BIGINT)),
-          |  CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d) / 4294967296.0""".stripMargin))
+      .withColumn("u", expr(s"${graft.U32Fold.expr} / 4294967296.0"))
       .join(broadcast(k), Seq("lang"))
       .filter(col("u") < col("keep_frac"))
       .select(col("doc_id"), col("lang"))

@@ -41,9 +41,7 @@ object EventStream {
     */
   def eventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema =
-      try graft.EventTs.probeSchema(spark, dir)
-      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
+    val schema = graft.EventTs.probeSchemaOr(spark, dir, eventSchema)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     graft.EventTs.normalize(reader.parquet(dir))

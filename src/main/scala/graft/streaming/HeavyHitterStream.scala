@@ -63,7 +63,7 @@ object HeavyHitterStream {
     */
   def tokenStream(spark: SparkSession, stagingDir: String,
       shards: Int): DataFrame = {
-    val schema = graft.EventTs.probeSchema(spark, stagingDir)
+    val schema = graft.EventTs.probeSchemaOr(spark, stagingDir, DedupStream.docSchema)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagingDir)
