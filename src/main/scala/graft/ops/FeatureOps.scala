@@ -14,7 +14,7 @@ object FeatureOps extends OpModule {
 
   private val HashDim = 64
 
-  private def foldU = graft.U32Fold.expr
+  private def foldU = graft.U32Fold.convExpr
   private def foldUSql = graft.U32Fold.sql
 
   val qs: Seq[Q] = Seq(

@@ -124,7 +124,10 @@ object SamplingOps extends OpModule {
         li.crossJoin(broadcast(
             li.agg(max("l_quantity").cast("long").as("mq"))))
           .withColumn("h", u32hex("r7/42", col("l_orderkey"), col("l_linenumber")))
-          .withColumn("u", expr(graft.U32Fold.expr))
+          // codegen conv, not the interpreted HOF fold — see U32Fold
+          // (the fold read 5.5 s at sf0.1 on this single-task scan,
+          // conv ~1 s; DuckDB keeps the fold SQL)
+          .withColumn("u", expr(graft.U32Fold.convExpr))
           .filter(col("u") * col("mq") < lit(858993459L) * col("l_quantity").cast("long"))
           .select("l_orderkey", "l_linenumber", "l_quantity")
           .orderBy("l_orderkey", "l_linenumber")

@@ -1035,7 +1035,7 @@ object TextOps extends OpModule {
           col("n")).cast("double") / col("n").cast("double")).as("keep_frac"))
     docs
       .withColumn("h", substring(md5(concat_ws("|", col("doc_id"), lit("temp/5"))), 1, 8))
-      .withColumn("u", expr(s"${graft.U32Fold.expr} / 4294967296.0"))
+      .withColumn("u", expr(s"${graft.U32Fold.convExpr} / 4294967296.0"))
       .join(broadcast(k), Seq("lang"))
       .filter(col("u") < col("keep_frac"))
       .select(col("doc_id"), col("lang"))
