@@ -21,4 +21,19 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(a.length == 100)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("U32Fold: the codegen conv fast path equals the interpreted hex fold on every draw") {
+    // r7/ft1/x18b run conv(h, 16, 10) in production while their DuckDB
+    // oracles replay the base-16 fold — this pins the two spellings to
+    // the same value over the corpus's actual md5 prefixes.
+    import org.apache.spark.sql.functions._
+    val mismatches = Tables(spark, sf, "lineitem")
+      .select(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), lit("r7/42"))), 1, 8).as("h"))
+      .withColumn("a", expr(graft.U32Fold.convExpr))
+      .withColumn("b", expr(graft.U32Fold.expr))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
