@@ -160,6 +160,45 @@ object AnalyticsOps extends OpModule {
           .select("user_id", "recency_days", "frequency", "monetary",
             "r_quartile", "f_quartile", "m_quartile")
           .orderBy("user_id")
+      }),
+
+    // ev5 — rolling active users (DAU / 7-day WAU per day): rolling
+    // COUNT DISTINCT is the one aggregate window frames cannot express
+    // (no distinct over a moving frame), so it runs as the standard
+    // CONTRIBUTION EXPLODE: each (user, active-day) pair contributes to
+    // the 7 window-end days it falls inside, then one distinct count
+    // per end day. Work is |user-days| × 7 rows with 16-byte keys —
+    // linear in activity, never quadratic in days — and the explode is
+    // map-side; both distinct aggregations shuffle on (day, user).
+    // Window ends are restricted to observed calendar days so both
+    // engines agree on the domain.
+    Q("ev5_rolling_active", Some(
+      """WITH ad AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |cal AS (SELECT DISTINCT d FROM ad),
+        |dau AS (SELECT d, count(*) AS dau FROM ad GROUP BY d),
+        |contrib AS (SELECT user_id,
+        |              unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS x
+        |            FROM ad),
+        |wau AS (SELECT c.x AS d, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+        |        FROM contrib c JOIN cal ON cal.d = c.x GROUP BY 1)
+        |SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau, wau.wau
+        |FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ad = Tables(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+        val cal = ad.select("d").distinct()
+        val dau = ad.groupBy("d").agg(count(lit(1)).as("dau"))
+        val wau = ad
+          .select(col("user_id"),
+            explode(sequence(col("d"), col("d") + expr("interval 6 days"),
+              expr("interval 1 day"))).as("x"))
+          .join(cal.withColumnRenamed("d", "x"), "x")
+          .groupBy(col("x").as("d"))
+          .agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, "d")
+          .select(col("d").cast("timestamp_ntz").as("day"),
+            col("dau").cast("long").as("dau"), col("wau"))
+          .orderBy("day")
       })
   )
 }

@@ -76,6 +76,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ev4: per-user agg + the user-table quartile windows + final sort
     // (windows run over user cardinality, not events)
     "ev4_rfm_segments" -> 3,
+    // ev5: user-day distinct, calendar distinct, DAU agg, the
+    // contribution join + two-phase WAU distinct, final join/sort
+    "ev5_rolling_active" -> 7,
     // er1: trigram-block agg + candidate-pair distinct + the two
     // set-join sides feeding the Jaccard filter/sort
     "er1_fuzzy_match" -> 4,
