@@ -982,7 +982,43 @@ object TextOps extends OpModule {
             (sum(when(col("c") > 1, 1).otherwise(0)).cast("double")
               / count(lit(1))).as("dup_frac"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // x22 — Flesch reading-ease score, the classic readability signal
+    // beside x2's ratio heuristics: 206.835 − 1.015·(words/sentences)
+    // − 84.6·(syllables/words), with syllables approximated by vowel
+    // groups and sentences by [.!?] runs (the standard automated
+    // proxies — deterministic, which is what makes the score oracle-able
+    // where a dictionary-based syllabifier would not be). All counts are
+    // integer regex arithmetic; the one multi-op double formula rounds
+    // at 9 (|score| ≤ ~207, well inside the safe magnitude). Pure
+    // map-side work until the presentation sort.
+    Q("x22_readability", Some(
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(y AS BIGINT) AS n_syllables,
+        |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |    - 84.6 * (CAST(y AS DOUBLE) / w), 9) AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+        |    greatest(1, len(regexp_extract_all(lower(text), '[aeiou]+'))) AS y
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("w"),
+          greatest(lit(1), size(expr("regexp_extract_all(text, '[.!?]+', 0)"))).as("s"),
+          greatest(lit(1),
+            size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))).as("y"))
+        .select(col("doc_id"),
+          col("w").cast("long").as("n_words"),
+          col("s").cast("long").as("n_sentences"),
+          col("y").cast("long").as("n_syllables"),
+          round(lit(206.835) - lit(1.015) * (col("w").cast("double") / col("s"))
+            - lit(84.6) * (col("y").cast("double") / col("w")), 9).as("flesch"))
+        .orderBy("doc_id"))
   )
 
   /** x19 implementation — see the Q above for the scale argument. */

@@ -255,6 +255,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // x21: gram-count agg + per-doc agg downstream of the gram join +
     // final sort
     "x21_dup_ngram_frac" -> 3,
+    // x22: map-side regex counts + presentation sort
+    "x22_readability" -> 1,
     // x20: LM-build groupBy + per-doc score agg + final sort
     "x20_bigram_familiarity" -> 3,
     "x1b_bpe_tokens" -> 1,
