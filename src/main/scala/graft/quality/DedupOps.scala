@@ -923,9 +923,87 @@ object DedupOps extends OpModule {
        |FROM probe p CROSS JOIN warr LEFT JOIN pm ON pm.m = p.fm
        |ORDER BY doc_id""".stripMargin
 
+  /** dd13 — CROSS-CORPUS near-dup decontamination: flag every TRAIN
+    * document whose content exactly matches or near-duplicates (band
+    * collision + ≥ minAgree/32 minhash agreement) any EVAL document —
+    * the sketch-level benchmark-contamination check that catches
+    * paraphrase-grade leaks x9's exact n-gram overlap misses. Exactly
+    * [[incrementalVerdicts]] with the EVAL corpus playing the prior
+    * store (the same three hash-keyed equi-joins; eval fingerprints are
+    * store-sized, never raw text), with the within-train dedup statuses
+    * collapsed to `clean` — decontamination asserts nothing about
+    * train-internal duplication. Statuses: exact_contam / near_contam
+    * (eval_ref = the offending eval doc) / clean (−1).
+    */
+  def contaminationVerdicts(s: SparkSession, trainDocs: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val (exStore, sigStore, bandStore) = fingerprintStore(s, evalDocs)
+    incrementalVerdicts(s, trainDocs, exStore, sigStore, bandStore)
+      .select(col("doc_id"),
+        when(col("status") === "exact_prior", "exact_contam")
+          .when(col("status") === "near_prior", "near_contam")
+          .otherwise("clean").as("status"),
+        when(col("status").isin("exact_prior", "near_prior"), col("ref_id"))
+          .otherwise(lit(-1L)).as("eval_ref"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of dd13: the dd9 oracle chain with the parity split
+    * (odd ids = eval store, even ids = train), contamination status
+    * names, and the internal-dedup stage collapsed to `clean`.
+    */
+  private def dd13OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $TcodesSql AS tc FROM documents),
+       |sigs AS (SELECT doc_id, list_transform(${seedListSql(MinhashSeeds)}, s ->
+       |           list_min(list_transform(tc, t -> (s[1] * t + s[2]) % $Mod))) AS sig FROM d),
+       |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |exstore AS (SELECT md5(text) AS m, min(doc_id) AS ref_id FROM a GROUP BY 1),
+       |bands_a AS (SELECT s.doc_id, r.band,
+       |              list_reduce(s.sig[r.band * $BandSize + 1 : r.band * $BandSize + $BandSize],
+       |                (acc, x) -> (acc * $BandP + x) % $Mod) AS bkey
+       |            FROM sigs s JOIN a USING (doc_id), range(0, $NumBands) r(band)),
+       |badm AS (SELECT band, bkey FROM bands_a GROUP BY band, bkey
+       |         HAVING count(*) <= $IncrementalBucketCap),
+       |bands_adm AS (SELECT bands_a.doc_id, bands_a.band, bands_a.bkey
+       |              FROM bands_a JOIN badm USING (band, bkey)),
+       |bh AS (SELECT doc_id, md5(text) AS m FROM b),
+       |ex AS (SELECT bh.doc_id, 'exact_contam' AS status, exstore.ref_id
+       |       FROM bh JOIN exstore USING (m)),
+       |rem1 AS (SELECT doc_id, m FROM bh
+       |         WHERE NOT EXISTS (SELECT 1 FROM exstore e WHERE e.m = bh.m)),
+       |bands_b AS (SELECT s.doc_id, r.band,
+       |              list_reduce(s.sig[r.band * $BandSize + 1 : r.band * $BandSize + $BandSize],
+       |                (acc, x) -> (acc * $BandP + x) % $Mod) AS bkey
+       |            FROM sigs s JOIN rem1 USING (doc_id), range(0, $NumBands) r(band)),
+       |cand AS (SELECT DISTINCT bb.doc_id AS doc_id, ba.doc_id AS a_id
+       |         FROM bands_b bb JOIN bands_adm ba
+       |           ON bb.band = ba.band AND bb.bkey = ba.bkey),
+       |near AS (SELECT c.doc_id, 'near_contam' AS status, min(c.a_id) AS ref_id
+       |         FROM cand c JOIN sigs sb ON sb.doc_id = c.doc_id
+       |                     JOIN sigs sa ON sa.doc_id = c.a_id
+       |         WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |                 p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) >= $IncrementalMinAgree
+       |         GROUP BY c.doc_id),
+       |clean AS (SELECT doc_id, 'clean' AS status, -1 AS ref_id FROM rem1
+       |          WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = rem1.doc_id))
+       |SELECT doc_id, status, CAST(ref_id AS BIGINT) AS eval_ref FROM (
+       |  SELECT * FROM ex UNION ALL SELECT * FROM near UNION ALL SELECT * FROM clean)
+       |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("dd2_minhash_lsh", Some(dd2OracleSql),
       (s, dir) => minhashPairs(s, dir, minEstJaccard = 0.8)),
+
+    // dd13 — train-vs-eval sketch decontamination (see
+    // [[contaminationVerdicts]]): even ids play the train corpus, odd
+    // ids the protected eval set.
+    Q("dd13_cross_decontam", Some(dd13OracleSql), (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      contaminationVerdicts(s,
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
 
     // dd12 — constant-space Bloom membership gate (see [[bloomProbe]]).
     Q("dd12_bloom_probe", Some(dd12OracleSql), (s, dir) => bloomProbe(s, dir)),

@@ -65,6 +65,39 @@ object FunnelStream {
       .toDF()
   }
 
+  /** Streaming CURRENT-STATE view — the live twin of w11's SCD-2 `is_current`
+    * slice ([[graft.ops.WindowOps]]): one row per user holding the value
+    * of their latest event, maintained incrementally as files land. A
+    * streaming `max_by` keyed on (ts, event_id) — state is one
+    * (key, value, order) triple per user, and the winner is
+    * arrival-order-independent because the ORDER is data (event time),
+    * not processing time: any replay split converges to the same view
+    * (StreamingSpec pins streamed == the batch w11 current rows). This
+    * is the materialized-view-maintenance shape: the batch query
+    * rebuilds history; the stream maintains its head.
+    */
+  def currentState(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    EventStream.eventStream(spark, dir, maxFilesPerTrigger)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy("user_id")
+      .agg(
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("value"),
+        max(col("us")).as("valid_from_us"))
+
+  def currentStateToCompletion(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val q = currentState(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run to completion over bounded staged files; returns the FINAL
     * stage per user (the last Update emission wins — stages are
     * monotone, so that is also the max).

@@ -65,6 +65,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // dd11: chunking is map-side HOFs; first-occurrence window + per-doc
     // agg + final sort
     "dd11_cdc_chunks" -> 3,
+    // dd13: the dd9 verdict machinery with in-memory eval stores —
+    // exact-store agg, band-cap agg, candidate/agreement joins, the
+    // clean-collapse union, final sort
+    "dd13_cross_decontam" -> 9,
     "e1_json_extract" -> 2,
     // ev1: span agg + the per-user LOCF window + presentation sort
     "ev1_resample_locf" -> 3,

@@ -106,6 +106,24 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(staged.values.count(_ >= 3).toLong == batch.getLong(2))
   }
 
+  test("streaming current-state view equals the batch SCD2 current slice on a replay split") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sf, "events")
+    val streamDir = java.nio.file.Files.createTempDirectory("curstate_stream_in")
+    stageParquet(ev.filter(col("event_id") % 2 === 0), streamDir, "0.parquet")
+    stageParquet(ev.filter(col("event_id") % 2 === 1), streamDir, "1.parquet")
+    val streamed = graft.streaming.FunnelStream
+      .currentStateToCompletion(spark, streamDir.toString, "curstate_test")
+      .select("user_id", "value", "valid_from_us")
+    val batch = SparkEntry.queries("w11_scd2_history")(spark, sf)
+      .filter(col("is_current"))
+      .select(col("user_id"), col("value"),
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming IVF centroid assignment equals the batch window-ranked form") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("stream_emb")
