@@ -403,6 +403,44 @@ object AggOps extends OpModule {
                 / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
                   * (col("n") * col("syy") - col("sy") * col("sy"))), 9)).as("corr"))
           .orderBy("l_returnflag")
+      }),
+
+    // a14 — exact per-group OLS fit (y = slope·x + intercept for
+    // extendedprice vs quantity per return flag), completing a13's
+    // moment family: the same DECIMAL(38,4)-exact sums feed the
+    // closed-form normal equations once per group. Both outputs are
+    // multi-op formulas, so they round on both sides — at scale 6,
+    // because intercept magnitude (~1e5) times 10⁹ would exceed 2⁵²
+    // and the engines' round implementations diverge past it (the ft2
+    // lesson; 1e5·10⁶ stays comfortably inside).
+    Q("a14_ols_fit", Some(
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(38, 4))).cast("double")
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+            dsum(x * x).as("sxx"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+          .orderBy("l_returnflag")
       })
   )
 }

@@ -199,6 +199,42 @@ object AnalyticsOps extends OpModule {
           .select(col("d").cast("timestamp_ntz").as("day"),
             col("dau").cast("long").as("dau"), col("wau"))
           .orderBy("day")
+      }),
+
+    // ev6 — growth accounting: per day, NEW users (first-ever event),
+    // RETURNING users (active but seen before) and the cumulative user
+    // count — the activation/retention decomposition every growth
+    // dashboard opens with. First-seen day is one per-user min; the
+    // daily split is a user-day distinct joined back on it; the
+    // cumulative curve is a running sum over the (tiny) per-day new
+    // counts, so the only ordered window runs over calendar cardinality,
+    // never users or events.
+    Q("ev6_growth_accounting", Some(
+      """WITH ad AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |fs AS (SELECT user_id, min(d) AS d0 FROM ad GROUP BY user_id),
+        |daily AS (SELECT ad.d,
+        |            CAST(sum(CASE WHEN ad.d = fs.d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |            CAST(sum(CASE WHEN ad.d = fs.d0 THEN 0 ELSE 1 END) AS BIGINT) AS returning_users
+        |          FROM ad JOIN fs ON fs.user_id = ad.user_id GROUP BY ad.d)
+        |SELECT d AS day, new_users, returning_users,
+        |  CAST(sum(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+        |FROM daily ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ad = Tables(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+        val fs = ad.groupBy("user_id").agg(min("d").as("d0"))
+        val daily = ad.join(fs, "user_id")
+          .groupBy("d")
+          .agg(sum(when(col("d") === col("d0"), 1).otherwise(0)).cast("long").as("new_users"),
+            sum(when(col("d") === col("d0"), 0).otherwise(1)).cast("long").as("returning_users"))
+        daily
+          .withColumn("cumulative_users", sum("new_users").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+          .select(col("d").cast("timestamp_ntz").as("day"),
+            col("new_users"), col("returning_users"), col("cumulative_users"))
+          .orderBy("day")
       })
   )
 }

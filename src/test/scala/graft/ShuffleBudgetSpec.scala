@@ -28,6 +28,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "a12_mad_outliers" -> 5,
     // a13: one partial-aggregated moment groupBy + final sort
     "a13_covar_corr" -> 2,
+    // a14: a13's moment groupBy shape + final sort
+    "a14_ols_fit" -> 2,
     "a1_mode_majority" -> 3,
     "a2_distinct" -> 2,
     "a2b_count_distinct" -> 3,
@@ -83,6 +85,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ev5: user-day distinct, calendar distinct, DAU agg, the
     // contribution join + two-phase WAU distinct, final join/sort
     "ev5_rolling_active" -> 7,
+    // ev6: user-day distinct + first-seen agg + daily split agg + the
+    // calendar-cardinality cumulative window/sort
+    "ev6_growth_accounting" -> 4,
     // er1: trigram-block agg + candidate-pair distinct + the two
     // set-join sides feeding the Jaccard filter/sort
     "er1_fuzzy_match" -> 4,
