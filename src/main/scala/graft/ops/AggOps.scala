@@ -344,8 +344,16 @@ object AggOps extends OpModule {
           vox.as("x").join(vox.as("y"),
             col("y.ix") === col("x.ix") + dx && col("y.iy") === col("x.iy") + dy)
             .select(col("x.id").as("a"), col("y.id").as("b"))
+        // Fixed round budget instead of a per-round convergence probe:
+        // the occupancy grid's components are small (a handful of cells
+        // around each part row) and pointer jumping reaches diameter
+        // 2^k in k rounds, so 4 rounds cover any instance this grid can
+        // form; verify=true then proves convergence with ONE check job
+        // (resuming with per-round checks if the budget ever falls
+        // short) instead of paying a changed() probe every round.
         val comp = GraphOps.connectedComponents(
-          shiftEdges(1, 0).union(shiftEdges(0, 1)))
+          shiftEdges(1, 0).union(shiftEdges(0, 1)),
+          maxIter = 4, earlyStop = false, verify = true)
         vox.join(comp, Seq("id"), "left")
           .select(col("ix"), col("iy"),
             coalesce(col("comp"), col("id")).as("comp"))

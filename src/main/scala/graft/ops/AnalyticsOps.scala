@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -126,10 +127,11 @@ object AnalyticsOps extends OpModule {
     // event), frequency (event count) and monetary (exact decimal value
     // sum), each cut into quartiles — the classic user-scoring shape.
     // The quartile windows run over the per-USER aggregate (cardinality
-    // = users, already corpus-reduced); at the user counts where even
-    // that sort dominates, the x17b histogram-cut pattern replaces the
-    // ntile windows — same trade, documented there. Ties break on
-    // user_id so both engines cut identically.
+    // = users, already corpus-reduced); this is the EXACT small-scale/
+    // audit twin — at user counts where even that sort dominates, ev4b
+    // below cuts the same quartiles from per-dimension histograms with
+    // no global sort. Ties break on user_id so both engines cut
+    // identically.
     Q("ev4_rfm_segments", Some(
       """WITH m AS (SELECT max(date_trunc('day', ts)) AS d1 FROM events),
         |u AS (SELECT user_id,
@@ -161,6 +163,24 @@ object AnalyticsOps extends OpModule {
             "r_quartile", "f_quartile", "m_quartile")
           .orderBy("user_id")
       }),
+
+    // ev4b — the 100× SCALE PATH for ev4's RFM quartiles (the x17b
+    // pattern). ev4's three `ntile` windows are GLOBAL sorts over the
+    // per-user aggregate — at 10^8+ users each is a one-task sort. Here
+    // every dimension is cut from a 1024-bin histogram instead: binning
+    // is INTEGER arithmetic over broadcast (min, max) bounds — monetary
+    // bins on the 1e4-scaled exact DECIMAL sum cast to BIGINT, so every
+    // bin edge is integer-exact on both engines and the query stays
+    // fully DuckDB-oracled — the per-bin COUNTS (≤ 1024 rows/dim at any
+    // corpus size) carry all the rank information, cumulative counts
+    // over the tiny histogram assign each bin its quartile, and users
+    // inherit quartiles through three broadcast joins. The only windows
+    // run over histogram cardinality, never users. Users in a
+    // quartile-straddling bin land whole-bin on one side — the
+    // deterministic approximation AnalyticsSpec bounds against ev4's
+    // exact ntile twin.
+    Q("ev4b_rfm_segments_hist", Some(rfmHistOracleSql),
+      (s, dir) => rfmSegmentsHist(s, dir)),
 
     // ev5 — rolling active users (DAU / 7-day WAU per day): rolling
     // COUNT DISTINCT is the one aggregate window frames cannot express
@@ -237,4 +257,102 @@ object AnalyticsOps extends OpModule {
           .orderBy("day")
       })
   )
+
+  // final + literal → compile-time constant, safe to reference from the
+  // `qs` initializer above (a plain val here would still be 0 when the
+  // oracle string interpolates during object init — declaration order)
+  private final val RfmBins = 1024
+
+  /** ev4b implementation — see the Q above for the scale argument.
+    * Bin rule per dimension (lo/hi = that dimension's min/max over
+    * users): `bin = ((v − lo) · 1024) div (hi − lo + 1)` ∈ [0, 1023] —
+    * all BIGINT, non-negative operands, so Spark `div` and DuckDB `//`
+    * agree exactly. Recency cuts ascending (recent = quartile 1);
+    * frequency and monetary cut descending (heavy/valuable = 1), by
+    * cumulating the histogram in the matching direction.
+    */
+  def rfmSegmentsHist(s: SparkSession, dir: String, bins: Int = RfmBins): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val u = ev.crossJoin(broadcast(
+        ev.agg(date_trunc("day", max("ts")).as("d1"))))
+      .groupBy("user_id")
+      .agg(datediff(first("d1"), date_trunc("day", max("ts"))).cast("long")
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(38, 4))).as("mdec"))
+      .withColumn("monetary", col("mdec").cast("double"))
+      // exact integer image of the decimal sum (scale 4 → ×10^4): bin
+      // edges computed on it are integer arithmetic, never float
+      .withColumn("monetary_i", (col("mdec") * 10000).cast("long"))
+      .drop("mdec")
+    val bounds = u.agg(
+      min("recency_days").as("r_lo"), max("recency_days").as("r_hi"),
+      min("frequency").as("f_lo"), max("frequency").as("f_hi"),
+      min("monetary_i").as("m_lo"), max("monetary_i").as("m_hi"))
+    val b = u.crossJoin(broadcast(bounds))
+      .withColumn("r_bin", expr(s"((recency_days - r_lo) * $bins) div (r_hi - r_lo + 1)"))
+      .withColumn("f_bin", expr(s"((frequency - f_lo) * $bins) div (f_hi - f_lo + 1)"))
+      .withColumn("m_bin", expr(s"((monetary_i - m_lo) * $bins) div (m_hi - m_lo + 1)"))
+      .localCheckpoint(true) // feeds three histogram aggs + the final join
+    // quartile per bin: cumulative count of strictly-better bins vs the
+    // n/4 edges — windows over ≤ `bins` rows however large the corpus
+    def cuts(binCol: String, asc: Boolean, out: String): DataFrame = {
+      val one = Window.partitionBy(lit(1))
+      val cum = one.orderBy(if (asc) col("bin").asc else col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      b.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_prev", coalesce(sum("c").over(cum), lit(0L)))
+        .withColumn("n", sum("c").over(one))
+        .select(col("bin").as(binCol),
+          when(col("cum_prev") < col("n") / 4.0, 1)
+            .when(col("cum_prev") < col("n") / 2.0, 2)
+            .when(col("cum_prev") < col("n") * 3.0 / 4.0, 3)
+            .otherwise(4).cast("long").as(out))
+    }
+    b.join(broadcast(cuts("r_bin", asc = true, "r_quartile")), Seq("r_bin"))
+      .join(broadcast(cuts("f_bin", asc = false, "f_quartile")), Seq("f_bin"))
+      .join(broadcast(cuts("m_bin", asc = false, "m_quartile")), Seq("m_bin"))
+      .select("user_id", "recency_days", "frequency", "monetary",
+        "r_quartile", "f_quartile", "m_quartile")
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[rfmSegmentsHist]]: identical integer bin rule
+    * (`//` mirroring `div`), identical n/4.0 double edge comparisons.
+    */
+  private def rfmHistOracleSql: String = {
+    def cutSql(binCol: String, order: String): String =
+      s"""SELECT bin, CASE WHEN cum_prev < n / 4.0 THEN 1
+         |            WHEN cum_prev < n / 2.0 THEN 2
+         |            WHEN cum_prev < n * 3.0 / 4.0 THEN 3 ELSE 4 END AS q
+         |FROM (SELECT bin,
+         |        coalesce(sum(c) OVER (ORDER BY bin $order
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         |        sum(c) OVER () AS n
+         |      FROM (SELECT $binCol AS bin, count(*) AS c FROM b GROUP BY 1))""".stripMargin
+    s"""WITH m AS (SELECT max(date_trunc('day', ts)) AS d1 FROM events),
+       |u AS (SELECT user_id,
+       |        date_diff('day', date_trunc('day', max(ts)), (SELECT d1 FROM m)) AS recency_days,
+       |        CAST(count(*) AS BIGINT) AS frequency,
+       |        CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS monetary,
+       |        CAST(sum(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS monetary_i
+       |      FROM events GROUP BY user_id),
+       |bd AS (SELECT min(recency_days) AS r_lo, max(recency_days) AS r_hi,
+       |              min(frequency) AS f_lo, max(frequency) AS f_hi,
+       |              min(monetary_i) AS m_lo, max(monetary_i) AS m_hi FROM u),
+       |b AS (SELECT u.*,
+       |        ((recency_days - r_lo) * $RfmBins) // (r_hi - r_lo + 1) AS r_bin,
+       |        ((frequency - f_lo) * $RfmBins) // (f_hi - f_lo + 1) AS f_bin,
+       |        ((monetary_i - m_lo) * $RfmBins) // (m_hi - m_lo + 1) AS m_bin
+       |      FROM u CROSS JOIN bd),
+       |rc AS (${cutSql("r_bin", "ASC")}),
+       |fc AS (${cutSql("f_bin", "DESC")}),
+       |mc AS (${cutSql("m_bin", "DESC")})
+       |SELECT b.user_id, b.recency_days, b.frequency, b.monetary,
+       |  CAST(rc.q AS BIGINT) AS r_quartile, CAST(fc.q AS BIGINT) AS f_quartile,
+       |  CAST(mc.q AS BIGINT) AS m_quartile
+       |FROM b JOIN rc ON rc.bin = b.r_bin JOIN fc ON fc.bin = b.f_bin
+       |       JOIN mc ON mc.bin = b.m_bin
+       |ORDER BY user_id""".stripMargin
+  }
 }

@@ -482,6 +482,15 @@ object DedupOps extends OpModule {
         .filter(_.getName.endsWith(".parquet"))
     Seq("exact", "sigs", "bands").map { t =>
       val live = s"$path/$t"
+      val oldDir = new java.io.File(s"$path/${t}_old")
+      // Self-heal a crash BETWEEN the two swap renames (live→old done,
+      // tmp→live not): `live` is missing but `_old` holds the complete
+      // previous table — restore it before reading, so the either-old-
+      // or-new guarantee recovers without manual intervention instead of
+      // failing at the initial read.
+      if (!new java.io.File(live).exists() && oldDir.exists())
+        require(oldDir.renameTo(new java.io.File(live)),
+          s"compaction crash-recovery rename failed for $live")
       val before = parquetFiles(live)
       val totalBytes = before.map(_.length()).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -936,8 +945,19 @@ object DedupOps extends OpModule {
     * (eval_ref = the offending eval doc) / clean (−1).
     */
   def contaminationVerdicts(s: SparkSession, trainDocs: DataFrame,
-      evalDocs: DataFrame): DataFrame = {
-    val (exStore, sigStore, bandStore) = fingerprintStore(s, evalDocs)
+      evalDocs: DataFrame, storePath: Option[String] = None): DataFrame = {
+    // The eval corpus is a FIXED artifact: its fingerprints should be
+    // staged once and re-probed every train run, not recomputed in-plan
+    // per run. With `storePath` set, the store persists as parquet and
+    // the probe reads it back (dd9's posture, DedupOps.scala:~640);
+    // repeated decontamination runs then pay only the read. Without it
+    // (ad-hoc one-shot use) the store stays in-plan, localCheckpointed.
+    val (exStore, sigStore, bandStore) = storePath match {
+      case Some(p) =>
+        writeFingerprintStore(s, evalDocs, p)
+        readFingerprintStore(s, p)
+      case None => fingerprintStore(s, evalDocs)
+    }
     incrementalVerdicts(s, trainDocs, exStore, sigStore, bandStore)
       .select(col("doc_id"),
         when(col("status") === "exact_prior", "exact_contam")
@@ -1002,7 +1022,8 @@ object DedupOps extends OpModule {
       val docs = Tables(s, dir, "documents")
       contaminationVerdicts(s,
         docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1))
+        docs.filter(col("doc_id") % 2 === 1),
+        storePath = Some(graft.etl.ScratchDirs.keyed("dd13_store", dir)))
     }),
 
     // dd12 — constant-space Bloom membership gate (see [[bloomProbe]]).

@@ -19,10 +19,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (ts, event_id) WITHIN a micro-batch, so streamed stages equal the
   * batch funnel exactly when each user's events arrive in ts order
   * ACROSS batches (staged logs split on time boundaries — the spec
-  * case). A live out-of-order source would buffer within the watermark
-  * first; the greedy first-qualifying-event transition is then the same
-  * chained-minimum the batch query computes, because processing in ts
-  * order makes "first after" and "min after" coincide.
+  * case). That cross-batch precondition is UNENFORCED here: this
+  * implementation carries no watermark, so a live source delivering a
+  * user's events out of ts order across micro-batches silently diverges
+  * from the batch ev3 funnel (a late earlier-ts qualifying event can no
+  * longer demote a transition already taken) — there is no detection.
+  * Deploying against such a source means adding a watermark buffer
+  * stage ahead of [[advance]] (hold rows until the watermark passes,
+  * release in ts order); processing in ts order is what makes the
+  * greedy first-qualifying-event transition coincide with the batch
+  * query's chained minimum.
   */
 object FunnelStream {
 

@@ -41,6 +41,64 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(zero.values.sum == users, "cohort sizes must partition the user base")
   }
 
+  test("ev4b histogram quartiles match an independent reimplementation and stay within a bin of ev4's exact ntile cut") {
+    val exact = q("ev4_rfm_segments").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val hist = q("ev4b_rfm_segments_hist").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(hist.keySet == exact.keySet, "ev4b must cover exactly ev4's users")
+
+    // independent Scala reimplementation of the histogram cut: same
+    // integer bin rule, same cumulative-count quartile edges
+    val users = exact.keys.toSeq.sorted
+    def dims(u: Long) = {
+      val (r, f, m, _, _, _) = exact(u)
+      (r, f, math.round(m * 10000.0)) // the 1e4-scaled exact decimal image
+    }
+    def histCut(value: Map[Long, Long], asc: Boolean): (Map[Long, Long], Map[Long, Long]) = {
+      val lo = value.values.min; val hi = value.values.max
+      val bin = value.map { case (u, v) => u -> ((v - lo) * 1024) / (hi - lo + 1) }
+      val counts = bin.groupBy(_._2).map { case (b, g) => b -> g.size.toLong }
+      val order = counts.keys.toSeq.sortBy(b => if (asc) b else -b)
+      val n = value.size.toDouble
+      val cumPrev = order.zip(order.scanLeft(0L)((acc, b) => acc + counts(b))).toMap
+      val qOfBin = cumPrev.map { case (b, cp) =>
+        b -> (if (cp < n / 4.0) 1L else if (cp < n / 2.0) 2L
+              else if (cp < n * 3.0 / 4.0) 3L else 4L)
+      }
+      (bin.map { case (u, b) => u -> qOfBin(b) }, bin)
+    }
+    val (rq, rb) = histCut(users.map(u => u -> dims(u)._1).toMap, asc = true)
+    val (fq, fb) = histCut(users.map(u => u -> dims(u)._2).toMap, asc = false)
+    val (mq, mb) = histCut(users.map(u => u -> dims(u)._3).toMap, asc = false)
+    users.foreach { u =>
+      assert((rq(u), fq(u), mq(u)) == hist(u),
+        s"user $u: ev4b ${hist(u)} != reimplementation ${(rq(u), fq(u), mq(u))}")
+    }
+
+    // vs the exact ntile twin: a user can only disagree if its bin
+    // straddles a quartile boundary, and then only within the bin's own
+    // exact-quartile span (±1 for the n%4 ntile-edge offset)
+    def bound(name: String, bins: Map[Long, Long], got: Map[Long, Long],
+        exactQ: Long => Long): Unit = {
+      val span = users.groupBy(bins).map { case (b, us) =>
+        b -> (us.map(exactQ).min, us.map(exactQ).max)
+      }
+      var disagree = 0
+      users.foreach { u =>
+        val (lo, hi) = span(bins(u))
+        if (got(u) != exactQ(u)) disagree += 1
+        assert(got(u) >= lo - 1 && got(u) <= hi + 1,
+          s"$name user $u: hist quartile ${got(u)} outside bin span [$lo, $hi]±1")
+      }
+      info(s"$name: $disagree of ${users.size} users disagree with the exact ntile cut")
+    }
+    bound("recency", rb, rq, u => exact(u)._4)
+    bound("frequency", fb, fq, u => exact(u)._5)
+    bound("monetary", mb, mq, u => exact(u)._6)
+  }
+
   test("ev3: funnel counts are monotone non-increasing") {
     val r = q("ev3_funnel").head()
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

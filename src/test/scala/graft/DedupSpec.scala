@@ -263,6 +263,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(verdicts() == before, "verdicts changed across store compaction")
   }
 
+  test("compaction self-heals a crash between the swap renames (live missing, _old present)") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"selfheal doc $i body " + (s"w$i " * 5))).toDF("doc_id", "text")
+    val dirPath = graft.etl.ScratchDirs.freshKeyed("dd9_selfheal", sf)
+    DedupOps.writeFingerprintStore(spark, docs, dirPath)
+    def sigIds(): Seq[Long] = spark.read.parquet(s"$dirPath/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val ids0 = sigIds()
+    // simulate the crash window: the live→_old aside-rename completed,
+    // the tmp→live swap did not — no `sigs` directory remains
+    assert(new java.io.File(s"$dirPath/sigs")
+      .renameTo(new java.io.File(s"$dirPath/sigs_old")))
+    DedupOps.compactFingerprintStore(spark, dirPath) // must not throw
+    assert(sigIds() == ids0,
+      "self-healed store must carry the complete previous sigs table")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -82,6 +82,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ev4: per-user agg + the user-table quartile windows + final sort
     // (windows run over user cardinality, not events)
     "ev4_rfm_segments" -> 3,
+    // ev4b: per-dimension histogram agg + its single-partition cut
+    // window (histogram-sized input, ≤1024 rows at any corpus size) ×3
+    // + final sort; the user aggregate sits behind the checkpoint
+    "ev4b_rfm_segments_hist" -> 7,
     // ev5: user-day distinct, calendar distinct, DAU agg, the
     // contribution join + two-phase WAU distinct, final join/sort
     "ev5_rolling_active" -> 7,
