@@ -344,16 +344,16 @@ object AggOps extends OpModule {
           vox.as("x").join(vox.as("y"),
             col("y.ix") === col("x.ix") + dx && col("y.iy") === col("x.iy") + dy)
             .select(col("x.id").as("a"), col("y.id").as("b"))
-        // Fixed round budget instead of a per-round convergence probe:
-        // the occupancy grid's components are small (a handful of cells
-        // around each part row) and pointer jumping reaches diameter
-        // 2^k in k rounds, so 4 rounds cover any instance this grid can
-        // form; verify=true then proves convergence with ONE check job
-        // (resuming with per-round checks if the budget ever falls
-        // short) instead of paying a changed() probe every round.
+        // earlyStop deliberately kept ON (adjudicated round 8, isolated
+        // reps=3 at sf0.1): a fixed 4-round budget + one-shot verify
+        // measured 7.38 s vs 6.72 s with per-round probes, because the
+        // probes are NOT the cost — each STEP eagerly materializes via
+        // localCheckpoint (2 joins + write), so earlyStop's adaptive
+        // round count (stop as soon as labels stabilize) beats any
+        // conservative fixed budget; a changed() probe is one
+        // join+limit job, far cheaper than the extra steps it saves.
         val comp = GraphOps.connectedComponents(
-          shiftEdges(1, 0).union(shiftEdges(0, 1)),
-          maxIter = 4, earlyStop = false, verify = true)
+          shiftEdges(1, 0).union(shiftEdges(0, 1)))
         vox.join(comp, Seq("id"), "left")
           .select(col("ix"), col("iy"),
             coalesce(col("comp"), col("id")).as("comp"))

@@ -944,17 +944,28 @@ object DedupOps extends OpModule {
     * train-internal duplication. Statuses: exact_contam / near_contam
     * (eval_ref = the offending eval doc) / clean (−1).
     */
+  /** Eval stores already staged by THIS process ([[contaminationVerdicts]]):
+    * the eval corpus is a fixed artifact, so repeated decontamination
+    * runs against the same store path skip the re-stage and pay only
+    * the probe — the production cadence (one stage per eval-set
+    * release, a probe per train run). Restart the process (or pass a
+    * fresh path) after changing the eval corpus.
+    */
+  private val stagedEvalStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def contaminationVerdicts(s: SparkSession, trainDocs: DataFrame,
       evalDocs: DataFrame, storePath: Option[String] = None): DataFrame = {
-    // The eval corpus is a FIXED artifact: its fingerprints should be
-    // staged once and re-probed every train run, not recomputed in-plan
-    // per run. With `storePath` set, the store persists as parquet and
-    // the probe reads it back (dd9's posture, DedupOps.scala:~640);
-    // repeated decontamination runs then pay only the read. Without it
+    // The eval corpus is a FIXED artifact: its fingerprints are staged
+    // ONCE and re-probed every train run, never recomputed in-plan per
+    // run. With `storePath` set, the store persists as parquet (dd9's
+    // posture, DedupOps.scala:~660) the first time this process sees
+    // the path, and every run — including the first — probes the
+    // read-back store; subsequent runs pay only the probe. Without it
     // (ad-hoc one-shot use) the store stays in-plan, localCheckpointed.
     val (exStore, sigStore, bandStore) = storePath match {
       case Some(p) =>
-        writeFingerprintStore(s, evalDocs, p)
+        if (stagedEvalStores.add(p)) writeFingerprintStore(s, evalDocs, p)
         readFingerprintStore(s, p)
       case None => fingerprintStore(s, evalDocs)
     }
