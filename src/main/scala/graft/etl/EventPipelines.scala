@@ -59,17 +59,19 @@ object EventPipelines {
         col("npts"), col("charge"), col("segment").as("ssnet"))
   }
 
-  /** §3.3 derived-table pipeline (voxel_to_instance_data.py): voxel event
-    * table → instance-cluster table. Ghost filter, y −117 shift, group by
-    * (event, instance), majority-vote ssnet label (ties → lowest), member
-    * coords re-encoded in the flatten+shape convention, canonically
-    * sorted so output is deterministic under shuffle.
+  /** Shared long view of a voxel event table: one row per non-ghost
+    * voxel, integer grid coords (ix, iy, iz) for adjacency plus the
+    * shifted output doubles (y − 117), the ssnet label, and the
+    * as-given instance label.
     */
-  def instanceTable(spark: SparkSession, voxels: DataFrame): DataFrame = {
+  private def voxelLong(spark: SparkSession, voxels: DataFrame): DataFrame = {
     TensorFunctions.register(spark)
     voxels.createOrReplaceTempView("vox_events")
-    val long = spark.sql(
+    spark.sql(
       """SELECT run, subrun, event, t.idx AS i,
+        |  element_at(t.slice, 1) AS ix,
+        |  element_at(t.slice, 2) AS iy,
+        |  element_at(t.slice, 3) AS iz,
         |  CAST(element_at(t.slice, 1) AS DOUBLE) AS x,
         |  CAST(element_at(t.slice, 2) AS DOUBLE) - 117.0 AS y,
         |  CAST(element_at(t.slice, 3) AS DOUBLE) AS z,
@@ -80,6 +82,15 @@ object EventPipelines {
         |LATERAL VIEW tensor_explode(voxcoord, voxcoord_shape) t AS idx, slice
         |""".stripMargin)
       .filter(col("voxlabel") === 1)
+  }
+
+  /** The §3.3 aggregation grain over a long voxel view carrying an
+    * `instance` column (given labels for [[instanceTable]], CC-derived
+    * for [[instanceTableCC]]): majority-vote ssnet label per instance
+    * (ties → lowest), member coords re-encoded flatten+shape,
+    * canonically sorted so output is deterministic under shuffle.
+    */
+  private def aggregateInstances(long: DataFrame): DataFrame = {
     val labelW = Window.partitionBy("run", "subrun", "event", "instance")
     val labels = long.groupBy("run", "subrun", "event", "instance", "ssnet")
       .agg(count(lit(1)).as("cnt"))
@@ -95,6 +106,59 @@ object EventPipelines {
           p => array(p.getField("x"), p.getField("y"), p.getField("z")))).as("instvoxcoord"),
         array(size(col("pts")).cast("long"), lit(3L)).as("instvoxcoord_shape"))
     clusters.join(labels, Seq("run", "subrun", "event", "instance"))
+  }
+
+  /** §3.3 derived-table pipeline (voxel_to_instance_data.py): voxel event
+    * table → instance-cluster table, grouped by the GIVEN instance label.
+    * Ghost filter, y −117 shift, majority-vote ssnet label (ties →
+    * lowest), member coords re-encoded in the flatten+shape convention.
+    */
+  def instanceTable(spark: SparkSession, voxels: DataFrame): DataFrame =
+    aggregateInstances(voxelLong(spark, voxels))
+
+  /** §3.3 with the reference's FLOOD-FILL instance grain: when the voxel
+    * table carries no trusted instance labels, the instance id is
+    * DERIVED by 6-neighborhood connected components over each event's
+    * occupancy grid — the reference's dense-array flood fill
+    * (voxel_to_instance_data.py's cluster step, larmatch instance
+    * grain) re-expressed as v7's sparse machinery
+    * ([[graft.ops.GraphOps.connectedComponents]]).
+    *
+    * Voxel coords pack into ONE BIGINT node id
+    * (event-index ≪ 33 | ix ≪ 22 | iy ≪ 11 | iz; each coord < 2048 —
+    * the detector box is 256×234×1036 at 1 cm, FIXTURES.md §A2, and
+    * the packing is checked). Because the packing is affine, the
+    * +1-in-one-axis neighbor is `id + 2^22 / 2^11 / 1`, so adjacency
+    * is three self equi-joins on a single LONG key — no composite-key
+    * or distance join anywhere, occupied cells only. The event-index
+    * comes from a row_number over the DISTINCT (run, subrun, event)
+    * set — event-metadata cardinality, never voxels, the ev6
+    * calendar-window posture. Derived instance id = the component's
+    * minimum packed id (deterministic under shuffle); isolated voxels
+    * label themselves. Downstream is [[instanceTable]]'s own
+    * aggregation applied to the derived grain.
+    */
+  def instanceTableCC(spark: SparkSession, voxels: DataFrame): DataFrame = {
+    val long = voxelLong(spark, voxels)
+    val evs = long.select("run", "subrun", "event").distinct()
+      .withColumn("evi",
+        row_number().over(Window.orderBy("run", "subrun", "event")).cast("long"))
+    val withId = long.join(broadcast(evs), Seq("run", "subrun", "event"))
+      .withColumn("id", when(
+        col("ix") < 0 || col("ix") >= 2048 || col("iy") < 0 || col("iy") >= 2048 ||
+          col("iz") < 0 || col("iz") >= 2048,
+        expr("raise_error('voxel coord outside packable range [0, 2048)')").cast("long"))
+        .otherwise(expr("evi * 8589934592L + ix * 4194304L + iy * 2048L + iz")))
+    val nodes = withId.select("id").localCheckpoint(true)
+    val edges = Seq(1L << 22, 1L << 11, 1L).map { s =>
+      nodes.as("x")
+        .join(nodes.select(col("id").as("nid")), col("nid") === col("id") + s)
+        .select(col("id").as("a"), col("nid").as("b"))
+    }.reduce(_ union _)
+    val comp = graft.ops.GraphOps.connectedComponents(edges)
+    val derived = withId.join(comp, Seq("id"), "left")
+      .withColumn("instance", coalesce(col("comp"), col("id")))
+    aggregateInstances(derived.drop("id", "comp", "evi"))
   }
 
   /** V4 triplet formation analog: three per-plane hit tables joined on

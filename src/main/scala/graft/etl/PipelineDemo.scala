@@ -28,12 +28,20 @@ object PipelineDemo {
     val inst = EventPipelines.instanceTable(spark, voxEvents)
     inst.write.mode("overwrite").option("compression", "gzip").parquet(s"$out/instances")
 
+    // the reference's flood-fill grain: instances DERIVED by occupancy
+    // CC (v7) instead of the given labels — the path a table without
+    // trusted instance labels takes
+    val instCC = EventPipelines.instanceTableCC(spark, voxEvents)
+    instCC.write.mode("overwrite").option("compression", "gzip").parquet(s"$out/instances_cc")
+
     val voxBack = spark.read.parquet(s"$out/voxels")
     val instBack = spark.read.parquet(s"$out/instances")
+    val instCCBack = spark.read.parquet(s"$out/instances_cc")
     println(s"[demo] voxels: ${voxBack.count()} rows, " +
       s"schema=${voxBack.schema.map(_.name).mkString(",")}")
     println(s"[demo] instances: ${instBack.count()} rows, " +
       s"schema=${instBack.schema.map(_.name).mkString(",")}")
+    println(s"[demo] instances_cc (flood-fill grain): ${instCCBack.count()} rows")
     val sample = instBack.selectExpr("instance", "label", "instvoxcoord_shape")
       .orderBy("event", "instance").limit(3).collect()
     sample.foreach(r => println(s"[demo] instance=${r.get(0)} label=${r.get(1)} shape=${r.get(2)}"))

@@ -73,6 +73,65 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(yRange.getDouble(0) >= -117.0 && yRange.getDouble(1) < 117.0)
   }
 
+  test("instanceTableCC: derived instances equal an independent flood fill, labels majority-voted") {
+    val voxEvents = EventTables.voxels(spark, nEvents = 2, nVox = 250)
+    // independent ground truth: per event, BFS flood fill over the
+    // non-ghost cells with 6-neighborhood adjacency — a different
+    // algorithm (dense queue walk) from the pointer-jumping CC
+    val raw = voxEvents.collect().map { r =>
+      val ev = r.getAs[Long]("event")
+      val coords = r.getAs[scala.collection.Seq[Long]]("voxcoord")
+      val label = r.getAs[scala.collection.Seq[Long]]("voxlabel")
+      val ssnet = r.getAs[scala.collection.Seq[Long]]("voxssnet")
+      val cells = (0 until label.length).filter(label(_) == 1L)
+        .map(i => (coords(i * 3), coords(i * 3 + 1), coords(i * 3 + 2)) ->
+          ssnet(i)).toMap
+      ev -> cells
+    }.toMap
+    def floodFill(cells: Set[(Long, Long, Long)]): Set[Set[(Long, Long, Long)]] = {
+      val remaining = scala.collection.mutable.Set.from(cells)
+      val comps = scala.collection.mutable.Buffer.empty[Set[(Long, Long, Long)]]
+      while (remaining.nonEmpty) {
+        val seed = remaining.head
+        val queue = scala.collection.mutable.Queue(seed)
+        val comp = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+        remaining -= seed
+        while (queue.nonEmpty) {
+          val c @ (x, y, z) = queue.dequeue()
+          comp += c
+          for (n <- Seq((x + 1, y, z), (x - 1, y, z), (x, y + 1, z),
+            (x, y - 1, z), (x, y, z + 1), (x, y, z - 1)) if remaining(n)) {
+            remaining -= n; queue += n
+          }
+        }
+        comps += comp.toSet
+      }
+      comps.toSet
+    }
+    val got = EventPipelines.instanceTableCC(spark, voxEvents).collect()
+    val gotByEvent = got.groupBy(_.getAs[Long]("event"))
+    assert(gotByEvent.keySet == raw.keySet)
+    gotByEvent.foreach { case (ev, rows) =>
+      val members = rows.map { r =>
+        val flat = r.getAs[scala.collection.Seq[Double]]("instvoxcoord")
+        val pts = flat.grouped(3).map(p =>
+          (p(0).toLong, (p(1) + 117.0).round, p(2).toLong)).toSet
+        pts -> r.getAs[Long]("label")
+      }.toMap
+      val expected = floodFill(raw(ev).keySet)
+      assert(members.keySet == expected,
+        s"event $ev: CC partition differs from the flood fill")
+      // majority ssnet per component, lowest label on count ties
+      members.foreach { case (pts, gotLabel) =>
+        val wantLabel = pts.toSeq.map(raw(ev)).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }.toSeq
+          .minBy { case (l, n) => (-n, l) }._1
+        assert(gotLabel == wantLabel,
+          s"event $ev: component label $gotLabel != majority $wantLabel")
+      }
+    }
+  }
+
   test("triplet join: three-plane coincidence with ADC threshold") {
     import spark.implicits._
     def plane(seed: Int) = {
