@@ -67,10 +67,11 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // dd11: chunking is map-side HOFs; first-occurrence window + per-doc
     // agg + final sort
     "dd11_cdc_chunks" -> 3,
-    // dd13: the dd9 verdict machinery with in-memory eval stores —
-    // exact-store agg, band-cap agg, candidate/agreement joins, the
-    // clean-collapse union, final sort
-    "dd13_cross_decontam" -> 9,
+    // dd13: the dd9 verdict machinery probing the STAGED eval store
+    // (round 8) — the store's own aggs moved into the one-time stage
+    // write, leaving band-cap agg, candidate/agreement joins, the
+    // clean-collapse union and final sort (was 9 with in-plan stores)
+    "dd13_cross_decontam" -> 6,
     "e1_json_extract" -> 2,
     // ev1: span agg + the per-user LOCF window + presentation sort
     "ev1_resample_locf" -> 3,
