@@ -34,7 +34,9 @@ object WindowOps extends OpModule {
         .orderBy("rn")),
 
     // W3 — partition-range slicing (set_partition, larvoxel_dataset.py:196-201)
-    // as ntile.
+    // as ntile. EXACT small-scale/audit twin — the global window is a
+    // one-task sort at scale; w3b below cuts the same tiles from a
+    // histogram with no global sort.
     Q("w3_ntile", Some(
       """SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS tile
         |FROM customer ORDER BY c_custkey""".stripMargin),
@@ -43,6 +45,58 @@ object WindowOps extends OpModule {
           Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)).cast("long"))
         .select("c_custkey", "tile")
         .orderBy("c_custkey")),
+
+    // w3b — the 100× SCALE PATH for w3's set_partition tiles (the
+    // ev4b/x17b histogram-cut pattern): the global `ntile` sorts the
+    // whole table in ONE task at scale, so the tile is cut from a
+    // 1024-bin histogram instead. Balance bins on the 100×-scaled
+    // DECIMAL(18,2) image of c_acctbal (2-decimal money sits exactly
+    // on that grid on both engines, so every bin edge is integer-exact
+    // and the query stays fully oracled); cumulative counts over the
+    // ≤1024-row histogram assign each bin its tile, rows inherit
+    // through a broadcast join. Rows in a tile-straddling bin land
+    // whole-bin on one side — QualityScaleSpec bounds the disagreement
+    // vs w3's exact ntile.
+    Q("w3b_ntile_hist", Some(
+      """WITH v AS (SELECT c_custkey,
+        |             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS b
+        |           FROM customer),
+        |bd AS (SELECT min(b) AS lo, max(b) AS hi FROM v),
+        |bn AS (SELECT c_custkey, ((b - lo) * 1024) // (hi - lo + 1) AS bin
+        |       FROM v CROSS JOIN bd),
+        |cut AS (SELECT bin, CASE WHEN cum_prev < n / 4.0 THEN 1
+        |               WHEN cum_prev < n / 2.0 THEN 2
+        |               WHEN cum_prev < n * 3.0 / 4.0 THEN 3 ELSE 4 END AS tile
+        |        FROM (SELECT bin,
+        |                coalesce(sum(c) OVER (ORDER BY bin ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+        |                sum(c) OVER () AS n
+        |              FROM (SELECT bin, count(*) AS c FROM bn GROUP BY 1)))
+        |SELECT bn.c_custkey, CAST(cut.tile AS BIGINT) AS tile
+        |FROM bn JOIN cut USING (bin) ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val v = Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("b"))
+        val bn = v.crossJoin(broadcast(v.agg(min("b").as("lo"), max("b").as("hi"))))
+          .withColumn("bin", expr("((b - lo) * 1024) div (hi - lo + 1)"))
+          .localCheckpoint(true) // feeds the histogram agg + the final join
+        val one = Window.partitionBy(lit(1))
+        val cut = bn.groupBy("bin").agg(count(lit(1)).as("c"))
+          .withColumn("cum_prev", coalesce(sum("c").over(
+            one.orderBy(col("bin").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum("c").over(one))
+          .select(col("bin"),
+            when(col("cum_prev") < col("n") / 4.0, 1)
+              .when(col("cum_prev") < col("n") / 2.0, 2)
+              .when(col("cum_prev") < col("n") * 3.0 / 4.0, 3)
+              .otherwise(4).cast("long").as("tile"))
+        bn.join(broadcast(cut), Seq("bin"))
+          .select("c_custkey", "tile")
+          .orderBy("c_custkey")
+      }),
 
     // W4 — argmax per group (np.argmax, voxel_to_instance_data.py:63):
     // richest customer per nation, ties broken by lowest key.

@@ -263,6 +263,32 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(verdicts() == before, "verdicts changed across store compaction")
   }
 
+  test("dd13: staged eval store gives verdicts identical to the in-plan store; restage skipped per process") {
+    import spark.implicits._
+    def doc(i: Int): String = {
+      val rng = new scala.util.Random(7700 + i)
+      Seq.fill(25)(s"c${rng.nextInt(500)}").mkString(" ")
+    }
+    val eval = (0 until 15).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    // train: 5 exact copies of eval docs + 10 fresh
+    val train = ((100 until 105).map(i => (i.toLong, doc(i - 100))) ++
+      (200 until 210).map(i => (i.toLong, doc(i)))).toDF("doc_id", "text")
+    def strs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val inPlan = strs(DedupOps.contaminationVerdicts(spark, train, eval))
+    assert(inPlan.exists(_.contains("exact_contam")), s"fixture must contaminate: $inPlan")
+    val path = graft.etl.ScratchDirs.freshKeyed("dd13_spec_store", sf)
+    val staged = strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path)))
+    assert(staged == inPlan, "staged store changed the verdicts")
+    // the documented stage-once semantics: a SECOND call on the same
+    // path does NOT restage — verdicts still come from the ORIGINAL
+    // store even though a different eval corpus is passed
+    val otherEval = (50 until 55).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val again = strs(DedupOps.contaminationVerdicts(spark, train, otherEval, Some(path)))
+    assert(again == staged,
+      "second call restaged the store — stage-once-per-process contract broken")
+  }
+
   test("compaction self-heals a crash between the swap renames (live missing, _old present)") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>

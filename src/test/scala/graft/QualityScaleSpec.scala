@@ -36,6 +36,34 @@ class QualityScaleSpec extends AnyFunSuite with SparkSuite {
       "non-adjacent bucket disagreement")
   }
 
+  test("w3b histogram tiles agree with w3's exact ntile except in tile-straddling bins") {
+    val exact = SparkEntry.queries("w3_ntile")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = SparkEntry.queries("w3b_ntile_hist")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keySet == exact.keySet)
+    // recompute each customer's bin to pin the exact disagreement
+    // contract: a row may differ only if its bin straddles a tile
+    // boundary, and then only within the bin's exact-tile span (±1 for
+    // the n%4 ntile-edge offset)
+    val bals = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = bals.values.min; val hi = bals.values.max
+    val binOf = bals.map { case (k, b) => k -> ((b - lo) * 1024) / (hi - lo + 1) }
+    val span = exact.keys.groupBy(binOf).map { case (bin, ks) =>
+      bin -> (ks.map(exact).min, ks.map(exact).max)
+    }
+    var disagree = 0
+    exact.keys.foreach { k =>
+      val (sLo, sHi) = span(binOf(k))
+      if (hist(k) != exact(k)) disagree += 1
+      assert(hist(k) >= sLo - 1 && hist(k) <= sHi + 1,
+        s"customer $k: hist tile ${hist(k)} outside bin span [$sLo, $sHi]±1")
+    }
+    info(s"w3b/w3 disagreement: $disagree of ${exact.size}")
+  }
+
   test("x18b threshold selection lands within binomial range of x18's exact per-language quota") {
     val exactCounts = SparkEntry.queries("x18_temperature_mixture")(spark, sf)
       .groupBy("lang").agg(count(lit(1)).as("keep_n")).collect()

@@ -237,6 +237,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "v7_voxel_instances" -> 4,
     "w2_topk" -> 0,
     "w3_ntile" -> 1,
+    // w3b: histogram agg + its single-partition cut window (≤1024-row
+    // input) + final sort; the binned base sits behind the checkpoint
+    "w3b_ntile_hist" -> 3,
     "w4_argmax" -> 2,
     "w5_rank" -> 2,
     "w6_lag_delta" -> 2,
