@@ -16,19 +16,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key downstream.
   *
   * ORDERING CONTRACT (the [[SessionStream]] precedent): rows sort by
-  * (ts, event_id) WITHIN a micro-batch, so streamed stages equal the
+  * (ts, event_id) WITHIN a micro-batch, so [[funnelStages]] equals the
   * batch funnel exactly when each user's events arrive in ts order
   * ACROSS batches (staged logs split on time boundaries — the spec
-  * case). That cross-batch precondition is UNENFORCED here: this
-  * implementation carries no watermark, so a live source delivering a
-  * user's events out of ts order across micro-batches silently diverges
-  * from the batch ev3 funnel (a late earlier-ts qualifying event can no
-  * longer demote a transition already taken) — there is no detection.
-  * Deploying against such a source means adding a watermark buffer
-  * stage ahead of [[advance]] (hold rows until the watermark passes,
-  * release in ts order); processing in ts order is what makes the
-  * greedy first-qualifying-event transition coincide with the batch
-  * query's chained minimum.
+  * case). That cross-batch precondition is unenforced in
+  * [[funnelStages]] itself — a source that violates it silently
+  * diverges from the batch ev3 funnel — so sources that CAN reorder
+  * across batches use [[funnelStagesWatermarked]] instead: a watermark
+  * buffer holds rows until event time catches up and releases them in
+  * ts order, restoring batch parity for any reordering within the
+  * delay (and dropping, rather than misordering, anything later).
+  * Processing in ts order is what makes the greedy
+  * first-qualifying-event transition coincide with the batch query's
+  * chained minimum.
   */
 object FunnelStream {
 
@@ -38,24 +38,30 @@ object FunnelStream {
 
   private val Unset = Long.MinValue
 
+  /** One stage-machine step — shared by the in-order and the
+    * watermark-buffered variants so the transition semantics cannot
+    * drift between them.
+    */
+  private def step(st: FState, e: FEv): FState = e.event_type match {
+    case "view" if st.tv == Unset => st.copy(tv = e.us)
+    case "click" if st.tv != Unset && st.tc == Unset && e.us > st.tv =>
+      st.copy(tc = e.us)
+    case "purchase" if st.tc != Unset && st.tp == Unset && e.us > st.tc =>
+      st.copy(tp = e.us)
+    case _ => st
+  }
+
+  private def stageOf(st: FState): Int =
+    if (st.tp != Unset) 3 else if (st.tc != Unset) 2
+    else if (st.tv != Unset) 1 else 0
+
   def advance(key: Long, rows: Iterator[FEv],
       state: GroupState[FState]): Iterator[UserStage] = {
     val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
     var st = state.getOption.getOrElse(FState(Unset, Unset, Unset))
-    sorted.foreach { e =>
-      e.event_type match {
-        case "view" if st.tv == Unset => st = st.copy(tv = e.us)
-        case "click" if st.tv != Unset && st.tc == Unset && e.us > st.tv =>
-          st = st.copy(tc = e.us)
-        case "purchase" if st.tc != Unset && st.tp == Unset && e.us > st.tc =>
-          st = st.copy(tp = e.us)
-        case _ => ()
-      }
-    }
+    sorted.foreach(e => st = step(st, e))
     state.update(st)
-    val stage = if (st.tp != Unset) 3 else if (st.tc != Unset) 2
-      else if (st.tv != Unset) 1 else 0
-    Iterator.single(UserStage(key, stage))
+    Iterator.single(UserStage(key, stageOf(st)))
   }
 
   /** Per-user live funnel stage over a staged events directory. */
@@ -68,6 +74,73 @@ object FunnelStream {
       .as[FEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
+      .toDF()
+  }
+
+  /** Watermark-buffered per-user state: the stage machine plus the
+    * rows still younger than the watermark, held until event time
+    * catches up.
+    */
+  case class BufState(tv: Long, tc: Long, tp: Long, pending: Seq[FEv])
+
+  /** [[FEv]] plus the raw `ts` column: the event-time-timeout checker
+    * requires the WATERMARKED attribute itself to reach the state
+    * operator's input, so the buffered variant carries it alongside
+    * the µs long it actually computes with.
+    */
+  case class FEvT(user_id: Long, event_type: String, us: Long,
+      event_id: Long, ts: java.sql.Timestamp)
+
+  /** The out-of-order-source variant whose absence [[funnelStages]]'s
+    * ordering contract documents: rows are HELD in per-user state until
+    * the event-time watermark passes them, then released through the
+    * shared [[step]] machine in (ts, event_id) order. Cross-batch
+    * reordering WITHIN the watermark delay therefore cannot diverge
+    * from the batch ev3 funnel — processing order IS event-time order,
+    * so "first after" and "min after" coincide again; rows arriving
+    * later than the delay are dropped (the standard watermark trade,
+    * now explicit instead of silent divergence). State per user = three
+    * longs + the pending buffer, bounded by that user's arrivals inside
+    * one delay window — the buffer a correct CEP engine cannot avoid.
+    * An EventTimeTimeout set to the oldest pending row re-fires the
+    * group when the watermark passes it, so buffers drain even when no
+    * new rows arrive for that user (StreamingSpec replays the corpus
+    * with its halves in REVERSED time order and pins equality with the
+    * batch funnel).
+    */
+  def advanceBuffered(key: Long, rows: Iterator[FEvT],
+      state: GroupState[BufState]): Iterator[UserStage] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val st0 = state.getOption.getOrElse(BufState(Unset, Unset, Unset, Nil))
+    // rows already older than the watermark at ARRIVAL are late by the
+    // watermark contract — dropped, never reordered into the past
+    val incoming = rows.filter(_.us > wmUs)
+      .map(e => FEv(e.user_id, e.event_type, e.us, e.event_id))
+    val (ready, hold) = (st0.pending ++ incoming)
+      .sortBy(e => (e.us, e.event_id)).partition(_.us <= wmUs)
+    var st = FState(st0.tv, st0.tc, st0.tp)
+    ready.foreach(e => st = step(st, e))
+    state.update(BufState(st.tv, st.tc, st.tp, hold))
+    if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head.us / 1000L + 1L)
+    Iterator.single(UserStage(key, stageOf(st)))
+  }
+
+  /** [[funnelStages]] with the watermark buffer in front of the stage
+    * machine — use for sources that deliver a user's events out of ts
+    * order across micro-batches; `delay` bounds the reordering the
+    * buffer absorbs.
+    */
+  def funnelStagesWatermarked(spark: SparkSession, dir: String,
+      delay: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    EventStream.eventStream(spark, dir, maxFilesPerTrigger)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("ts"))
+      .as[FEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(advanceBuffered)
       .toDF()
   }
 

@@ -106,6 +106,61 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(staged.values.count(_ >= 3).toLong == batch.getLong(2))
   }
 
+  test("watermark-buffered funnel equals batch ev3 when the halves arrive in REVERSED time order") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sf, "events")
+    val (minTs, maxTs, mid) = {
+      val r = ev.agg(min("ts"), max("ts"),
+        expr("timestamp_micros(cast(avg(unix_micros(ts)) as long))")).head()
+      (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2))
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("funnel_wm_in")
+    // the arrival order funnelStages CANNOT handle: the late half lands
+    // first, the early half a whole micro-batch later
+    stageParquet(ev.filter(col("ts") > mid), streamDir, "0.parquet")
+    stageParquet(ev.filter(col("ts") <= mid), streamDir, "1.parquet")
+    // sentinel far beyond every real event: advances the watermark past
+    // the whole corpus so the buffers flush (bounded-test punctuation)
+    val spanSec = (maxTs.getTime - minTs.getTime) / 1000 + 3600
+    stageParquet(ev.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("noop"))
+      .withColumn("ts", lit(new java.sql.Timestamp(
+        maxTs.getTime + 2L * spanSec * 1000))), streamDir, "2.parquet")
+    val q = graft.streaming.FunnelStream
+      .funnelStagesWatermarked(spark, streamDir.toString,
+        delay = s"$spanSec seconds", maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_wm_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val staged = spark.table("funnel_wm_test")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = SparkEntry.queries("ev3_funnel")(spark, sf).head()
+    assert(staged.values.count(_ >= 1).toLong == batch.getLong(0))
+    assert(staged.values.count(_ >= 2).toLong == batch.getLong(1))
+    assert(staged.values.count(_ >= 3).toLong == batch.getLong(2))
+    // and the unbuffered variant on the same reversed arrival really
+    // does need the buffer: with clicks/purchases arriving before their
+    // views, it must undercount at least one downstream stage
+    val qp = graft.streaming.FunnelStream
+      .funnelStages(spark, streamDir.toString, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_wm_plain").start()
+    qp.processAllAvailable()
+    qp.stop()
+    val plain = spark.table("funnel_wm_plain")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plainCounts = (1 to 3).map(s => plain.values.count(_ >= s).toLong)
+    info(s"plain=${plainCounts.mkString(",")} batch=${(0 to 2).map(batch.getLong).mkString(",")}")
+    assert(plainCounts != (0 to 2).map(batch.getLong),
+      "reversed arrival unexpectedly matched batch without the buffer — fixture too weak")
+  }
+
   test("streaming current-state view equals the batch SCD2 current slice on a replay split") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables(spark, sf, "events")
