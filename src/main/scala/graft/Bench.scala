@@ -61,10 +61,17 @@ object Bench {
       val warmDt = if (!warmup) -1.0 else {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Exception =>
+          // visible, not swallowed — a warm-up failure usually predicts
+          // the timed reps failing too (fatal Errors propagate)
+          System.err.println(s"# $name: WARMUP FAILED ${e.getClass.getSimpleName}")
+        }
+        // timestamp BEFORE the cache clear + GC: the recorded figure is
+        // the query's first-touch cost, not the housekeeping after it
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -143,11 +143,17 @@ object EventPipelines {
     val evs = long.select("run", "subrun", "event").distinct()
       .withColumn("evi",
         row_number().over(Window.orderBy("run", "subrun", "event")).cast("long"))
+    // Coords must stay ≤ 2046: at 2047 the +1-neighbor id would CARRY
+    // into the next packed field (z=2047 → y+1, y=2047 → x+1, x=2047 →
+    // next event) and the affine-shift join would fabricate adjacency
+    // between non-neighboring cells. Rejecting ≥ 2047 keeps every
+    // +1 probe inside its own field — the probe id may name a cell
+    // that cannot exist (coord 2047), which simply matches nothing.
     val withId = long.join(broadcast(evs), Seq("run", "subrun", "event"))
       .withColumn("id", when(
-        col("ix") < 0 || col("ix") >= 2048 || col("iy") < 0 || col("iy") >= 2048 ||
-          col("iz") < 0 || col("iz") >= 2048,
-        expr("raise_error('voxel coord outside packable range [0, 2048)')").cast("long"))
+        col("ix") < 0 || col("ix") >= 2047 || col("iy") < 0 || col("iy") >= 2047 ||
+          col("iz") < 0 || col("iz") >= 2047,
+        expr("raise_error('voxel coord outside packable range [0, 2047)')").cast("long"))
         .otherwise(expr("evi * 8589934592L + ix * 4194304L + iy * 2048L + iz")))
     val nodes = withId.select("id").localCheckpoint(true)
     val edges = Seq(1L << 22, 1L << 11, 1L).map { s =>
@@ -155,7 +161,14 @@ object EventPipelines {
         .join(nodes.select(col("id").as("nid")), col("nid") === col("id") + s)
         .select(col("id").as("a"), col("nid").as("b"))
     }.reduce(_ union _)
-    val comp = graft.ops.GraphOps.connectedComponents(edges)
+    // 30 pointer-jumping rounds reach diameter 2^31 — beyond any chain
+    // the 2047³ grid can hold — and earlyStop exits at ACTUAL
+    // convergence, so the ceiling costs nothing on real data;
+    // connectedComponents now THROWS if an earlyStop budget is
+    // exhausted unconverged, so a snaking track can split silently
+    // nowhere (the CC scaladoc's clique assumption does not hold for
+    // occupancy chains — this caller is the worst case)
+    val comp = graft.ops.GraphOps.connectedComponents(edges, maxIter = 30)
     val derived = withId.join(comp, Seq("id"), "left")
       .withColumn("instance", coalesce(col("comp"), col("id")))
     aggregateInstances(derived.drop("id", "comp", "evi"))

@@ -258,20 +258,13 @@ object AnalyticsOps extends OpModule {
       })
   )
 
-  // final + literal → compile-time constant, safe to reference from the
-  // `qs` initializer above (a plain val here would still be 0 when the
-  // oracle string interpolates during object init — declaration order)
-  private final val RfmBins = 1024
-
-  /** ev4b implementation — see the Q above for the scale argument.
-    * Bin rule per dimension (lo/hi = that dimension's min/max over
-    * users): `bin = ((v − lo) · 1024) div (hi − lo + 1)` ∈ [0, 1023] —
-    * all BIGINT, non-negative operands, so Spark `div` and DuckDB `//`
-    * agree exactly. Recency cuts ascending (recent = quartile 1);
-    * frequency and monetary cut descending (heavy/valuable = 1), by
-    * cumulating the histogram in the matching direction.
+  /** ev4b implementation — see the Q above for the scale argument; the
+    * bin rule and quartile-edge machinery are [[HistCut]]'s, shared
+    * with w3b so the cross-engine-exact cut cannot drift between call
+    * sites. Recency cuts ascending (recent = quartile 1); frequency and
+    * monetary cut descending (heavy/valuable = 1).
     */
-  def rfmSegmentsHist(s: SparkSession, dir: String, bins: Int = RfmBins): DataFrame = {
+  def rfmSegmentsHist(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     val u = ev.crossJoin(broadcast(
         ev.agg(date_trunc("day", max("ts")).as("d1"))))
@@ -290,46 +283,22 @@ object AnalyticsOps extends OpModule {
       min("frequency").as("f_lo"), max("frequency").as("f_hi"),
       min("monetary_i").as("m_lo"), max("monetary_i").as("m_hi"))
     val b = u.crossJoin(broadcast(bounds))
-      .withColumn("r_bin", expr(s"((recency_days - r_lo) * $bins) div (r_hi - r_lo + 1)"))
-      .withColumn("f_bin", expr(s"((frequency - f_lo) * $bins) div (f_hi - f_lo + 1)"))
-      .withColumn("m_bin", expr(s"((monetary_i - m_lo) * $bins) div (m_hi - m_lo + 1)"))
+      .withColumn("r_bin", expr(HistCut.binExpr("recency_days", "r_lo", "r_hi")))
+      .withColumn("f_bin", expr(HistCut.binExpr("frequency", "f_lo", "f_hi")))
+      .withColumn("m_bin", expr(HistCut.binExpr("monetary_i", "m_lo", "m_hi")))
       .localCheckpoint(true) // feeds three histogram aggs + the final join
-    // quartile per bin: cumulative count of strictly-better bins vs the
-    // n/4 edges — windows over ≤ `bins` rows however large the corpus
-    def cuts(binCol: String, asc: Boolean, out: String): DataFrame = {
-      val one = Window.partitionBy(lit(1))
-      val cum = one.orderBy(if (asc) col("bin").asc else col("bin").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      b.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("c"))
-        .withColumn("cum_prev", coalesce(sum("c").over(cum), lit(0L)))
-        .withColumn("n", sum("c").over(one))
-        .select(col("bin").as(binCol),
-          when(col("cum_prev") < col("n") / 4.0, 1)
-            .when(col("cum_prev") < col("n") / 2.0, 2)
-            .when(col("cum_prev") < col("n") * 3.0 / 4.0, 3)
-            .otherwise(4).cast("long").as(out))
-    }
-    b.join(broadcast(cuts("r_bin", asc = true, "r_quartile")), Seq("r_bin"))
-      .join(broadcast(cuts("f_bin", asc = false, "f_quartile")), Seq("f_bin"))
-      .join(broadcast(cuts("m_bin", asc = false, "m_quartile")), Seq("m_bin"))
+    b.join(broadcast(HistCut.quartileCuts(b, "r_bin", asc = true, "r_quartile")), Seq("r_bin"))
+      .join(broadcast(HistCut.quartileCuts(b, "f_bin", asc = false, "f_quartile")), Seq("f_bin"))
+      .join(broadcast(HistCut.quartileCuts(b, "m_bin", asc = false, "m_quartile")), Seq("m_bin"))
       .select("user_id", "recency_days", "frequency", "monetary",
         "r_quartile", "f_quartile", "m_quartile")
       .orderBy("user_id")
   }
 
-  /** DuckDB twin of [[rfmSegmentsHist]]: identical integer bin rule
-    * (`//` mirroring `div`), identical n/4.0 double edge comparisons.
+  /** DuckDB twin of [[rfmSegmentsHist]] — bin rule and cut CTEs from
+    * [[HistCut]], the same single source as the Spark side.
     */
-  private def rfmHistOracleSql: String = {
-    def cutSql(binCol: String, order: String): String =
-      s"""SELECT bin, CASE WHEN cum_prev < n / 4.0 THEN 1
-         |            WHEN cum_prev < n / 2.0 THEN 2
-         |            WHEN cum_prev < n * 3.0 / 4.0 THEN 3 ELSE 4 END AS q
-         |FROM (SELECT bin,
-         |        coalesce(sum(c) OVER (ORDER BY bin $order
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
-         |        sum(c) OVER () AS n
-         |      FROM (SELECT $binCol AS bin, count(*) AS c FROM b GROUP BY 1))""".stripMargin
+  private def rfmHistOracleSql: String =
     s"""WITH m AS (SELECT max(date_trunc('day', ts)) AS d1 FROM events),
        |u AS (SELECT user_id,
        |        date_diff('day', date_trunc('day', max(ts)), (SELECT d1 FROM m)) AS recency_days,
@@ -341,18 +310,17 @@ object AnalyticsOps extends OpModule {
        |              min(frequency) AS f_lo, max(frequency) AS f_hi,
        |              min(monetary_i) AS m_lo, max(monetary_i) AS m_hi FROM u),
        |b AS (SELECT u.*,
-       |        ((recency_days - r_lo) * $RfmBins) // (r_hi - r_lo + 1) AS r_bin,
-       |        ((frequency - f_lo) * $RfmBins) // (f_hi - f_lo + 1) AS f_bin,
-       |        ((monetary_i - m_lo) * $RfmBins) // (m_hi - m_lo + 1) AS m_bin
+       |        ${HistCut.binSql("recency_days", "r_lo", "r_hi")} AS r_bin,
+       |        ${HistCut.binSql("frequency", "f_lo", "f_hi")} AS f_bin,
+       |        ${HistCut.binSql("monetary_i", "m_lo", "m_hi")} AS m_bin
        |      FROM u CROSS JOIN bd),
-       |rc AS (${cutSql("r_bin", "ASC")}),
-       |fc AS (${cutSql("f_bin", "DESC")}),
-       |mc AS (${cutSql("m_bin", "DESC")})
+       |rc AS (${HistCut.quartileCutSql("b", "r_bin", "ASC")}),
+       |fc AS (${HistCut.quartileCutSql("b", "f_bin", "DESC")}),
+       |mc AS (${HistCut.quartileCutSql("b", "m_bin", "DESC")})
        |SELECT b.user_id, b.recency_days, b.frequency, b.monetary,
        |  CAST(rc.q AS BIGINT) AS r_quartile, CAST(fc.q AS BIGINT) AS f_quartile,
        |  CAST(mc.q AS BIGINT) AS m_quartile
        |FROM b JOIN rc ON rc.bin = b.r_bin JOIN fc ON fc.bin = b.f_bin
        |       JOIN mc ON mc.bin = b.m_bin
        |ORDER BY user_id""".stripMargin
-  }
 }

@@ -83,6 +83,13 @@ object GraphOps extends OpModule {
       labels = updated
       i += 1
     }
+    // earlyStop callers asked for convergence, with maxIter as a
+    // runaway bound — exhausting it unconverged must THROW, never
+    // silently emit split components (the fixed-budget best-effort
+    // contract is the earlyStop=false && verify=false mode)
+    if (earlyStop) require(converged,
+      s"connectedComponents: labels still changing after $maxIter rounds " +
+        "(graph diameter exceeds the budget — raise maxIter)")
     if (!earlyStop && verify) {
       // post-hoc convergence guarantee (one cheap check; the graph here is
       // the tiny representative graph, so extra rounds are cheap too)

@@ -58,21 +58,14 @@ object WindowOps extends OpModule {
     // whole-bin on one side — QualityScaleSpec bounds the disagreement
     // vs w3's exact ntile.
     Q("w3b_ntile_hist", Some(
-      """WITH v AS (SELECT c_custkey,
+      s"""WITH v AS (SELECT c_custkey,
         |             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS b
         |           FROM customer),
         |bd AS (SELECT min(b) AS lo, max(b) AS hi FROM v),
-        |bn AS (SELECT c_custkey, ((b - lo) * 1024) // (hi - lo + 1) AS bin
+        |bn AS (SELECT c_custkey, ${HistCut.binSql("b", "lo", "hi")} AS bin
         |       FROM v CROSS JOIN bd),
-        |cut AS (SELECT bin, CASE WHEN cum_prev < n / 4.0 THEN 1
-        |               WHEN cum_prev < n / 2.0 THEN 2
-        |               WHEN cum_prev < n * 3.0 / 4.0 THEN 3 ELSE 4 END AS tile
-        |        FROM (SELECT bin,
-        |                coalesce(sum(c) OVER (ORDER BY bin ASC
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
-        |                sum(c) OVER () AS n
-        |              FROM (SELECT bin, count(*) AS c FROM bn GROUP BY 1)))
-        |SELECT bn.c_custkey, CAST(cut.tile AS BIGINT) AS tile
+        |cut AS (${HistCut.quartileCutSql("bn", "bin", "ASC")})
+        |SELECT bn.c_custkey, CAST(cut.q AS BIGINT) AS tile
         |FROM bn JOIN cut USING (bin) ORDER BY c_custkey""".stripMargin),
       (s, dir) => {
         val v = Tables(s, dir, "customer")
@@ -80,20 +73,10 @@ object WindowOps extends OpModule {
             (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
               .cast("long").as("b"))
         val bn = v.crossJoin(broadcast(v.agg(min("b").as("lo"), max("b").as("hi"))))
-          .withColumn("bin", expr("((b - lo) * 1024) div (hi - lo + 1)"))
+          .withColumn("bin", expr(HistCut.binExpr("b", "lo", "hi")))
           .localCheckpoint(true) // feeds the histogram agg + the final join
-        val one = Window.partitionBy(lit(1))
-        val cut = bn.groupBy("bin").agg(count(lit(1)).as("c"))
-          .withColumn("cum_prev", coalesce(sum("c").over(
-            one.orderBy(col("bin").asc)
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("n", sum("c").over(one))
-          .select(col("bin"),
-            when(col("cum_prev") < col("n") / 4.0, 1)
-              .when(col("cum_prev") < col("n") / 2.0, 2)
-              .when(col("cum_prev") < col("n") * 3.0 / 4.0, 3)
-              .otherwise(4).cast("long").as("tile"))
-        bn.join(broadcast(cut), Seq("bin"))
+        bn.join(broadcast(
+            HistCut.quartileCuts(bn, "bin", asc = true, "tile")), Seq("bin"))
           .select("c_custkey", "tile")
           .orderBy("c_custkey")
       }),

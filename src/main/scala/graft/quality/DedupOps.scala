@@ -455,10 +455,27 @@ object DedupOps extends OpModule {
     bands.write.mode("overwrite").parquet(s"$path/bands")
   }
 
-  def readFingerprintStore(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+  /** Self-heal a compaction that crashed BETWEEN its two swap renames:
+    * `live` missing but `live_old` complete → restore `_old`. Lives at
+    * the READ layer (not only inside [[compactFingerprintStore]]) so
+    * every store consumer — probe, roll-forward, compaction — recovers
+    * without manual intervention; a healthy store is a no-op `exists`
+    * check per table.
+    */
+  private def healCrashedSwap(path: String): Unit =
+    Seq("exact", "sigs", "bands").foreach { t =>
+      val live = new java.io.File(s"$path/$t")
+      val old = new java.io.File(s"$path/${t}_old")
+      if (!live.exists() && old.exists())
+        require(old.renameTo(live), s"crash-recovery rename failed for $live")
+    }
+
+  def readFingerprintStore(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    healCrashedSwap(path)
     (s.read.parquet(s"$path/exact"),
       s.read.parquet(s"$path/sigs"),
       s.read.parquet(s"$path/bands"))
+  }
 
   /** Store maintenance — k8's shuffle-free compaction
     * ([[graft.etl.SinkOps.compactSmallFiles]]) applied to the persisted
@@ -480,17 +497,9 @@ object DedupOps extends OpModule {
     def parquetFiles(p: String): Array[java.io.File] =
       Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
+    healCrashedSwap(path) // a prior compaction may have crashed mid-swap
     Seq("exact", "sigs", "bands").map { t =>
       val live = s"$path/$t"
-      val oldDir = new java.io.File(s"$path/${t}_old")
-      // Self-heal a crash BETWEEN the two swap renames (live→old done,
-      // tmp→live not): `live` is missing but `_old` holds the complete
-      // previous table — restore it before reading, so the either-old-
-      // or-new guarantee recovers without manual intervention instead of
-      // failing at the initial read.
-      if (!new java.io.File(live).exists() && oldDir.exists())
-        require(oldDir.renameTo(new java.io.File(live)),
-          s"compaction crash-recovery rename failed for $live")
       val before = parquetFiles(live)
       val totalBytes = before.map(_.length()).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -965,7 +974,16 @@ object DedupOps extends OpModule {
     // (ad-hoc one-shot use) the store stays in-plan, localCheckpointed.
     val (exStore, sigStore, bandStore) = storePath match {
       case Some(p) =>
-        if (stagedEvalStores.add(p)) writeFingerprintStore(s, evalDocs, p)
+        // mark staged only AFTER the write succeeds, under a lock: a
+        // failed stage must retry on the next call (not poison the
+        // process into probing a missing/partial store), and a
+        // concurrent second caller must not read mid-write
+        stagedEvalStores.synchronized {
+          if (!stagedEvalStores.contains(p)) {
+            writeFingerprintStore(s, evalDocs, p)
+            stagedEvalStores.add(p): Unit
+          }
+        }
         readFingerprintStore(s, p)
       case None => fingerprintStore(s, evalDocs)
     }

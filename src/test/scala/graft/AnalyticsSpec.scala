@@ -52,9 +52,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     // independent Scala reimplementation of the histogram cut: same
     // integer bin rule, same cumulative-count quartile edges
     val users = exact.keys.toSeq.sorted
+    // the 1e4-scaled monetary image recomputed EXACTLY from the decimal
+    // sum (round-tripping ev4's double output would lose exactness once
+    // sums exceed ~2^53/10^4 — a latent large-SF flake, not a real bin)
+    val monetaryI = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "cast(sum(cast(value as decimal(38,4))) * 10000 as bigint)").as("mi"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def dims(u: Long) = {
-      val (r, f, m, _, _, _) = exact(u)
-      (r, f, math.round(m * 10000.0)) // the 1e4-scaled exact decimal image
+      val (r, f, _, _, _, _) = exact(u)
+      (r, f, monetaryI(u))
     }
     def histCut(value: Map[Long, Long], asc: Boolean): (Map[Long, Long], Map[Long, Long]) = {
       val lo = value.values.min; val hi = value.values.max
