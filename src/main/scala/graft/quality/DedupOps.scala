@@ -42,6 +42,15 @@ object DedupOps extends OpModule {
   /** Multiplier of the band-key Horner fold (any odd constant ≪ 2^31). */
   private val BandP = 1000003L
 
+  /** Skew guard on dd2/dd6's banded rep-LSH buckets (one shared
+    * constant for Spark and the oracle SQL — a drift between them would
+    * silently de-synchronize candidate sets); over-cap buckets are
+    * ambient boilerplate by design and surfaced by
+    * [[minhashDroppedBuckets]], the dd2 leg of the no-silent-caps
+    * posture (simhash/dd9/er1 each have their own).
+    */
+  val MinhashBucketCap = 1000
+
   /** Seeded affine constants (a in [1, M−1], b in [0, M−1]). */
   private def affineSeeds(n: Int, seed: Long): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
@@ -147,15 +156,10 @@ object DedupOps extends OpModule {
     */
   private def repPairs(cliques: DataFrame, minEstJaccard: Double, minBands: Int): DataFrame = {
     val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
-    val bandKeys: Seq[Column] = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"), expr(bandKeyExpr(b)).as("bkey")).as(s"bk$b")
-    }
-    val buckets = reps
-      .withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = bandKeysOf(reps)
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 1000)) // skew guard
+      .filter(size(col("ids")).between(2, MinhashBucketCap)) // skew guard
     val cand = buckets
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
@@ -416,14 +420,26 @@ object DedupOps extends OpModule {
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  /** (doc_id, band, bkey) — banded LSH keys of each signature. */
-  private def bandKeysOf(sigs: DataFrame): DataFrame = {
-    val bandKeys: Seq[Column] = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"), expr(bandKeyExpr(b)).as("bkey"))
-    }
-    sigs.withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-  }
+  /** (doc_id, band, bkey) — banded LSH keys of each signature; ONE band
+    * construction shared with the streaming path via [[bandedSigs]], so
+    * batch and stream cannot compute different keys against the same
+    * persisted band store.
+    */
+  private def bandKeysOf(sigs: DataFrame): DataFrame =
+    bandedSigs(sigs).drop("sig")
+
+  /** Band buckets over the dd2/dd6 clique REPRESENTATIVES that
+    * [[MinhashBucketCap]] would drop — the dd2 audit surface mirroring
+    * [[simhashDroppedBuckets]]/[[dd9DroppedBuckets]]: an unexpectedly
+    * dense rep bucket means genuine near-dups are no longer caught via
+    * that band key. One groupBy over the fingerprint-sized band table.
+    */
+  def minhashDroppedBuckets(s: SparkSession, dir: String): DataFrame =
+    bandKeysOf(minhashCliques(s, dir)
+      .select(element_at(col("ids"), 1).as("doc_id"), col("sig")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > MinhashBucketCap)
+      .select(col("band"), col("bkey"), col("n_members"))
 
   /** Fingerprint store of one snapshot, three tables:
     *   - `exact`: (text_md5, ref_id) — min doc_id per distinct content
@@ -551,10 +567,18 @@ object DedupOps extends OpModule {
     * one groupBy on md5 — no pair expansion outside store buckets, which
     * are capped at `bucketCap`. Nothing driver-side.
     */
+  /** @param internalDedup also collapse exact duplicates WITHIN the new
+    *   snapshot (dd9's `dup_new` verdicts — one extra md5-keyed groupBy
+    *   + join over the survivors). Callers that only ask "does this doc
+    *   match the PRIOR store" (dd13 decontamination, whose oracle never
+    *   computes the internal stage either) pass false and skip that
+    *   wide stage entirely: every survivor is `kept`.
+    */
   def incrementalVerdicts(s: SparkSession, newDocs: DataFrame,
       exactStore: DataFrame, sigStore: DataFrame, bandStore: DataFrame,
       minAgree: Int = IncrementalMinAgree,
-      bucketCap: Int = IncrementalBucketCap): DataFrame = {
+      bucketCap: Int = IncrementalBucketCap,
+      internalDedup: Boolean = true): DataFrame = {
     // `hashed`, `sigsNew` and `near` each feed two or more branches of
     // the verdict union, and Spark re-executes a shared subtree once per
     // consumer — without eager truncation the tokenize+minhash pass over
@@ -591,13 +615,15 @@ object DedupOps extends OpModule {
       .localCheckpoint(true) // read by the union AND rem2's anti-join
 
     val rem2 = rem1.join(near.select("doc_id"), Seq("doc_id"), "left_anti")
-    val internal = rem2.join(
-      rem2.groupBy("text_md5").agg(min("doc_id").as("keep_id")), "text_md5")
-      .select(col("doc_id"),
-        when(col("doc_id") === col("keep_id"), lit("kept"))
-          .otherwise(lit("dup_new")).as("status"),
-        when(col("doc_id") === col("keep_id"), lit(-1L))
-          .otherwise(col("keep_id")).as("ref_id"))
+    val internal = if (internalDedup)
+      rem2.join(
+        rem2.groupBy("text_md5").agg(min("doc_id").as("keep_id")), "text_md5")
+        .select(col("doc_id"),
+          when(col("doc_id") === col("keep_id"), lit("kept"))
+            .otherwise(lit("dup_new")).as("status"),
+          when(col("doc_id") === col("keep_id"), lit(-1L))
+            .otherwise(col("keep_id")).as("ref_id"))
+    else rem2.select(col("doc_id"), lit("kept").as("status"), lit(-1L).as("ref_id"))
     exact.unionByName(near).unionByName(internal).orderBy("doc_id")
   }
 
@@ -744,7 +770,7 @@ object DedupOps extends OpModule {
        |       FROM reps, range(0, $NumBands) r(blk)),
        |bsz AS (SELECT blk, bkey, count(*) AS n FROM bk GROUP BY blk, bkey),
        |adm AS (SELECT bk.doc_id, bk.blk, bk.bkey FROM bk JOIN bsz USING (blk, bkey)
-       |        WHERE n BETWEEN 2 AND 1000),
+       |        WHERE n BETWEEN 2 AND $MinhashBucketCap),
        |cand AS (SELECT l.doc_id AS a, r2.doc_id AS b, count(*) AS nbands
        |         FROM adm l JOIN adm r2 USING (blk, bkey) WHERE l.doc_id < r2.doc_id
        |         GROUP BY 1, 2)""".stripMargin
@@ -977,9 +1003,15 @@ object DedupOps extends OpModule {
         // mark staged only AFTER the write succeeds, under a lock: a
         // failed stage must retry on the next call (not poison the
         // process into probing a missing/partial store), and a
-        // concurrent second caller must not read mid-write
+        // concurrent second caller must not read mid-write. The
+        // existence re-check guards the other poisoning direction: a
+        // store staged earlier but since deleted under the process
+        // (tmp cleaners prune java.io.tmpdir) restages instead of
+        // probing a vanished path forever.
         stagedEvalStores.synchronized {
-          if (!stagedEvalStores.contains(p)) {
+          val complete = Seq("exact", "sigs", "bands")
+            .forall(t => new java.io.File(s"$p/$t").exists())
+          if (!stagedEvalStores.contains(p) || !complete) {
             writeFingerprintStore(s, evalDocs, p)
             stagedEvalStores.add(p): Unit
           }
@@ -987,7 +1019,8 @@ object DedupOps extends OpModule {
         readFingerprintStore(s, p)
       case None => fingerprintStore(s, evalDocs)
     }
-    incrementalVerdicts(s, trainDocs, exStore, sigStore, bandStore)
+    incrementalVerdicts(s, trainDocs, exStore, sigStore, bandStore,
+      internalDedup = false)
       .select(col("doc_id"),
         when(col("status") === "exact_prior", "exact_contam")
           .when(col("status") === "near_prior", "near_contam")

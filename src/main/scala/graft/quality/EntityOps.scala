@@ -60,8 +60,15 @@ object EntityOps extends OpModule {
     * exact trigram-set Jaccard, kept at ≥ `minJaccard`.
     */
   def fuzzyMatches(s: SparkSession, dir: String,
+      minJaccard: Double = MinJaccard): DataFrame =
+    fuzzyMatchesOver(nameTrigrams(s, dir).localCheckpoint(true), minJaccard)
+
+  /** [[fuzzyMatches]] over an ALREADY-materialized trigram table — the
+    * er2 path passes its own checkpoint so the `part` scan + tokenize
+    * runs once per query, not once per stage.
+    */
+  def fuzzyMatchesOver(names: DataFrame,
       minJaccard: Double = MinJaccard): DataFrame = {
-    val names = nameTrigrams(s, dir).localCheckpoint(true)
     val tg = blockedTrigrams(names)
     val cand = tg.as("l").join(tg.as("r"), col("l.tg") === col("r.tg"))
       .filter(col("l.name") < col("r.name"))
@@ -82,10 +89,13 @@ object EntityOps extends OpModule {
     * representative is the minimum member name.
     */
   def canonicalEntities(s: SparkSession, dir: String): DataFrame = {
-    val names = nameTrigrams(s, dir).select("name")
+    // ONE trigram build feeds both the match stage and the name
+    // universe (er1 standalone builds its own — same checkpoint shape)
+    val names = nameTrigrams(s, dir).localCheckpoint(true)
     val comp = graft.ops.GraphOps.connectedComponents(
-      fuzzyMatches(s, dir).select(col("a"), col("b")))
-    names.join(comp.withColumnRenamed("id", "name"), Seq("name"), "left")
+      fuzzyMatchesOver(names).select(col("a"), col("b")))
+    names.select("name")
+      .join(comp.withColumnRenamed("id", "name"), Seq("name"), "left")
       .select(col("name"), coalesce(col("comp"), col("name")).as("canonical"))
       .orderBy("name")
   }

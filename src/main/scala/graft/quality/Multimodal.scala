@@ -180,8 +180,16 @@ object Multimodal extends OpModule {
     for {
       w <- token(); h <- token(); maxval <- token()
       if w > 0 && h > 0 && maxval > 0 && maxval < 65536
-      // exactly ONE whitespace byte separates header from raster
-      if i < bytes.length && { i += 1; true }
+      // exactly ONE whitespace byte separates header from raster — and
+      // it must BE whitespace: a '#' here (comment between maxval and
+      // raster, which the netpbm spec permits) would otherwise be
+      // swallowed and the comment text read as pixel data; such headers
+      // conservatively fall back (None → raw pseudo-decode) instead of
+      // silently mis-decoding
+      if i < bytes.length && {
+        val c = bytes(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      } && { i += 1; true }
       bytesPerSample = if (maxval < 256) 1 else 2
       // raster size in LONG — w*h*3 on declared (not actual) dims can
       // exceed Int range, and an Int wrap would fake a successful parse
@@ -262,7 +270,9 @@ object Multimodal extends OpModule {
         rows.grouped(64).flatMap { batch =>
           batch.map { r =>
             val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
+            // a NULL payload is "corrupt container" too — fall back to
+            // the raw pseudo-decode (empty bytes), never NPE the job
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
             val (fmt, w, h, mean, fp) = parseImage(bytes) match {
               case Some(img) => img
               case None => parsePpm(bytes) match {
@@ -305,7 +315,8 @@ object Multimodal extends OpModule {
       .mapPartitions { rows =>
         rows.grouped(64).flatMap { batch =>
           batch.flatMap { r =>
-            val bytes = r.getAs[Array[Byte]](1)
+            // NULL payloads drop like any other non-image (filter semantics)
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
             resampleImage(bytes, factor).map { case (w, h, fp) =>
               Row(r.getLong(0), imageFormat(bytes).get, w, h, fp)
             }

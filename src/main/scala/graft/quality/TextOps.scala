@@ -16,8 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends OpModule {
 
-  private val tok = "array_distinct(split(trim(text), '\\\\s+'))"
-
   /** x2's quality-score ingredients and the score itself — ONE Spark
     * definition shared by x2, x14 and pipe1 (CorpusPipeline); a tweak
     * that misses one consumer would silently de-synchronize the

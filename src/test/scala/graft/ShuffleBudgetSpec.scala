@@ -68,10 +68,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // agg + final sort
     "dd11_cdc_chunks" -> 3,
     // dd13: the dd9 verdict machinery probing the STAGED eval store
-    // (round 8) — the store's own aggs moved into the one-time stage
-    // write, leaving band-cap agg, candidate/agreement joins, the
-    // clean-collapse union and final sort (was 9 with in-plan stores)
-    "dd13_cross_decontam" -> 6,
+    // with internalDedup=false (round 8) — the store's own aggs moved
+    // into the one-time stage write and the within-train dup_new stage
+    // (which decontamination discarded anyway) is skipped, leaving the
+    // candidate distinct + agreement groupBy + final sort
+    // (was 9 with in-plan stores, 6 with the internal stage)
+    "dd13_cross_decontam" -> 3,
     "e1_json_extract" -> 2,
     // ev1: span agg + the per-user LOCF window + presentation sort
     "ev1_resample_locf" -> 3,
