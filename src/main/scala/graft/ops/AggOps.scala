@@ -235,9 +235,13 @@ object AggOps extends OpModule {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    // A6 — mean for normalization (jam_larennet.py:58-60).
+    // A6 — mean for normalization (jam_larennet.py:58-60). The oracle
+    // divides by count(c_acctbal), matching Dec.davg's count(c) — a
+    // count(*) denominator would diverge the moment a NULL balance row
+    // appears (count(*) keeps it, count(c) skips it).
     Q("a6_avg", Some(
-      s"""SELECT c_mktsegment, ${Dec.sqlSum("c_acctbal")} / count(*) AS avg_bal, count(*) AS n
+      s"""SELECT c_mktsegment, ${Dec.sqlSum("c_acctbal")} / count(c_acctbal) AS avg_bal,
+         |  count(*) AS n
          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       (s, dir) => Tables(s, dir, "customer")
         .groupBy("c_mktsegment")
@@ -338,7 +342,14 @@ object AggOps extends OpModule {
         val vox = Tables(s, dir, "lineitem")
           .select(col("l_partkey").as("ix"), col("l_suppkey").as("iy"))
           .distinct()
-          .withColumn("id", col("ix") * 1000000L + col("iy"))
+          // the ix*1e6+iy packing is collision-free only while
+          // 0 ≤ iy < 1e6 — at TPC-H SF≥100 suppkey reaches 1e6 and
+          // (ix, 1e6) would alias (ix+1, 0), silently fusing unrelated
+          // instances in BOTH engines (parity could not catch it); fail
+          // loudly instead, like instanceTableCC's packing guard
+          .withColumn("id", when(col("iy") < 0 || col("iy") >= 1000000L || col("ix") < 0,
+            expr("raise_error('v7 cell coord outside packable range')").cast("long"))
+            .otherwise(col("ix") * 1000000L + col("iy")))
           .localCheckpoint(true) // reused by both edge joins + the label join
         def shiftEdges(dx: Int, dy: Int) =
           vox.as("x").join(vox.as("y"),

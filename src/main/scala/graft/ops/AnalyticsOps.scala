@@ -204,8 +204,11 @@ object AnalyticsOps extends OpModule {
         |SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau, wau.wau
         |FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""".stripMargin),
       (s, dir) => {
+        // three consumers (cal, dau, wau) — truncate once or the events
+        // scan + the user-day distinct shuffle re-execute per branch
         val ad = Tables(s, dir, "events")
           .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+          .localCheckpoint(true)
         val cal = ad.select("d").distinct()
         val dau = ad.groupBy("d").agg(count(lit(1)).as("dau"))
         val wau = ad
@@ -241,8 +244,10 @@ object AnalyticsOps extends OpModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
         |FROM daily ORDER BY day""".stripMargin),
       (s, dir) => {
+        // two consumers (fs, the daily join) — truncate once, as ev5
         val ad = Tables(s, dir, "events")
           .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+          .localCheckpoint(true)
         val fs = ad.groupBy("user_id").agg(min("d").as("d0"))
         val daily = ad.join(fs, "user_id")
           .groupBy("d")

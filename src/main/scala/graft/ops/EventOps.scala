@@ -61,6 +61,12 @@ object EventOps extends OpModule {
 
     // Typed JSON extraction: from_json with an explicit schema — the
     // scalable path (no per-row path parsing; one struct projection).
+    // CONTRACT: props.k is a JSON NUMBER (the fixture generator's
+    // shape). The typed side surfaces a quoted "12" or malformed JSON
+    // as NULL where the oracle's string-extract-then-cast would coerce
+    // it — that asymmetry is the point of the typed path (schema
+    // violations become visible), and e1 is the string-extraction twin
+    // whose both sides coerce.
     Q("e2_json_typed", Some(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin),

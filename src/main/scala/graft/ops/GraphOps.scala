@@ -175,6 +175,17 @@ object GraphOps extends OpModule {
 
   private val PrIters = 5
 
+  /** ONE spelling of the trade-graph edge CTEs for every oracle (the
+    * pageRank and BFS oracles both start here): must stay semantically
+    * identical to [[tradeEdges]] — a drift in any copy of the 2k/2k+1
+    * node encoding or the symmetrization would silently break oracle
+    * parity for whichever query kept the stale text.
+    */
+  private def tradeEdgesCte: String =
+    """e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)""".stripMargin
+
   /** DuckDB oracle: the identical integer recurrence with the iteration
     * chain unrolled into CTEs (r1..r5), `//` mirroring `div` and the
     * per-round CAST pinning DuckDB's HUGEINT sum back to BIGINT.
@@ -188,9 +199,7 @@ object GraphOps extends OpModule {
          |                         FROM edges e JOIN r${i - 1} r ON e.src = r.id
          |                         GROUP BY e.dst) s ON s.id = b.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-       |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    s"""WITH $tradeEdgesCte,
        |base AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
        |nn AS (SELECT count(*) AS c FROM base),
        |r0 AS (SELECT id, d, $S // (SELECT c FROM nn) AS r FROM base),
@@ -236,9 +245,7 @@ object GraphOps extends OpModule {
     * well as cross-engine.
     */
   private def bfsOracleSql: String =
-    s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-       |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    s"""WITH RECURSIVE $tradeEdgesCte,
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |reach(id, d) AS (
        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d

@@ -169,6 +169,10 @@ object RelationalOps extends OpModule {
           .filter(col("c_custkey") <= 200)
           .crossJoin(broadcast(dict))
           .select(col("c_custkey"), element_at(col("m"), col("c_nationkey")).as("nation_name"))
+          // a key missing from the dict must DROP the row (the oracle is
+          // an INNER join) — element_at alone would emit a null row and
+          // silently diverge the moment referential integrity is relaxed
+          .filter(col("nation_name").isNotNull)
           .orderBy("c_custkey")
       }),
 

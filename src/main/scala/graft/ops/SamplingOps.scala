@@ -27,9 +27,15 @@ object SamplingOps extends OpModule {
   private def sqlU32hex(seed: String, keys: String*): String =
     s"substr(md5(concat_ws('|', ${keys.mkString(", ")}, '$seed')), 1, 8)"
 
-  /** Hex threshold for a Bernoulli keep-fraction: floor(f * 2^32). */
+  /** Hex threshold for a Bernoulli keep-fraction: floor(f * 2^32),
+    * clamped to 0xffffffff — without the clamp, fraction = 1.0 prints
+    * the 9-char "100000000", which sorts BELOW most 8-char hashes
+    * lexicographically and would silently invert keep-everything into
+    * keep-~1/16th. (The clamp drops the single hash "ffffffff", a
+    * 2⁻³² bias, on both engines identically.)
+    */
   private def thresh(fraction: Double): String =
-    f"${(fraction * 4294967296d).toLong}%08x"
+    f"${math.min((fraction * 4294967296d).toLong, 0xFFFFFFFFL)}%08x"
 
   val qs: Seq[Q] = Seq(
     // R1 — Bernoulli sample (df.sample(False, frac), larmatch_dataset.py:148-157),

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TpchOps extends OpModule {
 
-  private def dsum4(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+  // the parity-critical decimal-accumulation rule has ONE home
+  // (graft.Dec.dsum) — a local copy here would silently pin the 22
+  // TPC-H shapes to a stale rule if Dec's scale ever changed
+  private def dsum4(c: org.apache.spark.sql.Column) = graft.Dec.dsum(c)
 
   val qs: Seq[Q] = Seq(
     // Q1 pricing summary: full-scan multi-aggregate with avg/sum/count.

@@ -35,19 +35,27 @@ object VectorSumAggImpl extends Aggregator[Array[Float], Array[Long], Array[Doub
       .unscaledValue().longValueExact()
 
   def zero: Array[Long] = Array.empty
+  // RAGGED groups are legal (the relational twin a8 sums per-(label,pos)
+  // over whatever arrays carry that position, and the shared oracle does
+  // the same): the buffer grows to the longest array seen, with absent
+  // positions contributing nothing — padding with 0 is exactly the
+  // per-position sum semantics. A fixed-length assumption here would
+  // throw (or silently diverge from the oracle) on the first
+  // non-uniform embedding column.
+  private def grown(b: Array[Long], n: Int): Array[Long] =
+    if (b.length >= n) b else java.util.Arrays.copyOf(b, n)
   def reduce(b: Array[Long], a: Array[Float]): Array[Long] = {
     if (a == null) return b
-    val out = if (b.length == 0) new Array[Long](a.length) else b
+    val out = grown(b, a.length)
     var i = 0
     while (i < a.length) { out(i) += scaled(a(i)); i += 1 }
     out
   }
   def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-    if (x.length == 0) return y
-    if (y.length == 0) return x
+    val out = grown(x, y.length)
     var i = 0
-    while (i < y.length) { x(i) += y(i); i += 1 }
-    x
+    while (i < y.length) { out(i) += y(i); i += 1 }
+    out
   }
   def finish(r: Array[Long]): Array[Double] =
     // valueOf(unscaled, scale) → doubleValue is a SINGLE correctly-rounded

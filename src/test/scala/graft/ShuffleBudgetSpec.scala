@@ -89,12 +89,14 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // window (histogram-sized input, ≤1024 rows at any corpus size) ×3
     // + final sort; the user aggregate sits behind the checkpoint
     "ev4b_rfm_segments_hist" -> 7,
-    // ev5: user-day distinct, calendar distinct, DAU agg, the
-    // contribution join + two-phase WAU distinct, final join/sort
-    "ev5_rolling_active" -> 7,
-    // ev6: user-day distinct + first-seen agg + daily split agg + the
-    // calendar-cardinality cumulative window/sort
-    "ev6_growth_accounting" -> 4,
+    // ev5: calendar distinct, DAU agg, the contribution join +
+    // two-phase WAU distinct, final join/sort (the shared user-day
+    // distinct sits behind its checkpoint since round 8)
+    "ev5_rolling_active" -> 5,
+    // ev6: first-seen agg + daily split agg + the calendar-cardinality
+    // cumulative window/sort (the shared user-day distinct sits behind
+    // its checkpoint since round 8)
+    "ev6_growth_accounting" -> 3,
     // er1: trigram-block agg + candidate-pair distinct + the two
     // set-join sides feeding the Jaccard filter/sort
     "er1_fuzzy_match" -> 4,
