@@ -255,25 +255,29 @@ object SinkOps extends OpModule {
     */
   def compactSmallFiles(s: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 4L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
-    val src = new java.io.File(s"$dir/documents.parquet")
+    // every exists/listing below goes through the scheme-aware Hadoop
+    // FileSystem API (StoreFs) — table maintenance must run where the
+    // table lives (HDFS/object store), not assume a local disk
+    val fsys = StoreFs.fs(s, dir)
+    val src = fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
     val base = ScratchDirs.keyed(
-      s"k8_compact_${src.length()}_${src.lastModified()}", dir)
+      s"k8_compact_${src.getLen}_${src.getModificationTime}", dir)
     val frag = s"$base/fragmented"
     val comp = s"$base/compacted"
+    // the scratch base may live on a different scheme than the source dir
+    val bfs = StoreFs.fs(s, base)
     // stage the small-file mess once per source generation: 64 shards of
     // a table that fits in a handful of files
-    if (!new java.io.File(frag, "_SUCCESS").exists())
+    if (!StoreFs.exists(bfs, s"$frag/_SUCCESS"))
       Tables(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(frag)
-    def parquetFiles(p: String): Array[java.io.File] =
-      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
     // size the output from the INPUT bytes (a metadata listing, not a
     // data scan) and merge WITHOUT a shuffle: coalesce glues source
     // splits onto nOut tasks — compaction moves bytes once, through no
     // exchange. repartition would shuffle every row to "balance" files
     // that only needed concatenating.
-    val totalBytes = parquetFiles(frag).map(_.length()).sum
+    val totalBytes = StoreFs.parquetFiles(bfs, frag).map(_._2).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     s.read.parquet(frag).coalesce(nOut)
       .write.mode("overwrite").parquet(comp)
@@ -294,12 +298,13 @@ object SinkOps extends OpModule {
     */
   def upsertDynamic(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val src = new java.io.File(s"$dir/orders.parquet")
+    val src = StoreFs.fs(s, dir).getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/orders.parquet"))
     val base = ScratchDirs.keyed(
-      s"k7_upsert_${src.length()}_${src.lastModified()}", dir) + "/orders_by_month"
+      s"k7_upsert_${src.getLen}_${src.getModificationTime}", dir) + "/orders_by_month"
     val orders = Tables(s, dir, "orders")
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-    if (!new java.io.File(base, "_SUCCESS").exists())
+    if (!StoreFs.exists(StoreFs.fs(s, base), s"$base/_SUCCESS"))
       orders.write.mode("overwrite").partitionBy("o_month").parquet(base)
     val dateType = orders.schema("o_orderdate").dataType
     val updates = orders.filter(col("o_month") === "1995-03")

@@ -1,0 +1,95 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-`FileSystem` layer for persisted-store maintenance (the dd9/
+  * dd13 fingerprint store, k8 compaction): every exists/rename/delete/
+  * listing the maintenance protocols run goes through the scheme-aware
+  * `org.apache.hadoop.fs` API instead of `java.io.File`, so a store can
+  * live wherever a 100 TB corpus's fingerprints must live — HDFS, an
+  * object store, or `file:` — with ONE code path (DedupSpec drives the
+  * crash/compaction/parity suite through an explicit `file:`-scheme URI).
+  *
+  * Atomicity inventory, per filesystem class (SCALING.md §store-commit):
+  *   - `file:` / HDFS — `rename` is atomic; the aside-rename swap
+  *     (live→_old, tmp→live) guarantees a complete table at every
+  *     instant, and [[Marker]] makes the INITIAL multi-table stage
+  *     all-or-nothing for readers.
+  *   - object stores (s3a: …) — rename is copy+delete, NOT atomic. The
+  *     marker protocol still makes the initial stage safe (readers
+  *     require the marker, committed strictly after every table), but
+  *     in-place maintenance swaps must not run there: compact into a
+  *     NEW versioned store path and flip the pointer (the scaladoc on
+  *     [[graft.quality.DedupOps.compactFingerprintStore]]'s swap — at
+  *     deployment scale the flip is a metastore/table-format pointer,
+  *     which is exactly what this marker is a minimal stand-in for).
+  */
+object StoreFs {
+
+  /** Name of the store-level commit marker: present ⇔ every table of the
+    * store was completely written at some point (and any later
+    * maintenance kept the either-old-or-new swap invariant). Committed
+    * strictly AFTER the data writes, so a reader — in this process or
+    * another — can never mistake a half-staged store for a real one.
+    */
+  val Marker = "_STAGED"
+
+  def fs(s: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def exists(fs: FileSystem, path: String): Boolean = fs.exists(new Path(path))
+
+  /** Rename that reports failure like `java.io.File.renameTo` (false on
+    * any non-exceptional failure) — callers turn it into a loud error
+    * with protocol context.
+    */
+  def rename(fs: FileSystem, from: String, to: String): Boolean =
+    fs.rename(new Path(from), new Path(to))
+
+  def deleteRecursive(fs: FileSystem, path: String): Unit = {
+    fs.delete(new Path(path), true): Unit
+  }
+
+  /** (path, bytes) of the data files directly under `path` — the
+    * metadata listing compaction sizes its output from (never a data
+    * scan).
+    */
+  def parquetFiles(fs: FileSystem, path: String): Seq[(String, Long)] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  /** Commit the store marker with an identity payload (e.g. the staged
+    * corpus fingerprint) — the LAST write of a stage. Overwrites any
+    * prior marker; create-then-close is the object-store-safe commit
+    * (a marker object either exists complete or not at all).
+    */
+  def commitMarker(fs: FileSystem, storePath: String, identity: String): Unit = {
+    val out = fs.create(new Path(storePath, Marker), true)
+    try out.write(identity.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The committed identity payload, or None if the store was never
+    * fully staged (or a maintenance protocol that invalidates markers
+    * is mid-flight).
+    */
+  def readMarker(fs: FileSystem, storePath: String): Option[String] = {
+    val p = new Path(storePath, Marker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+}

@@ -283,6 +283,9 @@ object AnalyticsOps extends OpModule {
       // edges computed on it are integer arithmetic, never float
       .withColumn("monetary_i", (col("mdec") * 10000).cast("long"))
       .drop("mdec")
+      // feeds both the broadcast bounds agg and `b` — truncate once or
+      // the events scan + per-user groupBy execute once per consumer
+      .localCheckpoint(true)
     val bounds = u.agg(
       min("recency_days").as("r_lo"), max("recency_days").as("r_hi"),
       min("frequency").as("f_lo"), max("frequency").as("f_hi"),

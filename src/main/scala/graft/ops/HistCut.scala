@@ -22,9 +22,19 @@ object HistCut {
   /** `((v − lo) · Bins) div (hi − lo + 1)` ∈ [0, Bins) — all BIGINT,
     * non-negative numerator by construction (lo = min), so Spark `div`
     * and DuckDB `//` agree exactly. Spelled once for both engines.
+    *
+    * The numerator is guarded: `(v − lo) · Bins` wraps silently past
+    * Long.MaxValue in non-ANSI Spark while DuckDB would error, so a
+    * value range wider than Long.MaxValue/Bins (≈9e15 — e.g. a 10^4-
+    * scaled decimal sum at extreme per-key magnitudes) would diverge
+    * exactly where the oracle cannot run. Like the v7/instanceTableCC
+    * packing guards, the query THROWS instead of binning garbage; the
+    * branch is codegen'd and costs one comparison per row.
     */
   def binExpr(v: String, lo: String, hi: String): String =
-    s"(($v - $lo) * $Bins) div ($hi - $lo + 1)"
+    s"""(CASE WHEN ($v - $lo) > ${Long.MaxValue / Bins}
+       |  THEN CAST(raise_error('HistCut bin overflow: value range exceeds Long.MaxValue/$Bins') AS BIGINT)
+       |  ELSE ($v - $lo) * $Bins END) div ($hi - $lo + 1)""".stripMargin
   def binSql(v: String, lo: String, hi: String): String =
     s"(($v - $lo) * $Bins) // ($hi - $lo + 1)"
 

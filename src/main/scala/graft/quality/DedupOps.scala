@@ -462,13 +462,27 @@ object DedupOps extends OpModule {
   }
 
   /** Persist a snapshot's fingerprint store as three parquet tables under
-    * `path` — the artifact that survives between crawl runs.
+    * `path` — the artifact that survives between crawl runs. All store
+    * filesystem traffic goes through the Hadoop `FileSystem` API
+    * ([[graft.etl.StoreFs]]), so `path` may carry any scheme — at corpus
+    * scale the store lives on HDFS/object storage, not a local disk.
+    *
+    * Commit protocol: the [[graft.etl.StoreFs.Marker]] is DELETED before
+    * the table writes and re-committed (with `identity`, e.g. the staged
+    * corpus fingerprint) strictly after all three complete, so a reader
+    * in ANY process either sees a fully-staged store or refuses — a
+    * crash mid-stage can never be probed as if it were complete.
     */
-  def writeFingerprintStore(s: SparkSession, docs: DataFrame, path: String): Unit = {
+  def writeFingerprintStore(s: SparkSession, docs: DataFrame, path: String,
+      identity: String = ""): Unit = {
+    val fsys = graft.etl.StoreFs.fs(s, path)
+    fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker),
+      false): Unit
     val (exact, sigs, bands) = fingerprintStore(s, docs)
     exact.write.mode("overwrite").parquet(s"$path/exact")
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     bands.write.mode("overwrite").parquet(s"$path/bands")
+    graft.etl.StoreFs.commitMarker(fsys, path, identity)
   }
 
   /** Self-heal a compaction that crashed BETWEEN its two swap renames:
@@ -478,16 +492,27 @@ object DedupOps extends OpModule {
     * without manual intervention; a healthy store is a no-op `exists`
     * check per table.
     */
-  private def healCrashedSwap(path: String): Unit =
+  private def healCrashedSwap(fsys: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit =
     Seq("exact", "sigs", "bands").foreach { t =>
-      val live = new java.io.File(s"$path/$t")
-      val old = new java.io.File(s"$path/${t}_old")
-      if (!live.exists() && old.exists())
-        require(old.renameTo(live), s"crash-recovery rename failed for $live")
+      val live = s"$path/$t"
+      val old = s"$path/${t}_old"
+      if (!graft.etl.StoreFs.exists(fsys, live)
+          && graft.etl.StoreFs.exists(fsys, old))
+        require(graft.etl.StoreFs.rename(fsys, old, live),
+          s"crash-recovery rename failed for $live")
     }
 
   def readFingerprintStore(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
-    healCrashedSwap(path)
+    val fsys = graft.etl.StoreFs.fs(s, path)
+    healCrashedSwap(fsys, path)
+    // the stage-commit marker is the completeness proof: without it this
+    // path may be a crashed half-stage from another process — fail loudly
+    // (the caller restages) instead of silently probing a partial store
+    if (graft.etl.StoreFs.readMarker(fsys, path).isEmpty)
+      throw new IllegalStateException(
+        s"fingerprint store at $path has no ${graft.etl.StoreFs.Marker} " +
+          "marker — half-staged or deleted mid-stage; restage before probing")
     (s.read.parquet(s"$path/exact"),
       s.read.parquet(s"$path/sigs"),
       s.read.parquet(s"$path/bands"))
@@ -510,39 +535,36 @@ object DedupOps extends OpModule {
     */
   def compactFingerprintStore(s: SparkSession, path: String,
       targetBytes: Long = 16L * 1024 * 1024): Map[String, (Int, Int)] = {
-    def parquetFiles(p: String): Array[java.io.File] =
-      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-    healCrashedSwap(path) // a prior compaction may have crashed mid-swap
+    val fsys = graft.etl.StoreFs.fs(s, path)
+    healCrashedSwap(fsys, path) // a prior compaction may have crashed mid-swap
     Seq("exact", "sigs", "bands").map { t =>
       val live = s"$path/$t"
-      val before = parquetFiles(live)
-      val totalBytes = before.map(_.length()).sum
+      val before = graft.etl.StoreFs.parquetFiles(fsys, live)
+      val totalBytes = before.map(_._2).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       val tmp = s"$path/${t}_compacting"
       val old = s"$path/${t}_old"
       s.read.parquet(live).coalesce(nOut).write.mode("overwrite").parquet(tmp)
-      def rm(f: java.io.File): Unit = {
-        val children = if (java.nio.file.Files.isSymbolicLink(f.toPath)) null
-        else f.listFiles()
-        if (children != null) children.foreach(rm)
-        f.delete(): Unit
-      }
       // swap via aside-rename, never delete-then-rename: at every
       // instant either `live` or `live_old` holds a complete table, so
       // a crash mid-swap is recoverable (the scaladoc's either-old-or-new
-      // guarantee; a bare delete+rename has a window with NO live table)
-      rm(new java.io.File(old)) // clear any debris from a prior crash
-      require(new java.io.File(live).renameTo(new java.io.File(old)),
+      // guarantee; a bare delete+rename has a window with NO live table).
+      // The store marker stays COMMITTED throughout — this invariant is
+      // what keeps it truthful — but it holds only where `rename` is
+      // atomic (file:/HDFS); on an object store compact into a NEW
+      // versioned store path and flip the pointer instead (StoreFs
+      // scaladoc + SCALING.md).
+      graft.etl.StoreFs.deleteRecursive(fsys, old) // debris from a prior crash
+      require(graft.etl.StoreFs.rename(fsys, live, old),
         s"compaction aside-rename failed for $live")
-      val renamed = new java.io.File(tmp).renameTo(new java.io.File(live))
+      val renamed = graft.etl.StoreFs.rename(fsys, tmp, live)
       if (!renamed) { // restore the original table before failing
-        require(new java.io.File(old).renameTo(new java.io.File(live)),
+        require(graft.etl.StoreFs.rename(fsys, old, live),
           s"compaction rollback failed for $live")
         throw new IllegalStateException(s"compaction swap failed for $live")
       }
-      rm(new java.io.File(old))
-      t -> ((before.length, parquetFiles(live).length))
+      graft.etl.StoreFs.deleteRecursive(fsys, old)
+      t -> ((before.length, graft.etl.StoreFs.parquetFiles(fsys, live).length))
     }.toMap
   }
 
@@ -979,42 +1001,51 @@ object DedupOps extends OpModule {
     * train-internal duplication. Statuses: exact_contam / near_contam
     * (eval_ref = the offending eval doc) / clean (−1).
     */
-  /** Eval stores already staged by THIS process ([[contaminationVerdicts]]):
-    * the eval corpus is a fixed artifact, so repeated decontamination
-    * runs against the same store path skip the re-stage and pay only
-    * the probe — the production cadence (one stage per eval-set
-    * release, a probe per train run). Restart the process (or pass a
-    * fresh path) after changing the eval corpus.
+  /** Order-free identity digest of a corpus — (row count, sum of a
+    * per-row crc32 over id + content hash). One cheap column-pruned
+    * pass, ~10^3× lighter than the tokenize+minhash stage it decides
+    * about; committed as the store marker's payload so a staged store
+    * carries WHICH corpus it fingerprints, across processes.
     */
-  private val stagedEvalStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def corpusFingerprint(docs: DataFrame): String = {
+    val r = docs
+      .select(crc32(concat_ws("|", col("doc_id"), md5(col("text")))).as("h"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("hs"))
+      .head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  /** Serializes in-process stagers of eval stores ([[contaminationVerdicts]]):
+    * a concurrent second caller must not probe mid-write. Cross-process,
+    * the [[graft.etl.StoreFs.Marker]] commit (written strictly after the
+    * tables, carrying the corpus fingerprint) provides the equivalent
+    * guarantee — a reader either sees a complete, identity-matching
+    * store or restages.
+    */
+  private val stageLock = new Object
 
   def contaminationVerdicts(s: SparkSession, trainDocs: DataFrame,
       evalDocs: DataFrame, storePath: Option[String] = None): DataFrame = {
     // The eval corpus is a FIXED artifact: its fingerprints are staged
     // ONCE and re-probed every train run, never recomputed in-plan per
     // run. With `storePath` set, the store persists as parquet (dd9's
-    // posture, DedupOps.scala:~660) the first time this process sees
-    // the path, and every run — including the first — probes the
-    // read-back store; subsequent runs pay only the probe. Without it
-    // (ad-hoc one-shot use) the store stays in-plan, localCheckpointed.
+    // posture, DedupOps.scala:~660), and every run — including the
+    // first — probes the read-back store; subsequent runs pay only a
+    // corpus-identity digest plus the probe. Without it (ad-hoc
+    // one-shot use) the store stays in-plan, localCheckpointed.
     val (exStore, sigStore, bandStore) = storePath match {
       case Some(p) =>
-        // mark staged only AFTER the write succeeds, under a lock: a
-        // failed stage must retry on the next call (not poison the
-        // process into probing a missing/partial store), and a
-        // concurrent second caller must not read mid-write. The
-        // existence re-check guards the other poisoning direction: a
-        // store staged earlier but since deleted under the process
-        // (tmp cleaners prune java.io.tmpdir) restages instead of
-        // probing a vanished path forever.
-        stagedEvalStores.synchronized {
-          val complete = Seq("exact", "sigs", "bands")
-            .forall(t => new java.io.File(s"$p/$t").exists())
-          if (!stagedEvalStores.contains(p) || !complete) {
-            writeFingerprintStore(s, evalDocs, p)
-            stagedEvalStores.add(p): Unit
-          }
+        // Restage exactly when the committed marker does not carry THIS
+        // eval corpus's fingerprint: first stage, half-staged/deleted
+        // store (marker missing — tmp cleaners, crashes), or a DIFFERENT
+        // eval corpus at the same path. The last case is the silent-
+        // misuse trap: verdicts quietly computed against a stale eval
+        // set would pass decontamination against the wrong benchmark.
+        val fsys = graft.etl.StoreFs.fs(s, p)
+        val evalFp = corpusFingerprint(evalDocs)
+        stageLock.synchronized {
+          if (!graft.etl.StoreFs.readMarker(fsys, p).contains(evalFp))
+            writeFingerprintStore(s, evalDocs, p, identity = evalFp)
         }
         readFingerprintStore(s, p)
       case None => fingerprintStore(s, evalDocs)

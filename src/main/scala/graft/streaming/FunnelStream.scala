@@ -109,17 +109,38 @@ object FunnelStream {
     * batch funnel).
     */
   def advanceBuffered(key: Long, rows: Iterator[FEvT],
+      state: GroupState[BufState]): Iterator[UserStage] =
+    advanceBufferedMetered(None)(key, rows, state)
+
+  /** [[advanceBuffered]] with an optional per-key peak-pending
+    * accumulator — the dd2/dd9 no-silent-caps posture applied to this
+    * operator's one unbounded-looking structure: the watermark buffer is
+    * bounded by a key's arrivals inside ONE delay window in a healthy
+    * stream, but a bot user (or a stalled watermark) grows it without
+    * limit, and total state rows would hide that one key. The
+    * accumulator records max pending-buffer size per key per batch
+    * AFTER release — the number a skew alert should page on
+    * (StreamingSpec plants a hot key and pins the audit seeing it).
+    */
+  def advanceBufferedMetered(peak: Option[StateMetrics.MaxAccumulator])(
+      key: Long, rows: Iterator[FEvT],
       state: GroupState[BufState]): Iterator[UserStage] = {
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     val st0 = state.getOption.getOrElse(BufState(Unset, Unset, Unset, Nil))
-    // rows already older than the watermark at ARRIVAL are late by the
-    // watermark contract — dropped, never reordered into the past
-    val incoming = rows.filter(_.us > wmUs)
+    // rows STRICTLY older than the watermark at ARRIVAL are late by the
+    // standard watermark contract (late = event time < watermark; rows
+    // AT the watermark are kept) — dropped, never reordered into the
+    // past. The >= matters at the boundary: an event with us == wmUs is
+    // admitted here and released by the partition below in this same
+    // batch, so boundary rows are always processed — not processed-or-
+    // dropped depending on which batch happened to carry them.
+    val incoming = rows.filter(_.us >= wmUs)
       .map(e => FEv(e.user_id, e.event_type, e.us, e.event_id))
     val (ready, hold) = (st0.pending ++ incoming)
       .sortBy(e => (e.us, e.event_id)).partition(_.us <= wmUs)
     var st = FState(st0.tv, st0.tc, st0.tp)
     ready.foreach(e => st = step(st, e))
+    peak.foreach(_.add(hold.length.toLong))
     state.update(BufState(st.tv, st.tc, st.tp, hold))
     if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head.us / 1000L + 1L)
     Iterator.single(UserStage(key, stageOf(st)))
@@ -131,7 +152,8 @@ object FunnelStream {
     * buffer absorbs.
     */
   def funnelStagesWatermarked(spark: SparkSession, dir: String,
-      delay: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      delay: String, maxFilesPerTrigger: Option[Int] = None,
+      peak: Option[StateMetrics.MaxAccumulator] = None): DataFrame = {
     import spark.implicits._
     EventStream.eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", delay)
@@ -140,8 +162,31 @@ object FunnelStream {
       .as[FEvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.EventTimeTimeout)(advanceBuffered)
+        GroupStateTimeout.EventTimeTimeout)(advanceBufferedMetered(peak))
       .toDF()
+  }
+
+  /** [[funnelStagesWatermarked]] run to completion plus the buffer
+    * observability a production deployment monitors — the
+    * [[SessionStream.runWithStateReport]] shape: per-key peak PENDING
+    * rows (one hot key's watermark buffer, invisible in totals) plus the
+    * state-store row/byte totals.
+    */
+  def runWatermarkedWithStateReport(spark: SparkSession, dir: String,
+      delay: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): (DataFrame, StreamStateReport) = {
+    val peak = new StateMetrics.MaxAccumulator
+    spark.sparkContext.register(peak, s"$queryName.peakPendingPerKey")
+    val q = funnelStagesWatermarked(spark, dir, delay, maxFilesPerTrigger,
+        Some(peak))
+      .writeStream.outputMode("update").format("memory")
+      .queryName(queryName).start()
+    q.processAllAvailable()
+    val (stateRows, stateMem) = StateMetrics.stateStoreTotals(q)
+    q.stop()
+    val df = spark.table(queryName)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+    (df, StreamStateReport(peak.value, stateRows, stateMem))
   }
 
   /** Streaming CURRENT-STATE view — the live twin of w11's SCD-2 `is_current`

@@ -221,7 +221,11 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       val rng = new scala.util.Random(seedBase + i)
       (i.toLong, Seq.fill(60)(s"$tag${rng.nextInt(500)}").mkString(" "), "en", s"$tag$i", 0L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val storeDir = java.nio.file.Files.createTempDirectory("dd9maint").toString
+    // explicit file:-scheme URI: the whole maintenance protocol must run
+    // through the Hadoop FileSystem API (the store lives on HDFS/object
+    // storage at corpus scale), and a scheme-carrying path catches any
+    // java.io.File leftover immediately
+    val storeDir = "file:" + java.nio.file.Files.createTempDirectory("dd9maint")
     // each round's store write is an 8-task job (the production shape —
     // one file per writer task per round is where small files come from)
     def writeStore(ex: org.apache.spark.sql.DataFrame, sg: org.apache.spark.sql.DataFrame,
@@ -229,6 +233,11 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       ex.repartition(8).write.mode("overwrite").parquet(s"$storeDir/exact")
       sg.repartition(8).write.mode("overwrite").parquet(s"$storeDir/sigs")
       bd.repartition(8).write.mode("overwrite").parquet(s"$storeDir/bands")
+      // production writers commit the stage marker after the tables land
+      // (writeFingerprintStore does this internally) — readers refuse
+      // marker-less stores as possible half-stages
+      graft.etl.StoreFs.commitMarker(
+        graft.etl.StoreFs.fs(spark, storeDir), storeDir, "")
     }
     val t0 = DedupOps.fingerprintStore(spark, mk(0 until 15, 5000, "p"))
     writeStore(t0._1, t0._2, t0._3)
@@ -280,28 +289,72 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val path = graft.etl.ScratchDirs.freshKeyed("dd13_spec_store", sf)
     val staged = strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path)))
     assert(staged == inPlan, "staged store changed the verdicts")
-    // the documented stage-once semantics: a SECOND call on the same
-    // path does NOT restage — verdicts still come from the ORIGINAL
-    // store even though a different eval corpus is passed
+    // stage-once semantics, keyed on corpus IDENTITY: a second call with
+    // the SAME eval corpus must not restage (the marker's fingerprint
+    // payload matches — only the probe runs)...
+    val fsys = graft.etl.StoreFs.fs(spark, path)
+    def markerMtime(): Long = fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker))
+      .getModificationTime
+    val t0 = markerMtime()
+    assert(strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path))) == staged)
+    assert(markerMtime() == t0, "same eval corpus unexpectedly restaged the store")
+    // ...while a DIFFERENT eval corpus at the same path must RESTAGE,
+    // not silently return verdicts against the stale staged store (the
+    // easy decontamination misuse the identity check exists to stop)
     val otherEval = (50 until 55).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val inPlanOther = strs(DedupOps.contaminationVerdicts(spark, train, otherEval))
     val again = strs(DedupOps.contaminationVerdicts(spark, train, otherEval, Some(path)))
-    assert(again == staged,
-      "second call restaged the store — stage-once-per-process contract broken")
+    assert(again == inPlanOther,
+      "changed eval corpus did not restage — verdicts against a stale eval store")
+    assert(again != staged, "fixture too weak: both eval corpora give identical verdicts")
+  }
+
+  test("partial eval store (marker deleted) is never silently probed: read fails, verdict path restages") {
+    import spark.implicits._
+    def doc(i: Int): String = {
+      val rng = new scala.util.Random(8800 + i)
+      Seq.fill(25)(s"m${rng.nextInt(500)}").mkString(" ")
+    }
+    val eval = (0 until 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val train = ((100 until 103).map(i => (i.toLong, doc(i - 100))) ++
+      (200 until 205).map(i => (i.toLong, doc(i)))).toDF("doc_id", "text")
+    val path = "file:" + java.nio.file.Files.createTempDirectory("dd13partial")
+    def strs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val staged = strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path)))
+    // simulate the cross-process crash window another JVM would observe:
+    // tables present, but the stage-commit marker missing — a writer
+    // died between the table writes and the commit (or a cleaner pruned
+    // the dir). The raw read must FAIL LOUDLY, never probe the maybe-
+    // partial tables...
+    val fsys = graft.etl.StoreFs.fs(spark, path)
+    assert(fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker), false))
+    val ex = intercept[IllegalStateException] {
+      DedupOps.readFingerprintStore(spark, path)
+    }
+    assert(ex.getMessage.contains(graft.etl.StoreFs.Marker))
+    // ...and the verdict path recovers by RESTAGING (marker recommitted,
+    // same verdicts) rather than failing or probing the unmarked store
+    assert(strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path))) == staged)
+    assert(graft.etl.StoreFs.readMarker(fsys, path).isDefined,
+      "restage did not recommit the stage marker")
   }
 
   test("compaction self-heals a crash between the swap renames (live missing, _old present)") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
       (i.toLong, s"selfheal doc $i body " + (s"w$i " * 5))).toDF("doc_id", "text")
-    val dirPath = graft.etl.ScratchDirs.freshKeyed("dd9_selfheal", sf)
+    // file:-scheme URI — the heal path must run through the Hadoop FS API
+    val dirPath = "file:" + java.nio.file.Files.createTempDirectory("dd9selfheal")
     DedupOps.writeFingerprintStore(spark, docs, dirPath)
     def sigIds(): Seq[Long] = spark.read.parquet(s"$dirPath/sigs")
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
     val ids0 = sigIds()
     // simulate the crash window: the live→_old aside-rename completed,
     // the tmp→live swap did not — no `sigs` directory remains
-    assert(new java.io.File(s"$dirPath/sigs")
-      .renameTo(new java.io.File(s"$dirPath/sigs_old")))
+    assert(graft.etl.StoreFs.rename(graft.etl.StoreFs.fs(spark, dirPath),
+      s"$dirPath/sigs", s"$dirPath/sigs_old"))
     DedupOps.compactFingerprintStore(spark, dirPath) // must not throw
     assert(sigIds() == ids0,
       "self-healed store must carry the complete previous sigs table")

@@ -161,6 +161,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "reversed arrival unexpectedly matched batch without the buffer — fixture too weak")
   }
 
+  test("watermarked funnel buffer audit surfaces a hot key's pending pile-up") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sf, "events")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("funnel_audit_in")
+    // one bot key: 500 events all at a future instant the watermark
+    // cannot reach in batch 0 (delay 10000s >> their span), so every one
+    // of them must sit in that key's pending buffer after the drain —
+    // exactly the state a totals-only metric hides among normal keys
+    val hotTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
+    stageParquet(ev.limit(500)
+      .withColumn("user_id", lit(424242L))
+      .withColumn("event_type", lit("view"))
+      .withColumn("ts", lit(hotTs)), streamDir, "0.parquet")
+    // sentinel far past hot + delay: flushes the buffer (bounded-test
+    // punctuation, as the reversed-halves case above)
+    stageParquet(ev.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("noop"))
+      .withColumn("ts", lit(new java.sql.Timestamp(
+        hotTs.getTime + 3L * 10000L * 1000))), streamDir, "1.parquet")
+    val (df, report) = graft.streaming.FunnelStream
+      .runWatermarkedWithStateReport(spark, streamDir.toString,
+        delay = "10000 seconds", "funnel_audit_test",
+        maxFilesPerTrigger = Some(1))
+    // the audit saw the hot key's buffer at its full depth...
+    assert(report.peakPerKey >= 500L,
+      s"peak pending per key ${report.peakPerKey} — audit missed the hot buffer")
+    // ...and the buffered rows were still processed, not lost: the bot
+    // user's 500 views advance it to stage 1 once the watermark passes
+    val hot = df.filter(col("user_id") === 424242L).head()
+    assert(hot.getInt(1) == 1)
+  }
+
   test("streaming current-state view equals the batch SCD2 current slice on a replay split") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables(spark, sf, "events")
