@@ -17,6 +17,43 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AggOps extends OpModule {
 
+  /** DuckDB twin of v8 (see the Q below): identical affine packing
+    * (evi ≪ 33 | ix ≪ 22 | iy ≪ 11 | iz with evi = ev + 1 — the
+    * row_number over the 4-event set), adjacency as the same three
+    * packed +2^k shifts (hash-joinable equalities, one per axis),
+    * components by bounded min-reachability recursion, and the
+    * (count DESC, ssnet ASC) majority vote.
+    */
+  private def v8OracleSql: String =
+    """WITH RECURSIVE cells AS (
+      |  SELECT DISTINCT l_orderkey % 4 AS ev, l_partkey % 32 AS ix,
+      |         l_suppkey % 32 AS iy, CAST(floor(l_quantity) AS BIGINT) AS iz
+      |  FROM lineitem WHERE l_orderkey < 1000),
+      |n AS (SELECT ev, ix, iy, iz,
+      |        (ev + 1) * 8589934592 + ix * 4194304 + iy * 2048 + iz AS id
+      |      FROM cells),
+      |e0 AS (SELECT a.id AS a, b.id AS b FROM n a JOIN n b ON b.id = a.id + 4194304
+      |       UNION ALL SELECT a.id, b.id FROM n a JOIN n b ON b.id = a.id + 2048
+      |       UNION ALL SELECT a.id, b.id FROM n a JOIN n b ON b.id = a.id + 1),
+      |sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id),
+      |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |lab AS (SELECT n.ev, n.ix, n.iy, n.iz, c.comp AS inst
+      |        FROM n JOIN comp c ON c.id = n.id),
+      |cnts AS (SELECT ev, inst, (ix + iy + iz) % 5 AS ssnet, count(*) AS c
+      |         FROM lab GROUP BY 1, 2, 3),
+      |win AS (SELECT ev, inst, ssnet,
+      |          row_number() OVER (PARTITION BY ev, inst
+      |            ORDER BY c DESC, ssnet ASC) AS rn FROM cnts),
+      |sz AS (SELECT ev, inst, count(*) AS n_vox FROM lab GROUP BY 1, 2)
+      |SELECT s.ev AS event, s.inst AS instance, CAST(w.ssnet AS BIGINT) AS label,
+      |  CAST(s.n_vox AS BIGINT) AS n_vox
+      |FROM sz s JOIN win w ON w.ev = s.ev AND w.inst = s.inst AND w.rn = 1
+      |ORDER BY event, instance""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // A1 — group-by majority vote with deterministic tie-break.
     Q("a1_mode_majority", Some(
@@ -374,6 +411,46 @@ object AggOps extends OpModule {
             min("iy").as("min_iy"), max("iy").as("max_iy"))
           .orderBy("instance")
       }),
+
+    // v8 — the §3.3 FLOOD-FILL grain, driver-oracled (VERDICT r8 #6):
+    // instanceTableCC's full path — tensor-format voxel events → packed
+    // single-BIGINT ids → three id+2^k self equi-joins → CC → majority-
+    // vote instance aggregation — over a fixture voxel table derived
+    // from a FIXED absolute lineitem slice (l_orderkey < 1000, present
+    // and identical at every SF, the dd3 bounded-block posture: the CC
+    // grain itself is SF-exercised by v7/dd6; this row pins the §3.3
+    // packing + derived-grain semantics against an independent
+    // recursive-CTE engine). The oracle re-derives the packed ids, the
+    // min-reachability components, and the (cnt DESC, ssnet ASC)
+    // majority label — g2's cross-algorithm posture.
+    Q("v8_instance_cc", Some(v8OracleSql), (s, dir) => {
+      val cells = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select((col("l_orderkey") % 4).as("event"),
+          (col("l_partkey") % 32).as("ix"),
+          (col("l_suppkey") % 32).as("iy"),
+          floor(col("l_quantity")).cast("long").as("iz"))
+        .distinct()
+      val vox = cells
+        .groupBy("event")
+        .agg(array_sort(collect_list(struct(col("ix"), col("iy"), col("iz"))))
+          .as("pts"))
+        .select(lit(1L).as("run"), lit(0L).as("subrun"), col("event"),
+          flatten(transform(col("pts"),
+            p => array(p.getField("ix"), p.getField("iy"), p.getField("iz"))))
+            .as("voxcoord"),
+          array(size(col("pts")).cast("long"), lit(3L)).as("voxcoord_shape"),
+          transform(col("pts"), _ => lit(1L)).as("voxlabel"),
+          transform(col("pts"),
+            p => (p.getField("ix") + p.getField("iy") + p.getField("iz")) % 5)
+            .as("voxssnet"),
+          transform(col("pts"), _ => lit(0L)).as("voxinstance"))
+      graft.etl.EventPipelines.instanceTableCC(s, vox)
+        .select(col("event"), col("instance"),
+          col("label").cast("long").as("label"),
+          element_at(col("instvoxcoord_shape"), 1).cast("long").as("n_vox"))
+        .orderBy("event", "instance")
+    }),
 
     // a13 — exact bivariate statistics per group: covariance and Pearson
     // correlation of (quantity, extendedprice) per return flag. Spark's

@@ -139,8 +139,18 @@ object GraphOps extends OpModule {
     * with S = [[RankScale]] — all BIGINT, floor division, positive
     * operands, so Spark and the oracle agree exactly.
     */
-  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
-    val edges = edges0.select("src", "dst").localCheckpoint(true)
+  /** @param truncateEdges lineage-cut the edge list up front (default —
+    *   right when `edges0` is an unmaterialized computation). Pass false
+    *   when `edges0` is a BUCKETED TABLE SCAN ([[bucketedTradeEdges]]):
+    *   a checkpoint would replace the scan with an RDD of unknown
+    *   partitioning and forfeit the exchange-free per-round join the
+    *   bucketing exists to provide, and a storage-backed table needs no
+    *   lineage truncation in the first place.
+    */
+  def pageRank(edges0: DataFrame, iters: Int,
+      truncateEdges: Boolean = true): DataFrame = {
+    val edges0sel = edges0.select("src", "dst")
+    val edges = if (truncateEdges) edges0sel.localCheckpoint(true) else edges0sel
     val base = edges.groupBy("src").agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "id")
     val withC = base.crossJoin(broadcast(base.agg(count(lit(1)).as("c"))))
@@ -174,6 +184,31 @@ object GraphOps extends OpModule {
   }
 
   private val PrIters = 5
+
+  /** [[tradeEdges]] staged ONCE (per process × source dir) as a node-id-
+    * bucketed, src-sorted managed table — the co-located layout every
+    * iterative node-keyed join in this file names as its deployment
+    * shape (BucketingSpec pins one contribution round over it to exactly
+    * one exchange). g1b runs the REAL 5-round query over this scan, so
+    * the layout trade is measured, not just demonstrated: staging costs
+    * one write (amortized across every subsequent iteration/query on the
+    * graph — at 100 TB the graph is an artifact many queries share, and
+    * the "table" is a metastore entry, not a per-process temp). The
+    * in-memory catalog is session-scoped, so a fresh JVM restages; the
+    * bench warm-up rep absorbs that, making the timed reps pure query.
+    */
+  def bucketedTradeEdges(s: SparkSession, dir: String,
+      nBuckets: Int = 32): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val t = s"graft_trade_edges_b_$digest"
+    if (!s.catalog.tableExists(t))
+      tradeEdges(s, dir).write.mode("overwrite")
+        .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(t)
+    s.table(t)
+  }
 
   /** ONE spelling of the trade-graph edge CTEs for every oracle (the
     * pageRank and BFS oracles both start here): must stay semantically
@@ -263,6 +298,15 @@ object GraphOps extends OpModule {
     // every rank bit-for-bit.
     Q("g1_pagerank", Some(pageRankOracleSql),
       (s, dir) => pageRank(tradeEdges(s, dir), PrIters).orderBy("node_id"))
+,
+    // g1b — g1 over the bucketed-edge layout (see [[bucketedTradeEdges]]):
+    // the same 5 damped rounds, same oracle, but every round's
+    // edges⋈ranks join reads the node-id-bucketed table instead of
+    // re-shuffling the fact side. COVERAGE.md carries the measured
+    // g1-vs-g1b trade at sf0.1.
+    Q("g1b_pagerank_bucketed", Some(pageRankOracleSql),
+      (s, dir) => pageRank(bucketedTradeEdges(s, dir), PrIters,
+        truncateEdges = false).orderBy("node_id"))
 ,
     // g2 — bounded-hop BFS distance from customer 0's node over the
     // trading graph (6 relaxation rounds; unreached → −1). The oracle

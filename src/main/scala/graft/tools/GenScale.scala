@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   *     ≈ 0.5/1.5 ≪ the 0.8 threshold (shared = the unmutated half;
   *     each copy's mutated half is distinct). `n_chars` is recomputed
   *     (the source invariant n_chars = length(text) holds by check).
-  *   - `embeddings.embedding`: copy c > 0 perturbs each element by a
-  *     deterministic ±1e-2-scale delta keyed on (vec_id, i, c) — no
-  *     exact-duplicate vectors, ANN neighborhoods preserved.
+  *   - `embeddings.embedding`: copy c > 0 ROTATES the element array by
+  *     c positions — no exact-duplicate vectors across copies, while
+  *     the float VALUE POPULATION stays exactly the source table's.
+  *     (An additive perturbation was tried and REVERTED: it minted new
+  *     arbitrary floats whose double→DECIMAL(28,8) casts land one
+  *     quantum apart across engines — the a8 oracle caught 640
+  *     mismatched sums at sf1.0. Rotation is cast-invariant.)
   *   - `events.ts` keeps its timeline: 10× the events over the same
   *     period with 10× the users is what a decade of growth looks like
   *     to every windowed/streaming query.
@@ -109,14 +113,14 @@ object GenScale {
         "n_chars" -> length(when(col("c") === 0, col("text")).otherwise(mutText))
           .cast("long"))), out, "documents")
 
-    val perturbed = expr(
-      """transform(embedding, (x, i) -> cast(x +
-        |  (cast(crc32(concat(cast(vec_id AS string), '_', cast(i AS string),
-        |     '_', cast(c AS string))) % 199 AS double) - 99.0d) * 0.0001d
-        |  AS float))""".stripMargin)
+    val rotated = expr(
+      """IF(size(embedding) = 0, embedding,
+        |  transform(embedding, (x, i) ->
+        |    element_at(embedding, CAST((i + c) % size(embedding) AS int) + 1)))"""
+        .stripMargin)
     writeOne(spark, shifted(emb, Map("vec_id" -> V),
       override_ = Map(
-        "embedding" -> when(col("c") === 0, col("embedding")).otherwise(perturbed))),
+        "embedding" -> when(col("c") === 0, col("embedding")).otherwise(rotated))),
       out, "embeddings")
   }
 
