@@ -204,9 +204,17 @@ object GraphOps extends OpModule {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
     val t = s"graft_trade_edges_b_$digest"
-    if (!s.catalog.tableExists(t))
+    if (!s.catalog.tableExists(t)) {
+      // the in-memory catalog forgets tables across JVMs but the
+      // WAREHOUSE DIRECTORY persists — saveAsTable is a CREATE here and
+      // refuses an orphaned location, so clear the previous process's
+      // artifact first (a metastore deployment keeps the entry instead
+      // and never re-enters this branch)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.etl.StoreFs.deleteRecursive(graft.etl.StoreFs.fs(s, wh), s"$wh/$t")
       tradeEdges(s, dir).write.mode("overwrite")
         .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(t)
+    }
     s.table(t)
   }
 

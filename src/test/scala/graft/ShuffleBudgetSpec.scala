@@ -114,6 +114,11 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // are lineage-truncated and their exchanges reused across rounds
     // (measured 17 = 5×3 + final join exchange + range sort)
     "g1_pagerank" -> 17,
+    // g1b: the bucketed layout's point, visible right here — 6 vs g1's
+    // 17: only the five per-round dst-contribution sums + the final
+    // sort remain; every per-round src-side exchange is satisfied by
+    // the bucketed scan
+    "g1b_pagerank_bucketed" -> 6,
     // g2: relaxation rounds run eagerly (localCheckpoint); captured
     // plan is the final -1 fill + sort
     "g2_bfs_hops" -> 1,
@@ -239,6 +244,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // v7: CC rounds run eagerly (localCheckpoint); captured plan is the
     // label join + instance agg + sort
     "v7_voxel_instances" -> 4,
+    // v8: fixture build (groupBy event) + explode/pack + CC label join
+    // + the two aggregateInstances shuffles + final sort; the CC rounds
+    // themselves are checkpoint-truncated out of the final plan
+    "v8_instance_cc" -> 19,
     "w2_topk" -> 0,
     "w3_ntile" -> 1,
     // w3b: histogram agg + its single-partition cut window (≤1024-row
