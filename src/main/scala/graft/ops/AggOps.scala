@@ -357,13 +357,18 @@ object AggOps extends OpModule {
     // Adjacency is an EQUI-join on shifted coordinates — never a
     // distance cross product — CC runs on occupied cells only with
     // pointer jumping, and isolated cells label themselves. The oracle
-    // is the recursive min-reachability CTE over the identical grid.
+    // is the recursive min-reachability CTE over the identical grid; its
+    // adjacency is spelled as UNION ALL of two equi-joins because an
+    // OR-of-conjunctions ON clause denies DuckDB a hash join and goes
+    // nested-loop — O(cells²) probes, intractable past ~1M cells (sf1.0).
     Q("v7_voxel_instances", Some(
       """WITH RECURSIVE v AS (SELECT DISTINCT l_partkey AS ix, l_suppkey AS iy FROM lineitem),
         |n AS (SELECT ix, iy, ix * 1000000 + iy AS id FROM v),
         |e0 AS (SELECT a.id AS a, b.id AS b FROM n a JOIN n b
-        |       ON (b.ix = a.ix + 1 AND b.iy = a.iy)
-        |       OR (b.ix = a.ix AND b.iy = a.iy + 1)),
+        |         ON b.ix = a.ix + 1 AND b.iy = a.iy
+        |       UNION ALL
+        |       SELECT a.id AS a, b.id AS b FROM n a JOIN n b
+        |         ON b.ix = a.ix AND b.iy = a.iy + 1),
         |sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
         |reach(id, r) AS (
         |  SELECT id, id FROM n

@@ -63,16 +63,22 @@ case class MisraGries(k: Int)
     ExpressionEncoder[Map[String, Long]]()
 }
 
-/** x16 — corpus heavy hitters via the mergeable summary. Capacity 64
-  * exceeds the synthetic corpus vocabulary (31 tokens at every SF —
-  * bounded generator vocabulary), so the sketch runs in its exact
-  * regime and the DuckDB exact count is a true oracle; MisraGriesSpec
-  * separately proves the tight-capacity bounds the open-vocabulary
-  * regime relies on.
+/** x16 — corpus heavy hitters via the mergeable summary. Capacity must
+  * exceed the corpus vocabulary for the sketch to run in its exact
+  * regime — the condition that makes the DuckDB exact count a true
+  * oracle. The driver generator's vocabulary is 31 tokens at every SF,
+  * but GenScale's token-suffix mutation (tools/GenScale.scala) mints
+  * ~14 suffixed variants per extra copy: 157 distinct tokens at sf1.0
+  * (10 copies), which overflowed the original capacity of 64 and pushed
+  * the sketch into its bounded-error regime — caught as an x16 oracle
+  * mismatch in the first sf1.0 sweep. 1024 covers any extension the
+  * sweep tooling can produce (≤ 72 copies); MisraGriesSpec separately
+  * proves the tight-capacity bounds the open-vocabulary regime relies
+  * on, so exactness here is a regime choice, not a hidden assumption.
   */
 object MisraGriesOps extends OpModule {
 
-  val Capacity = 64
+  val Capacity = 1024
 
   val qs: Seq[Q] = Seq(
     Q("x16_heavy_hitters", Some(

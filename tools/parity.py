@@ -43,12 +43,13 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        # SPARK_GRAFT_ONLY narrows the checked subset, mirroring Verify's
+        # dump filter — stale dumps for out-of-subset names are ignored.
+        if only_set is not None and name not in only_set:
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            # Missing output is only benign for a deliberate subset dump
-            # (SPARK_GRAFT_ONLY). For a full run it means the Spark side
+            # Missing output for an in-subset name means the Spark side
             # crashed in Verify — that must count as FAIL, not vanish.
-            if only_set is not None and name not in only_set:
-                continue
             n_fail += 1
             print(f"FAIL {name}: missing Spark output dir (query crashed in Verify?)")
             continue
