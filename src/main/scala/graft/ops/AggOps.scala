@@ -30,8 +30,9 @@ object AggOps extends OpModule {
       |         l_suppkey % 32 AS iy, CAST(floor(l_quantity) AS BIGINT) AS iz
       |  FROM lineitem WHERE l_orderkey < 1000),
       |n AS (SELECT ev, ix, iy, iz,
-      |        (ev + 1) * 8589934592 + ix * 4194304 + iy * 2048 + iz AS id
-      |      FROM cells),
+      |        evi * 8589934592 + ix * 4194304 + iy * 2048 + iz AS id
+      |      FROM (SELECT ev, ix, iy, iz,
+      |              dense_rank() OVER (ORDER BY ev) AS evi FROM cells)),
       |e0 AS (SELECT a.id AS a, b.id AS b FROM n a JOIN n b ON b.id = a.id + 4194304
       |       UNION ALL SELECT a.id, b.id FROM n a JOIN n b ON b.id = a.id + 2048
       |       UNION ALL SELECT a.id, b.id FROM n a JOIN n b ON b.id = a.id + 1),

@@ -138,8 +138,8 @@ object GraphOps extends OpModule {
     *   r'(v) = (15·(S div N)) div 100 + (85·Σ_{u→v} (r(u) div deg(u))) div 100
     * with S = [[RankScale]] — all BIGINT, floor division, positive
     * operands, so Spark and the oracle agree exactly.
-    */
-  /** @param truncateEdges lineage-cut the edge list up front (default —
+    *
+    * @param truncateEdges lineage-cut the edge list up front (default —
     *   right when `edges0` is an unmaterialized computation). Pass false
     *   when `edges0` is a BUCKETED TABLE SCAN ([[bucketedTradeEdges]]):
     *   a checkpoint would replace the scan with an RDD of unknown
@@ -196,6 +196,13 @@ object GraphOps extends OpModule {
     * the "table" is a metastore entry, not a per-process temp). The
     * in-memory catalog is session-scoped, so a fresh JVM restages; the
     * bench warm-up rep absorbs that, making the timed reps pure query.
+    *
+    * In-process stagers serialize on a lock (two threads racing the
+    * tableExists check would delete each other's half-written buckets).
+    * Concurrent FIRST staging from two JVMs sharing one warehouse dir
+    * remains unsynchronized — the same documented single-writer trade as
+    * [[graft.etl.ScratchDirs]]; a deployment metastore replaces this
+    * whole branch with CREATE TABLE IF NOT EXISTS and owns that race.
     */
   def bucketedTradeEdges(s: SparkSession, dir: String,
       nBuckets: Int = 32): DataFrame = {
@@ -204,19 +211,23 @@ object GraphOps extends OpModule {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
     val t = s"graft_trade_edges_b_$digest"
-    if (!s.catalog.tableExists(t)) {
-      // the in-memory catalog forgets tables across JVMs but the
-      // WAREHOUSE DIRECTORY persists — saveAsTable is a CREATE here and
-      // refuses an orphaned location, so clear the previous process's
-      // artifact first (a metastore deployment keeps the entry instead
-      // and never re-enters this branch)
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      graft.etl.StoreFs.deleteRecursive(graft.etl.StoreFs.fs(s, wh), s"$wh/$t")
-      tradeEdges(s, dir).write.mode("overwrite")
-        .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(t)
+    bucketStageLock.synchronized {
+      if (!s.catalog.tableExists(t)) {
+        // the in-memory catalog forgets tables across JVMs but the
+        // WAREHOUSE DIRECTORY persists — saveAsTable is a CREATE here and
+        // refuses an orphaned location, so clear the previous process's
+        // artifact first (a metastore deployment keeps the entry instead
+        // and never re-enters this branch)
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        graft.etl.StoreFs.deleteRecursive(graft.etl.StoreFs.fs(s, wh), s"$wh/$t")
+        tradeEdges(s, dir).write.mode("overwrite")
+          .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(t)
+      }
     }
     s.table(t)
   }
+
+  private val bucketStageLock = new Object
 
   /** ONE spelling of the trade-graph edge CTEs for every oracle (the
     * pageRank and BFS oracles both start here): must stay semantically

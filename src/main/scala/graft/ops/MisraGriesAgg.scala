@@ -72,7 +72,9 @@ case class MisraGries(k: Int)
   * (10 copies), which overflowed the original capacity of 64 and pushed
   * the sketch into its bounded-error regime — caught as an x16 oracle
   * mismatch in the first sf1.0 sweep. 1024 covers any extension the
-  * sweep tooling can produce (≤ 72 copies); MisraGriesSpec separately
+  * sweep tooling can produce (31 + 14·(copies−1) ≤ 1024 up to 71
+  * copies; GenScale's embedding-rotation guard caps copies at the
+  * 64-float vector length before that); MisraGriesSpec separately
   * proves the tight-capacity bounds the open-vocabulary regime relies
   * on, so exactness here is a regime choice, not a hidden assumption.
   */

@@ -1035,19 +1035,34 @@ object DedupOps extends OpModule {
     // one-shot use) the store stays in-plan, localCheckpointed.
     val (exStore, sigStore, bandStore) = storePath match {
       case Some(p) =>
-        // Restage exactly when the committed marker does not carry THIS
-        // eval corpus's fingerprint: first stage, half-staged/deleted
-        // store (marker missing — tmp cleaners, crashes), or a DIFFERENT
-        // eval corpus at the same path. The last case is the silent-
-        // misuse trap: verdicts quietly computed against a stale eval
-        // set would pass decontamination against the wrong benchmark.
-        val fsys = graft.etl.StoreFs.fs(s, p)
+        // VERSIONED staging: each eval corpus stages its own immutable
+        // `eval-<fingerprint>` subdir under the caller's path. A changed
+        // eval corpus stages a SIBLING version instead of overwriting in
+        // place — verdict DataFrames returned against a previous version
+        // keep their files (an in-place restage deleted them out from
+        // under earlier callers), and a restage can never race a running
+        // probe of the old store. This is the StoreFs object-store
+        // posture applied to staging: new version + marker, never
+        // mutate-in-place. Old versions are inert and prunable once no
+        // reader needs them — at the production cadence (stage per eval
+        // release) that is one small store per release.
         val evalFp = corpusFingerprint(evalDocs)
+        val vp = s"$p/eval-${evalFp.replace(':', '-')}"
+        val fsys = graft.etl.StoreFs.fs(s, vp)
         stageLock.synchronized {
-          if (!graft.etl.StoreFs.readMarker(fsys, p).contains(evalFp))
-            writeFingerprintStore(s, evalDocs, p, identity = evalFp)
+          // Restage when the version is not COMPLETE: first stage,
+          // marker missing (half-staged writer crash — tmp cleaners,
+          // kill -9), or a table dir pruned externally while the marker
+          // survived. The marker alone is necessary but not sufficient:
+          // checking only it left a marker-with-deleted-tables store
+          // permanently unreadable instead of self-healing.
+          val complete =
+            graft.etl.StoreFs.readMarker(fsys, vp).contains(evalFp) &&
+              Seq("exact", "sigs", "bands").forall(t =>
+                graft.etl.StoreFs.exists(fsys, s"$vp/$t"))
+          if (!complete) writeFingerprintStore(s, evalDocs, vp, identity = evalFp)
         }
-        readFingerprintStore(s, p)
+        readFingerprintStore(s, vp)
       case None => fingerprintStore(s, evalDocs)
     }
     incrementalVerdicts(s, trainDocs, exStore, sigStore, bandStore,

@@ -113,6 +113,15 @@ object GenScale {
         "n_chars" -> length(when(col("c") === 0, col("text")).otherwise(mutText))
           .cast("long"))), out, "documents")
 
+    // rotation is IDENTITY when c is a multiple of the vector length, so
+    // copy dim would silently recreate exact-duplicate vectors across
+    // copies — the artifact the rotation rule exists to prevent. Guard
+    // rather than wrap: a >dim extension needs a different mutation rule.
+    val minDim = emb.filter(size(col("embedding")) > 0)
+      .agg(min(size(col("embedding")))).head().getInt(0)
+    require(copies <= minDim,
+      s"copies=$copies > embedding dim $minDim: copy $minDim's rotation is " +
+        "the identity — cross-copy exact-duplicate vectors")
     val rotated = expr(
       """IF(size(embedding) = 0, embedding,
         |  transform(embedding, (x, i) ->

@@ -287,14 +287,22 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val inPlan = strs(DedupOps.contaminationVerdicts(spark, train, eval))
     assert(inPlan.exists(_.contains("exact_contam")), s"fixture must contaminate: $inPlan")
     val path = graft.etl.ScratchDirs.freshKeyed("dd13_spec_store", sf)
-    val staged = strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path)))
+    val stagedDf = DedupOps.contaminationVerdicts(spark, train, eval, Some(path))
+    val staged = strs(stagedDf)
     assert(staged == inPlan, "staged store changed the verdicts")
     // stage-once semantics, keyed on corpus IDENTITY: a second call with
-    // the SAME eval corpus must not restage (the marker's fingerprint
-    // payload matches — only the probe runs)...
+    // the SAME eval corpus must not restage (the version's marker
+    // fingerprint matches — only the probe runs)...
     val fsys = graft.etl.StoreFs.fs(spark, path)
+    def versionDirs(): Seq[org.apache.hadoop.fs.Path] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("eval-"))
+    val v1 = versionDirs() match {
+      case Seq(d) => d
+      case ds => fail(s"expected one staged version, got $ds")
+    }
     def markerMtime(): Long = fsys.getFileStatus(
-      new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker))
+      new org.apache.hadoop.fs.Path(v1, graft.etl.StoreFs.Marker))
       .getModificationTime
     val t0 = markerMtime()
     assert(strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path))) == staged)
@@ -308,6 +316,15 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(again == inPlanOther,
       "changed eval corpus did not restage — verdicts against a stale eval store")
     assert(again != staged, "fixture too weak: both eval corpora give identical verdicts")
+    // ...and the restage lands in a SIBLING version, never in place:
+    // the first version's files are untouched, so verdict DataFrames
+    // handed out before the eval change stay fully readable (an
+    // in-place overwrite deleted their part files out from under them)
+    assert(versionDirs().size == 2,
+      s"changed eval corpus should stage a sibling version: ${versionDirs()}")
+    assert(markerMtime() == t0, "restage of a NEW eval corpus touched the old version")
+    assert(strs(stagedDf) == staged,
+      "pre-change verdict DataFrame no longer readable after restage")
   }
 
   test("partial eval store (marker deleted) is never silently probed: read fails, verdict path restages") {
@@ -329,16 +346,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // the dir). The raw read must FAIL LOUDLY, never probe the maybe-
     // partial tables...
     val fsys = graft.etl.StoreFs.fs(spark, path)
-    assert(fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker), false))
+    val vp = fsys.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("eval-")) match {
+      case Seq(d) => d
+      case ds => fail(s"expected one staged version, got $ds")
+    }
+    assert(fsys.delete(new org.apache.hadoop.fs.Path(vp, graft.etl.StoreFs.Marker), false))
     val ex = intercept[IllegalStateException] {
-      DedupOps.readFingerprintStore(spark, path)
+      DedupOps.readFingerprintStore(spark, vp.toString)
     }
     assert(ex.getMessage.contains(graft.etl.StoreFs.Marker))
     // ...and the verdict path recovers by RESTAGING (marker recommitted,
     // same verdicts) rather than failing or probing the unmarked store
     assert(strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path))) == staged)
-    assert(graft.etl.StoreFs.readMarker(fsys, path).isDefined,
+    assert(graft.etl.StoreFs.readMarker(fsys, vp.toString).isDefined,
       "restage did not recommit the stage marker")
+    // converse half-death: a table dir pruned externally (tmp cleaner)
+    // while the marker SURVIVED. Marker-only restage checking left this
+    // state permanently unreadable; the completeness check self-heals it
+    graft.etl.StoreFs.deleteRecursive(fsys, s"$vp/sigs")
+    assert(strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path))) == staged,
+      "store with pruned table dir did not self-heal")
+    assert(graft.etl.StoreFs.exists(fsys, s"$vp/sigs"),
+      "self-heal restage did not rebuild the pruned table")
   }
 
   test("compaction self-heals a crash between the swap renames (live missing, _old present)") {
