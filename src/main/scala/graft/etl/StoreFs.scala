@@ -80,8 +80,30 @@ object StoreFs {
     * fully staged (or a maintenance protocol that invalidates markers
     * is mid-flight).
     */
-  def readMarker(fs: FileSystem, storePath: String): Option[String] = {
-    val p = new Path(storePath, Marker)
+  def readMarker(fs: FileSystem, storePath: String): Option[String] =
+    readSmall(fs, new Path(storePath, Marker))
+
+  /** Name of the current-version pointer for VERSIONED stores (the
+    * object-store maintenance path, SCALING.md §store-commit): payload =
+    * the live version subdir name (`v1`, `v2`, …). A single small object
+    * written create-overwrite — the one "atomic pointer flip" every
+    * table format ultimately rests on — so maintenance needs NO rename:
+    * write the next version dir, commit its [[Marker]], flip this.
+    * Absent pointer ⇔ the store root itself is the live (flat v0)
+    * layout, which keeps every pre-versioning store readable.
+    */
+  val Current = "_CURRENT"
+
+  def readPointer(fs: FileSystem, storePath: String): Option[String] =
+    readSmall(fs, new Path(storePath, Current))
+
+  def commitPointer(fs: FileSystem, storePath: String, version: String): Unit = {
+    val out = fs.create(new Path(storePath, Current), true)
+    try out.write(version.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -91,5 +113,4 @@ object StoreFs {
         Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
       } finally in.close()
     }
-  }
 }

@@ -503,19 +503,34 @@ object DedupOps extends OpModule {
           s"crash-recovery rename failed for $live")
     }
 
+  /** The store's LIVE root: the `_CURRENT` pointer's version subdir when
+    * one exists (a versioned store — [[compactFingerprintStoreVersioned]]
+    * has run), else the store path itself (the flat layout every store
+    * starts in). All store consumers resolve through this, so flipping
+    * the pointer retargets every probe/roll-forward/compaction at once —
+    * the minimal stand-in for a metastore pointer.
+    */
+  def resolveStoreRoot(fsys: org.apache.hadoop.fs.FileSystem,
+      path: String): String =
+    graft.etl.StoreFs.readPointer(fsys, path) match {
+      case Some(v) => s"$path/$v"
+      case None => path
+    }
+
   def readFingerprintStore(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
     val fsys = graft.etl.StoreFs.fs(s, path)
-    healCrashedSwap(fsys, path)
+    val root = resolveStoreRoot(fsys, path)
+    healCrashedSwap(fsys, root)
     // the stage-commit marker is the completeness proof: without it this
     // path may be a crashed half-stage from another process — fail loudly
     // (the caller restages) instead of silently probing a partial store
-    if (graft.etl.StoreFs.readMarker(fsys, path).isEmpty)
+    if (graft.etl.StoreFs.readMarker(fsys, root).isEmpty)
       throw new IllegalStateException(
-        s"fingerprint store at $path has no ${graft.etl.StoreFs.Marker} " +
+        s"fingerprint store at $root has no ${graft.etl.StoreFs.Marker} " +
           "marker — half-staged or deleted mid-stage; restage before probing")
-    (s.read.parquet(s"$path/exact"),
-      s.read.parquet(s"$path/sigs"),
-      s.read.parquet(s"$path/bands"))
+    (s.read.parquet(s"$root/exact"),
+      s.read.parquet(s"$root/sigs"),
+      s.read.parquet(s"$root/bands"))
   }
 
   /** Store maintenance — k8's shuffle-free compaction
@@ -536,14 +551,15 @@ object DedupOps extends OpModule {
   def compactFingerprintStore(s: SparkSession, path: String,
       targetBytes: Long = 16L * 1024 * 1024): Map[String, (Int, Int)] = {
     val fsys = graft.etl.StoreFs.fs(s, path)
-    healCrashedSwap(fsys, path) // a prior compaction may have crashed mid-swap
+    val root = resolveStoreRoot(fsys, path) // compose with a versioned store
+    healCrashedSwap(fsys, root) // a prior compaction may have crashed mid-swap
     Seq("exact", "sigs", "bands").map { t =>
-      val live = s"$path/$t"
+      val live = s"$root/$t"
       val before = graft.etl.StoreFs.parquetFiles(fsys, live)
       val totalBytes = before.map(_._2).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-      val tmp = s"$path/${t}_compacting"
-      val old = s"$path/${t}_old"
+      val tmp = s"$root/${t}_compacting"
+      val old = s"$root/${t}_old"
       s.read.parquet(live).coalesce(nOut).write.mode("overwrite").parquet(tmp)
       // swap via aside-rename, never delete-then-rename: at every
       // instant either `live` or `live_old` holds a complete table, so
@@ -566,6 +582,55 @@ object DedupOps extends OpModule {
       graft.etl.StoreFs.deleteRecursive(fsys, old)
       t -> ((before.length, graft.etl.StoreFs.parquetFiles(fsys, live).length))
     }.toMap
+  }
+
+  /** The OBJECT-STORE-SAFE compaction: where `rename` is copy+delete
+    * (s3a and friends), [[compactFingerprintStore]]'s aside-rename swap
+    * loses its either-old-or-new guarantee — so this variant performs
+    * ZERO renames of its own. It compacts the live tables into a fresh
+    * immutable `v<N>` version subdir, commits that version's
+    * [[graft.etl.StoreFs.Marker]] (carrying the live store's identity
+    * payload) strictly after the writes, and then flips the ONE
+    * `_CURRENT` pointer object — the same single-small-object commit
+    * every table format's maintenance ultimately rests on. Every store
+    * consumer resolves [[resolveStoreRoot]] first, so the flip retargets
+    * probes/roll-forward/compaction atomically; readers that already
+    * resolved keep their (immutable, never-deleted-here) old version —
+    * the same no-overwrite-under-a-reader posture as dd13's versioned
+    * eval staging. Crash windows: before the marker → debris dir,
+    * pointer unmoved, next run overwrites it; after the marker but
+    * before the flip → old version still served, next run re-runs and
+    * flips. Old versions are inert; prune them once no reader needs
+    * them. (Spark's own parquet task commits go through the cluster's
+    * configured output committer — cloud deployments use a
+    * manifest/"magic" committer there; this protocol adds no renames on
+    * top of it.)
+    */
+  def compactFingerprintStoreVersioned(s: SparkSession, path: String,
+      targetBytes: Long = 16L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val fsys = graft.etl.StoreFs.fs(s, path)
+    val live = resolveStoreRoot(fsys, path)
+    val identity = graft.etl.StoreFs.readMarker(fsys, live).getOrElse(
+      throw new IllegalStateException(
+        s"fingerprint store at $live has no ${graft.etl.StoreFs.Marker} " +
+          "marker — cannot compact an unstaged store"))
+    val nextN = graft.etl.StoreFs.readPointer(fsys, path) match {
+      case Some(v) => v.stripPrefix("v").toInt + 1
+      case None => 1
+    }
+    val next = s"$path/v$nextN"
+    val counts = Seq("exact", "sigs", "bands").map { t =>
+      val before = graft.etl.StoreFs.parquetFiles(fsys, s"$live/$t")
+      val nOut = math.max(1L,
+        (before.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+      s.read.parquet(s"$live/$t").coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$next/$t")
+      t -> ((before.length,
+        graft.etl.StoreFs.parquetFiles(fsys, s"$next/$t").length))
+    }.toMap
+    graft.etl.StoreFs.commitMarker(fsys, next, identity)
+    graft.etl.StoreFs.commitPointer(fsys, path, s"v$nextN")
+    counts
   }
 
   /** One verdict row per NEW-snapshot document, against a PRIOR store:

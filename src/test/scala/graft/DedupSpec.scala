@@ -390,6 +390,60 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "self-healed store must carry the complete previous sigs table")
   }
 
+  test("versioned compaction (object-store path): no rename, pointer flip, old version immutable") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"versioned doc $i body " + (s"v$i " * 8))).toDF("doc_id", "text")
+    val probe = (100 until 106).map(i =>
+      (i.toLong, s"versioned doc ${i - 100} body " + (s"v${i - 100} " * 8)))
+      .toDF("doc_id", "text")
+    val path = "file:" + java.nio.file.Files.createTempDirectory("dd9versioned")
+    val fsys = graft.etl.StoreFs.fs(spark, path)
+    // many-task write = the small-file state compaction exists for
+    // (written table-by-table so each table really is 8 files — the
+    // production writer shape; writeFingerprintStore's own job can
+    // AQE-coalesce to fewer at fixture size)
+    val (ex0, sg0, bd0) = DedupOps.fingerprintStore(spark, docs)
+    ex0.repartition(8).write.mode("overwrite").parquet(s"$path/exact")
+    sg0.repartition(8).write.mode("overwrite").parquet(s"$path/sigs")
+    bd0.repartition(8).write.mode("overwrite").parquet(s"$path/bands")
+    graft.etl.StoreFs.commitMarker(fsys, path, "corpus-v0")
+    def verdicts(): Seq[String] = {
+      val (ex, sg, bd) = DedupOps.readFingerprintStore(spark, path)
+      DedupOps.incrementalVerdicts(spark, probe, ex, sg, bd)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    val before = verdicts()
+    def files(dir: String): Seq[String] =
+      graft.etl.StoreFs.parquetFiles(fsys, dir).map(_._1).sorted
+    val flatSigs = files(s"$path/sigs")
+    val shrunk = DedupOps.compactFingerprintStoreVersioned(spark, path)
+    // pointer flipped to v1, files shrank, verdicts identical
+    assert(graft.etl.StoreFs.readPointer(fsys, path).contains("v1"))
+    shrunk.foreach { case (t, (n0, n1)) =>
+      assert(n1 < n0, s"$t: $n0 -> $n1 files (no shrink)") }
+    assert(graft.etl.StoreFs.readMarker(fsys, s"$path/v1").contains("corpus-v0"),
+      "new version must carry the live store's identity payload")
+    assert(verdicts() == before, "verdicts changed across versioned compaction")
+    // the flat v0 layout is untouched — a reader that resolved before
+    // the flip keeps a complete, immutable store (no rename, no delete)
+    assert(files(s"$path/sigs") == flatSigs,
+      "versioned compaction must not touch the previous version's files")
+    // crash window: a debris next-version dir with NO marker and NO
+    // pointer flip must be invisible to readers and overwritten by the
+    // next run
+    docs.limit(3).write.mode("overwrite").parquet(s"$path/v2/sigs")
+    assert(verdicts() == before, "unflipped debris version must not be read")
+    DedupOps.compactFingerprintStoreVersioned(spark, path)
+    assert(graft.etl.StoreFs.readPointer(fsys, path).contains("v2"))
+    assert(graft.etl.StoreFs.readMarker(fsys, s"$path/v2").contains("corpus-v0"))
+    assert(verdicts() == before, "verdicts changed after debris overwrite + flip")
+    // the in-place compactor composes with a versioned store: it
+    // resolves the pointer and compacts INSIDE the live version
+    DedupOps.compactFingerprintStore(spark, path)
+    assert(verdicts() == before, "in-place compaction on a versioned store broke verdicts")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
