@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   *   - object stores (s3a: …) — rename is copy+delete, NOT atomic. The
   *     marker protocol still makes the initial stage safe (readers
   *     require the marker, committed strictly after every table), but
-  *     in-place maintenance swaps must not run there: compact into a
-  *     NEW versioned store path and flip the pointer (the scaladoc on
+  *     in-place maintenance swaps must not run there: write a NEW
+  *     immutable `v<N>` version subdir and commit ITS marker — that
+  *     single new-object create is the version flip, resolved by
+  *     [[committedVersions]] (the scaladoc on
   *     [[graft.quality.DedupOps.compactFingerprintStore]]'s swap — at
   *     deployment scale the flip is a metastore/table-format pointer,
   *     which is exactly what this marker is a minimal stand-in for).
@@ -70,11 +72,8 @@ object StoreFs {
     * prior marker; create-then-close is the object-store-safe commit
     * (a marker object either exists complete or not at all).
     */
-  def commitMarker(fs: FileSystem, storePath: String, identity: String): Unit = {
-    val out = fs.create(new Path(storePath, Marker), true)
-    try out.write(identity.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def commitMarker(fs: FileSystem, storePath: String, identity: String): Unit =
+    writeSmall(fs, new Path(storePath, Marker), identity)
 
   /** The committed identity payload, or None if the store was never
     * fully staged (or a maintenance protocol that invalidates markers
@@ -83,23 +82,37 @@ object StoreFs {
   def readMarker(fs: FileSystem, storePath: String): Option[String] =
     readSmall(fs, new Path(storePath, Marker))
 
-  /** Name of the current-version pointer for VERSIONED stores (the
-    * object-store maintenance path, SCALING.md §store-commit): payload =
-    * the live version subdir name (`v1`, `v2`, …). A single small object
-    * written create-overwrite — the one "atomic pointer flip" every
-    * table format ultimately rests on — so maintenance needs NO rename:
-    * write the next version dir, commit its [[Marker]], flip this.
-    * Absent pointer ⇔ the store root itself is the live (flat v0)
-    * layout, which keeps every pre-versioning store readable.
+  /** Version numbers of the COMMITTED `v<N>` subdirs of a versioned
+    * store (the object-store maintenance path, SCALING.md
+    * §store-commit), ascending. Committed = the subdir carries its
+    * [[Marker]]; since the marker is written strictly after the
+    * version's tables, creating it IS the atomic version flip — the
+    * live root is simply the highest committed version (no mutable
+    * pointer object anywhere, so nothing is ever overwritten: a
+    * create-then-close of a NEW small object is the one primitive that
+    * is atomic-and-all-or-nothing on `file:`, HDFS, and object stores
+    * alike, where an overwritten pointer would be truncate-then-write
+    * on file:/HDFS with a visible empty window). Markerless `v<N>`
+    * debris from a crashed maintenance run is invisible here and gets
+    * overwritten by the next run. Empty ⇔ the store root itself is the
+    * live (flat v0) layout, which keeps every pre-versioning store
+    * readable. This listing-resolution is the HadoopCatalog-style
+    * minimal stand-in for a metastore/catalog pointer; the listing is
+    * one metadata call over a handful of subdirs, never a data scan.
     */
-  val Current = "_CURRENT"
+  def committedVersions(fs: FileSystem, storePath: String): Seq[Int] = {
+    val p = new Path(storePath)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.stripPrefix("v").toInt)
+      .filter(n => fs.exists(new Path(s"$storePath/v$n", Marker)))
+      .sorted
+  }
 
-  def readPointer(fs: FileSystem, storePath: String): Option[String] =
-    readSmall(fs, new Path(storePath, Current))
-
-  def commitPointer(fs: FileSystem, storePath: String, version: String): Unit = {
-    val out = fs.create(new Path(storePath, Current), true)
-    try out.write(version.getBytes(StandardCharsets.UTF_8))
+  private def writeSmall(fs: FileSystem, p: Path, payload: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 

@@ -467,22 +467,36 @@ object DedupOps extends OpModule {
     * ([[graft.etl.StoreFs]]), so `path` may carry any scheme — at corpus
     * scale the store lives on HDFS/object storage, not a local disk.
     *
-    * Commit protocol: the [[graft.etl.StoreFs.Marker]] is DELETED before
-    * the table writes and re-committed (with `identity`, e.g. the staged
-    * corpus fingerprint) strictly after all three complete, so a reader
-    * in ANY process either sees a fully-staged store or refuses — a
-    * crash mid-stage can never be probed as if it were complete.
+    * Commit protocol, matched to the layout [[resolveStoreRoot]] serves:
+    *   - flat store (no committed versions): the
+    *     [[graft.etl.StoreFs.Marker]] is DELETED before the table writes
+    *     and re-committed (with `identity`, e.g. the staged corpus
+    *     fingerprint) strictly after all three complete, so a reader in
+    *     ANY process either sees a fully-staged store or refuses — a
+    *     crash mid-stage can never be probed as if it were complete.
+    *   - VERSIONED store ([[compactFingerprintStoreVersioned]] or a
+    *     prior versioned restage has run): a restage never rewrites the
+    *     live root under its readers — it stages a NEW immutable
+    *     `v<N+1>` subdir and the marker commit is the atomic flip, so
+    *     writers and readers resolve the same root before AND after
+    *     (a flat rewrite here would be invisible behind the committed
+    *     version forever). Markerless debris from a crashed prior
+    *     restage is overwritten in place — it was never visible.
     */
   def writeFingerprintStore(s: SparkSession, docs: DataFrame, path: String,
       identity: String = ""): Unit = {
     val fsys = graft.etl.StoreFs.fs(s, path)
-    fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker),
-      false): Unit
+    val versions = graft.etl.StoreFs.committedVersions(fsys, path)
+    val target =
+      if (versions.isEmpty) path else s"$path/v${versions.max + 1}"
+    if (target == path) // in-place flat stage: readers must refuse mid-write
+      fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker),
+        false): Unit
     val (exact, sigs, bands) = fingerprintStore(s, docs)
-    exact.write.mode("overwrite").parquet(s"$path/exact")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    bands.write.mode("overwrite").parquet(s"$path/bands")
-    graft.etl.StoreFs.commitMarker(fsys, path, identity)
+    exact.write.mode("overwrite").parquet(s"$target/exact")
+    sigs.write.mode("overwrite").parquet(s"$target/sigs")
+    bands.write.mode("overwrite").parquet(s"$target/bands")
+    graft.etl.StoreFs.commitMarker(fsys, target, identity)
   }
 
   /** Self-heal a compaction that crashed BETWEEN its two swap renames:
@@ -503,18 +517,23 @@ object DedupOps extends OpModule {
           s"crash-recovery rename failed for $live")
     }
 
-  /** The store's LIVE root: the `_CURRENT` pointer's version subdir when
-    * one exists (a versioned store — [[compactFingerprintStoreVersioned]]
-    * has run), else the store path itself (the flat layout every store
-    * starts in). All store consumers resolve through this, so flipping
-    * the pointer retargets every probe/roll-forward/compaction at once —
-    * the minimal stand-in for a metastore pointer.
+  /** The store's LIVE root: the highest COMMITTED `v<N>` version subdir
+    * when any exists (a versioned store — a versioned restage or
+    * [[compactFingerprintStoreVersioned]] has run), else the store path
+    * itself (the flat layout every store starts in). "Committed" = the
+    * version carries its [[graft.etl.StoreFs.Marker]], written strictly
+    * after its tables — so the marker create IS the atomic version flip
+    * (one new-small-object write, atomic on file:/HDFS/object stores
+    * alike; see [[graft.etl.StoreFs.committedVersions]]). All store
+    * consumers — probe, restage, roll-forward, both compactions —
+    * resolve through this, so a commit retargets every one of them at
+    * once: the minimal stand-in for a metastore pointer.
     */
   def resolveStoreRoot(fsys: org.apache.hadoop.fs.FileSystem,
       path: String): String =
-    graft.etl.StoreFs.readPointer(fsys, path) match {
-      case Some(v) => s"$path/$v"
-      case None => path
+    graft.etl.StoreFs.committedVersions(fsys, path) match {
+      case Seq() => path
+      case vs => s"$path/v${vs.max}"
     }
 
   def readFingerprintStore(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
@@ -588,37 +607,41 @@ object DedupOps extends OpModule {
     * (s3a and friends), [[compactFingerprintStore]]'s aside-rename swap
     * loses its either-old-or-new guarantee — so this variant performs
     * ZERO renames of its own. It compacts the live tables into a fresh
-    * immutable `v<N>` version subdir, commits that version's
+    * immutable `v<N>` version subdir and commits that version's
     * [[graft.etl.StoreFs.Marker]] (carrying the live store's identity
-    * payload) strictly after the writes, and then flips the ONE
-    * `_CURRENT` pointer object — the same single-small-object commit
-    * every table format's maintenance ultimately rests on. Every store
-    * consumer resolves [[resolveStoreRoot]] first, so the flip retargets
-    * probes/roll-forward/compaction atomically; readers that already
-    * resolved keep their (immutable, never-deleted-here) old version —
-    * the same no-overwrite-under-a-reader posture as dd13's versioned
-    * eval staging. Crash windows: before the marker → debris dir,
-    * pointer unmoved, next run overwrites it; after the marker but
-    * before the flip → old version still served, next run re-runs and
-    * flips. Old versions are inert; prune them once no reader needs
-    * them. (Spark's own parquet task commits go through the cluster's
-    * configured output committer — cloud deployments use a
-    * manifest/"magic" committer there; this protocol adds no renames on
-    * top of it.)
+    * payload) strictly after the writes — that single new-small-object
+    * create IS the version flip (the commit every table format's
+    * maintenance ultimately rests on; [[resolveStoreRoot]] serves the
+    * highest committed version). Every store consumer resolves first, so
+    * the commit retargets probes/restage/roll-forward/compaction
+    * atomically; readers that already resolved keep their (immutable,
+    * never-deleted-here) old version — the same
+    * no-overwrite-under-a-reader posture as dd13's versioned eval
+    * staging. Crash window: a crash before the marker leaves a
+    * markerless debris dir — invisible to [[resolveStoreRoot]], served
+    * around, overwritten by the next run. Old versions are inert; prune
+    * them once no reader needs them. (Spark's own parquet task commits
+    * go through the cluster's configured output committer — cloud
+    * deployments use a manifest/"magic" committer there; this protocol
+    * adds no renames on top of it.)
     */
   def compactFingerprintStoreVersioned(s: SparkSession, path: String,
       targetBytes: Long = 16L * 1024 * 1024): Map[String, (Int, Int)] = {
     val fsys = graft.etl.StoreFs.fs(s, path)
-    val live = resolveStoreRoot(fsys, path)
+    // ONE versions listing decides both the live root and the next
+    // version number — two reads could straddle a concurrent commit and
+    // compact a stale root over a newer one
+    val versions = graft.etl.StoreFs.committedVersions(fsys, path)
+    val live = if (versions.isEmpty) path else s"$path/v${versions.max}"
+    // the live root may be a crashed IN-PLACE compaction's mid-swap
+    // state — every store consumer self-heals it (healCrashedSwap's
+    // contract), including this one
+    healCrashedSwap(fsys, live)
     val identity = graft.etl.StoreFs.readMarker(fsys, live).getOrElse(
       throw new IllegalStateException(
         s"fingerprint store at $live has no ${graft.etl.StoreFs.Marker} " +
           "marker — cannot compact an unstaged store"))
-    val nextN = graft.etl.StoreFs.readPointer(fsys, path) match {
-      case Some(v) => v.stripPrefix("v").toInt + 1
-      case None => 1
-    }
-    val next = s"$path/v$nextN"
+    val next = s"$path/v${versions.lastOption.getOrElse(0) + 1}"
     val counts = Seq("exact", "sigs", "bands").map { t =>
       val before = graft.etl.StoreFs.parquetFiles(fsys, s"$live/$t")
       val nOut = math.max(1L,
@@ -628,8 +651,7 @@ object DedupOps extends OpModule {
       t -> ((before.length,
         graft.etl.StoreFs.parquetFiles(fsys, s"$next/$t").length))
     }.toMap
-    graft.etl.StoreFs.commitMarker(fsys, next, identity)
-    graft.etl.StoreFs.commitPointer(fsys, path, s"v$nextN")
+    graft.etl.StoreFs.commitMarker(fsys, next, identity) // the flip
     counts
   }
 
@@ -1120,11 +1142,17 @@ object DedupOps extends OpModule {
           // kill -9), or a table dir pruned externally while the marker
           // survived. The marker alone is necessary but not sufficient:
           // checking only it left a marker-with-deleted-tables store
-          // permanently unreadable instead of self-healing.
+          // permanently unreadable instead of self-healing. Checked at
+          // the RESOLVED root — the same one readFingerprintStore will
+          // serve — so completeness and the subsequent read can never
+          // disagree about which layout they are talking about (a
+          // versioned-compacted eval store probes its live version; a
+          // restage stages the next one).
+          val root = resolveStoreRoot(fsys, vp)
           val complete =
-            graft.etl.StoreFs.readMarker(fsys, vp).contains(evalFp) &&
+            graft.etl.StoreFs.readMarker(fsys, root).contains(evalFp) &&
               Seq("exact", "sigs", "bands").forall(t =>
-                graft.etl.StoreFs.exists(fsys, s"$vp/$t"))
+                graft.etl.StoreFs.exists(fsys, s"$root/$t"))
           if (!complete) writeFingerprintStore(s, evalDocs, vp, identity = evalFp)
         }
         readFingerprintStore(s, vp)

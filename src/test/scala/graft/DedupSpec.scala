@@ -390,7 +390,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "self-healed store must carry the complete previous sigs table")
   }
 
-  test("versioned compaction (object-store path): no rename, pointer flip, old version immutable") {
+  test("versioned compaction (object-store path): no rename, marker-commit flip, old version immutable") {
     import spark.implicits._
     val docs = (0 until 30).map(i =>
       (i.toLong, s"versioned doc $i body " + (s"v$i " * 8))).toDF("doc_id", "text")
@@ -418,8 +418,8 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       graft.etl.StoreFs.parquetFiles(fsys, dir).map(_._1).sorted
     val flatSigs = files(s"$path/sigs")
     val shrunk = DedupOps.compactFingerprintStoreVersioned(spark, path)
-    // pointer flipped to v1, files shrank, verdicts identical
-    assert(graft.etl.StoreFs.readPointer(fsys, path).contains("v1"))
+    // marker commit flipped the live root to v1, files shrank, verdicts identical
+    assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v1")
     shrunk.foreach { case (t, (n0, n1)) =>
       assert(n1 < n0, s"$t: $n0 -> $n1 files (no shrink)") }
     assert(graft.etl.StoreFs.readMarker(fsys, s"$path/v1").contains("corpus-v0"),
@@ -429,19 +429,32 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // the flip keeps a complete, immutable store (no rename, no delete)
     assert(files(s"$path/sigs") == flatSigs,
       "versioned compaction must not touch the previous version's files")
-    // crash window: a debris next-version dir with NO marker and NO
-    // pointer flip must be invisible to readers and overwritten by the
-    // next run
+    // crash window: a debris next-version dir with NO marker (the
+    // commit never happened) must be invisible to readers and
+    // overwritten by the next run
     docs.limit(3).write.mode("overwrite").parquet(s"$path/v2/sigs")
-    assert(verdicts() == before, "unflipped debris version must not be read")
+    assert(verdicts() == before, "uncommitted debris version must not be read")
     DedupOps.compactFingerprintStoreVersioned(spark, path)
-    assert(graft.etl.StoreFs.readPointer(fsys, path).contains("v2"))
+    assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v2")
     assert(graft.etl.StoreFs.readMarker(fsys, s"$path/v2").contains("corpus-v0"))
     assert(verdicts() == before, "verdicts changed after debris overwrite + flip")
     // the in-place compactor composes with a versioned store: it
-    // resolves the pointer and compacts INSIDE the live version
+    // resolves the live version and compacts INSIDE it
     DedupOps.compactFingerprintStore(spark, path)
     assert(verdicts() == before, "in-place compaction on a versioned store broke verdicts")
+    // RESTAGE on a versioned store: the writer must resolve the same
+    // protocol the readers do — a new crawl snapshot stages v3 and the
+    // marker commit flips it; a flat-root rewrite here would be
+    // invisible behind the committed versions forever
+    val docs2 = (0 until 30).map(i =>
+      (i.toLong, s"restaged doc $i body " + (s"r$i " * 8))).toDF("doc_id", "text")
+    DedupOps.writeFingerprintStore(spark, docs2, path, identity = "corpus-v1")
+    assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v3")
+    assert(graft.etl.StoreFs.readMarker(fsys, s"$path/v3").contains("corpus-v1"))
+    val after = verdicts()
+    assert(after != before, "restaged store must serve the NEW snapshot's verdicts")
+    assert(after.forall(_.contains("kept")),
+      "no probe text exists in the restaged corpus — every verdict must be kept")
   }
 
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
