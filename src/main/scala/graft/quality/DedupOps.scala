@@ -655,6 +655,51 @@ object DedupOps extends OpModule {
     counts
   }
 
+  /** Retention for versioned stores — the lifecycle step the versioned
+    * protocol's "old versions are inert; prune them" promise needs as
+    * code. Deletes, oldest-first:
+    *   - committed versions BELOW the newest `keepLast` (the retention
+    *     window is the operator's promise to readers: a reader that
+    *     resolved an old version keeps its files only while the version
+    *     survives this window — size `keepLast` to the longest-running
+    *     probe);
+    *   - markerless debris dirs BELOW the live version (crashed
+    *     maintenance leftovers — invisible to [[resolveStoreRoot]] but
+    *     real bytes). Debris ABOVE the live version is NEVER touched:
+    *     that is an in-flight writer's next version.
+    *   - the flat v0 tables + marker once any committed version exists
+    *     (resolution never serves the flat root again — its tables are
+    *     the oldest inert version of all).
+    * Returns the deleted paths so the caller can audit the reclaim (the
+    * dd2/dd9 no-silent-action posture). The live version and the store
+    * marker protocol are untouched; a no-op on flat stores.
+    */
+  def pruneStoreVersions(s: SparkSession, path: String,
+      keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fsys = graft.etl.StoreFs.fs(s, path)
+    val versions = graft.etl.StoreFs.committedVersions(fsys, path)
+    if (versions.isEmpty) return Nil // flat store: nothing versioned to prune
+    val liveN = versions.max
+    val keep = versions.takeRight(keepLast).toSet
+    val staleCommitted = versions.filterNot(keep).map(n => s"$path/v$n")
+    // markerless debris strictly below the live version (listed once,
+    // from the same listing universe committedVersions uses)
+    val debris = fsys.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.stripPrefix("v").toInt)
+      .filter(n => n < liveN && !versions.contains(n))
+      .map(n => s"$path/v$n")
+    val flat = Seq("exact", "sigs", "bands").map(t => s"$path/$t")
+      .filter(graft.etl.StoreFs.exists(fsys, _)) ++
+      (if (graft.etl.StoreFs.readMarker(fsys, path).isDefined)
+         Seq(s"$path/${graft.etl.StoreFs.Marker}")
+       else Nil)
+    val doomed = staleCommitted ++ debris ++ flat
+    doomed.foreach(graft.etl.StoreFs.deleteRecursive(fsys, _))
+    doomed
+  }
+
   /** One verdict row per NEW-snapshot document, against a PRIOR store:
     *
     *   - `exact_prior` — content hash already in the store (anti-joined

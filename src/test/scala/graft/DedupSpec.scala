@@ -455,6 +455,23 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(after != before, "restaged store must serve the NEW snapshot's verdicts")
     assert(after.forall(_.contains("kept")),
       "no probe text exists in the restaged corpus — every verdict must be kept")
+    // RETENTION: v1/v2/v3 committed, flat tables inert. Plant markerless
+    // debris on BOTH sides of the live version: below (crashed leftover,
+    // prunable) and above (an in-flight writer's next version — must
+    // survive). keepLast=2 keeps v2+v3, reclaims v1 + flat + low debris.
+    docs.limit(2).write.mode("overwrite").parquet(s"$path/v0/sigs")
+    docs.limit(2).write.mode("overwrite").parquet(s"$path/v4/sigs")
+    val reclaimed = DedupOps.pruneStoreVersions(spark, path, keepLast = 2)
+    assert(reclaimed.toSet ==
+      Set(s"$path/v1", s"$path/v0", s"$path/exact", s"$path/sigs",
+        s"$path/bands", s"$path/${graft.etl.StoreFs.Marker}"),
+      s"unexpected reclaim set: $reclaimed")
+    assert(!graft.etl.StoreFs.exists(fsys, s"$path/v1"))
+    assert(graft.etl.StoreFs.exists(fsys, s"$path/v2"), "retention window must survive")
+    assert(graft.etl.StoreFs.exists(fsys, s"$path/v4/sigs"),
+      "debris above the live version is an in-flight writer — never pruned")
+    assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v3")
+    assert(verdicts() == after, "pruning must not change served verdicts")
   }
 
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
