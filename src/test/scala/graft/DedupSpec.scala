@@ -325,6 +325,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(markerMtime() == t0, "restage of a NEW eval corpus touched the old version")
     assert(strs(stagedDf) == staged,
       "pre-change verdict DataFrame no longer readable after restage")
+    // VERSIONED MAINTENANCE composes with eval staging: compact the
+    // first eval store's subdir into v1 and prune its now-inert flat
+    // tables — the next probe must serve the compacted version WITHOUT
+    // restaging. (Pre-fix, the completeness check probed the FLAT
+    // layout while readers resolved the version: pruning the flat
+    // tables triggered a useless flat restage on every run, served to
+    // no one — the review scenario this pins.)
+    DedupOps.compactFingerprintStoreVersioned(spark, v1.toString)
+    val pruned = DedupOps.pruneStoreVersions(spark, v1.toString, keepLast = 1)
+    assert(pruned.exists(_.endsWith("/sigs")), s"flat tables not reclaimed: $pruned")
+    val v1live = DedupOps.resolveStoreRoot(fsys, v1.toString)
+    assert(v1live == s"$v1/v1")
+    def liveMarkerMtime(): Long = fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(v1live, graft.etl.StoreFs.Marker))
+      .getModificationTime
+    val tc = liveMarkerMtime()
+    assert(strs(DedupOps.contaminationVerdicts(spark, train, eval, Some(path))) == staged,
+      "verdicts changed across versioned compaction + flat prune of the eval store")
+    assert(liveMarkerMtime() == tc,
+      "probe restaged a complete versioned eval store instead of serving it")
   }
 
   test("partial eval store (marker deleted) is never silently probed: read fails, verdict path restages") {
