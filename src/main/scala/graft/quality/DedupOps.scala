@@ -678,18 +678,22 @@ object DedupOps extends OpModule {
       keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fsys = graft.etl.StoreFs.fs(s, path)
-    val versions = graft.etl.StoreFs.committedVersions(fsys, path)
+    // ONE directory listing decides everything (the same single-read
+    // posture as the versioned compactor): version dirs partitioned by
+    // marker presence, so committed/debris can never disagree about
+    // which listing they came from
+    val vDirs = fsys.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.stripPrefix("v").toInt)
+    val (versions, markerless) = vDirs.sorted.partition(n =>
+      graft.etl.StoreFs.exists(fsys, s"$path/v$n/${graft.etl.StoreFs.Marker}"))
     if (versions.isEmpty) return Nil // flat store: nothing versioned to prune
     val liveN = versions.max
     val keep = versions.takeRight(keepLast).toSet
     val staleCommitted = versions.filterNot(keep).map(n => s"$path/v$n")
-    // markerless debris strictly below the live version (listed once,
-    // from the same listing universe committedVersions uses)
-    val debris = fsys.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .map(_.getPath.getName.stripPrefix("v").toInt)
-      .filter(n => n < liveN && !versions.contains(n))
-      .map(n => s"$path/v$n")
+    // markerless debris strictly below the live version; above it is an
+    // in-flight writer's next version — never touched
+    val debris = markerless.filter(_ < liveN).map(n => s"$path/v$n")
     val flat = Seq("exact", "sigs", "bands").map(t => s"$path/$t")
       .filter(graft.etl.StoreFs.exists(fsys, _)) ++
       (if (graft.etl.StoreFs.readMarker(fsys, path).isDefined)
@@ -1192,7 +1196,10 @@ object DedupOps extends OpModule {
           // serve — so completeness and the subsequent read can never
           // disagree about which layout they are talking about (a
           // versioned-compacted eval store probes its live version; a
-          // restage stages the next one).
+          // restage stages the next one). readFingerprintStore re-resolves
+          // below — a commit landing between the two resolutions can only
+          // move the root to a NEWER complete version of the SAME corpus
+          // (vp is corpus-fingerprint-keyed), so the race is benign.
           val root = resolveStoreRoot(fsys, vp)
           val complete =
             graft.etl.StoreFs.readMarker(fsys, root).contains(evalFp) &&
