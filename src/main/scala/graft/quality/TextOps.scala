@@ -1016,7 +1016,32 @@ object TextOps extends OpModule {
           col("y").cast("long").as("n_syllables"),
           round(lit(206.835) - lit(1.015) * (col("w").cast("double") / col("s"))
             - lit(84.6) * (col("y").cast("double") / col("w")), 9).as("flesch"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // x23 — DSIR-style data selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): fit two hashed
+    // n-gram bag-of-words models — one on the TARGET domain (here the
+    // `lang = 'en'` slice, standing in for the high-quality reference
+    // corpus), one on the full RAW pool — and score every document by
+    // its log importance weight Σ_grams [ln p̂_target(bucket) −
+    // ln p̂_raw(bucket)] under add-1 smoothing; the selection keeps the
+    // fixed budget of top-k weights (the deterministic top-k variant of
+    // the paper's Gumbel draw — rank noise replaced by the (weight,
+    // doc_id) total order, which is what makes the draw
+    // retry/repartition-stable AND cross-engine-exact). Grams are
+    // unigrams + word bigrams hashed into 256 buckets via the shared
+    // md5→U32Fold spelling. Arithmetic posture: the ONLY float step is
+    // the per-BUCKET ln, rounded at 9 decimals into DECIMAL(28,9) (the
+    // nn7/v5b precedent — ulp-level engine disagreement cannot cross a
+    // 1e-9 boundary except at ~1e-7 odds per value, and only ~514
+    // distinct values exist); every per-DOC sum is then exact decimal
+    // arithmetic, order-free on any engine. Scale shape: the gram table
+    // is checkpointed once (one tokenize+md5 pass feeds both the LM fit
+    // and the scoring), the LM is 256 rows → broadcast, scoring is one
+    // per-doc partial-aggregated shuffle, and the selection is a
+    // TakeOrdered(k) — no global sort ever sees data cardinality.
+    Q("x23_dsir_select", Some(dsirOracleSql),
+      (s, dir) => dsirSelect(s, dir))
   )
 
   /** x19 implementation — see the Q above for the scale argument. */
@@ -1055,6 +1080,102 @@ object TextOps extends OpModule {
       .select(col("doc_id"), col("lang"), col("quality"), col("bucket"))
       .orderBy("doc_id")
   }
+
+  /** x23 implementation — see the Q above for the semantics and scale
+    * argument. `buckets` is the hashed-feature dimensionality, `k` the
+    * fixed selection budget; the query uses the defaults, specs shrink
+    * `k` to exercise the cut on small fixtures.
+    */
+  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 256,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables(s, dir, "documents")
+    val t0 = docs.select(col("doc_id"), col("lang"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    val uni = t0.select(col("doc_id"), col("lang"),
+      explode(col("toks")).as("gram"))
+    val bi = t0.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2)))).as("gram"))
+    val gb = uni.unionAll(bi)
+      .withColumn("h", substring(md5(concat(col("gram"), lit("|dsir/9"))), 1, 8))
+      .select(col("doc_id"), col("lang"),
+        (expr(graft.U32Fold.convExpr) % buckets).cast("int").as("b"))
+      .localCheckpoint(true) // one tokenize+hash pass feeds LM fit AND scoring
+    val hist = gb.groupBy("b").agg(
+      count(lit(1)).as("rc"),
+      count(when(col("lang") === "en", 1)).as("tc"))
+    val tot = hist.agg(sum("rc").cast("long").as("rtot"),
+      sum("tc").cast("long").as("ttot"))
+    // the one float step: ln of an INTEGER count, rounded at 9 into
+    // decimal — everything downstream is exact decimal arithmetic
+    def l9(c: Column): Column =
+      round(log(c.cast("double")), 9).cast(DecimalType(28, 9))
+    val ltab = hist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (l9(col("tc") + 1) - l9(col("rc") + 1)
+          + l9(col("rtot") + buckets) - l9(col("ttot") + buckets))
+          .cast(DecimalType(28, 9)).as("dl"))
+    val scored = docs.select(col("doc_id"))
+      .join(gb.join(broadcast(ltab), Seq("b"))
+        .groupBy("doc_id").agg(sum("dl").as("w")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // decimal accumulation, DOUBLE emission (the a12–a14 posture):
+        // k·1e-9 → double is correctly rounded identically on any engine
+        coalesce(col("w"), lit(BigDecimal(0)).cast(DecimalType(38, 9)))
+          .cast("double").as("dsir_logw"))
+      .localCheckpoint(true) // feeds the top-k draw AND the verdict join
+    val sel = scored.orderBy(col("dsir_logw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id").as("sel_id"))
+    scored.join(broadcast(sel), scored("doc_id") === sel("sel_id"), "left")
+      .select(col("doc_id"), col("dsir_logw"),
+        col("sel_id").isNotNull.as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dsirSelect]] (buckets = 256, k = 64): the same
+    * gram → md5 → U32Fold bucket chain, the same add-1 ln table rounded
+    * at 9 into DECIMAL(28,9), the same decimal per-doc sums and the same
+    * (weight desc, doc_id) top-k cut.
+    */
+  private def dsirOracleSql: String =
+    s"""WITH t0 AS (SELECT doc_id, lang,
+       |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |      FROM documents),
+       |g AS (SELECT doc_id, lang, unnest(toks) AS gram FROM t0
+       |      UNION ALL
+       |      SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |      FROM t0 WHERE len(toks) >= 2),
+       |gb AS (SELECT doc_id, lang,
+       |         CAST(${graft.U32Fold.sql.replace("\n", " ")} % 256 AS INTEGER) AS b
+       |       FROM (SELECT doc_id, lang,
+       |               substr(md5(gram || '|dsir/9'), 1, 8) AS h FROM g)),
+       |hist AS (SELECT b, count(*) AS rc,
+       |           count(*) FILTER (WHERE lang = 'en') AS tc
+       |         FROM gb GROUP BY b),
+       |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+       |               CAST(sum(tc) AS BIGINT) AS ttot FROM hist),
+       |l AS (SELECT b, CAST(
+       |          CAST(round(ln(tc + 1), 9) AS DECIMAL(28,9))
+       |        - CAST(round(ln(rc + 1), 9) AS DECIMAL(28,9))
+       |        + CAST(round(ln(rtot + 256), 9) AS DECIMAL(28,9))
+       |        - CAST(round(ln(ttot + 256), 9) AS DECIMAL(28,9))
+       |        AS DECIMAL(28,9)) AS dl
+       |      FROM hist CROSS JOIN tot),
+       |sc AS (SELECT gb.doc_id, sum(l.dl) AS w
+       |       FROM gb JOIN l USING (b) GROUP BY gb.doc_id),
+       |scored AS (SELECT d.doc_id,
+       |             CAST(coalesce(sc.w, CAST(0 AS DECIMAL(38,9))) AS DOUBLE)
+       |               AS dsir_logw
+       |           FROM documents d LEFT JOIN sc USING (doc_id)),
+       |sel AS (SELECT doc_id FROM scored
+       |        ORDER BY dsir_logw DESC, doc_id LIMIT 64)
+       |SELECT s.doc_id, s.dsir_logw, sel.doc_id IS NOT NULL AS kept
+       |FROM scored s LEFT JOIN sel ON s.doc_id = sel.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   /** x18b implementation — see the Q above for the scale argument. */
   def temperatureThreshold(s: SparkSession, dir: String): DataFrame = {

@@ -297,7 +297,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "x6_string_funcs" -> 1,
     "x7_seq_packing" -> 2,
     "x8_split_assign" -> 2,
-    "x9_decontaminate" -> 4)
+    "x9_decontaminate" -> 4,
+    // x23: LM-fit histogram groupBy (+ its single-row total agg) and the
+    // per-doc score agg + docs left join + final sort over the
+    // checkpointed gram/score tables; the 256-row log table and the
+    // top-k verdict arrive by broadcast
+    "x23_dsir_select" -> 6)
 
   private val exempt = Set("dd9_incremental_dedup")
 
