@@ -39,6 +39,19 @@ object StoreFs {
     */
   val Marker = "_STAGED"
 
+  /** Name of the per-version writer-claim file: created with
+    * create-exclusive semantics BEFORE any data is staged into `v<N>`,
+    * so exactly one writer ever writes a given version number — the
+    * missing CAS in the read-versions-then-stage protocol (two
+    * concurrent compactors/restagers could both elect `v<N+1>`, write
+    * interleaved part files into the SAME directory, and "commit" a
+    * silently mixed table). Carries the owner's identity for
+    * post-mortems. Invisible to [[committedVersions]] (which tests only
+    * [[Marker]]) and harmless to readers (it sits beside the table
+    * dirs, not inside them).
+    */
+  val Claim = "_CLAIM"
+
   def fs(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -109,6 +122,59 @@ object StoreFs {
       .filter(n => fs.exists(new Path(s"$storePath/v$n", Marker)))
       .sorted
   }
+
+  /** Atomically claim exclusive write ownership of `v<n>` under
+    * `storePath`. True ⇔ THIS caller created the claim file — the one
+    * create-exclusive primitive each filesystem class offers (POSIX
+    * `O_EXCL` via `File.createNewFile` on `file:`, an atomic namespace
+    * create on HDFS, a conditional/If-None-Match put on object stores —
+    * at deployment scale this claim is a metastore CAS, which the
+    * create-exclusive marker is the minimal stand-in for). False ⇔
+    * another writer holds the version number; callers move to the next
+    * number ([[claimNextVersion]]) — the lose-cleanly path, never a
+    * shared staging dir.
+    */
+  def claimVersion(fs: FileSystem, storePath: String, n: Int,
+      owner: String): Boolean = {
+    val dir = new Path(s"$storePath/v$n")
+    fs.mkdirs(dir): Unit // mkdirs is idempotent; the CLAIM create is the race decider
+    val p = new Path(dir, Claim)
+    val won =
+      if (fs.getScheme == "file")
+        // RawLocalFileSystem's create(overwrite=false) is check-then-act;
+        // java.io.File.createNewFile is the real O_EXCL atomic create
+        new java.io.File(p.toUri.getPath).createNewFile()
+      else
+        try { fs.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    if (won) writeSmall(fs, p, owner) // exclusively ours now — record who
+    won
+  }
+
+  /** First version number ≥ `from` this writer exclusively claims.
+    * Bounded: pathological contention (or a filesystem whose
+    * create-exclusive lies) fails loudly instead of spinning.
+    */
+  def claimNextVersion(fs: FileSystem, storePath: String, from: Int,
+      owner: String, maxAttempts: Int = 64): Int = {
+    var k = from
+    while (k < from + maxAttempts) {
+      if (claimVersion(fs, storePath, k, owner)) return k
+      k += 1
+    }
+    throw new IllegalStateException(
+      s"could not claim a store version under $storePath after " +
+        s"$maxAttempts attempts from v$from — writer contention or a " +
+        "filesystem without create-exclusive semantics")
+  }
+
+  /** Default owner identity for version claims: host, pid, thread. */
+  def ownerId(): String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${ProcessHandle.current().pid()}:t${Thread.currentThread().getId}"
 
   private def writeSmall(fs: FileSystem, p: Path, payload: String): Unit = {
     val out = fs.create(p, true)

@@ -480,15 +480,27 @@ object DedupOps extends OpModule {
     *     `v<N+1>` subdir and the marker commit is the atomic flip, so
     *     writers and readers resolve the same root before AND after
     *     (a flat rewrite here would be invisible behind the committed
-    *     version forever). Markerless debris from a crashed prior
-    *     restage is overwritten in place — it was never visible.
+    *     version forever). The version number is CLAIMED atomically
+    *     ([[graft.etl.StoreFs.claimVersion]]) before staging, so
+    *     concurrent restagers get disjoint dirs; a crashed claim's
+    *     markerless debris keeps its number (claims are never reused)
+    *     and is reclaimed by [[pruneStoreVersions]] once shadowed.
     */
   def writeFingerprintStore(s: SparkSession, docs: DataFrame, path: String,
       identity: String = ""): Unit = {
     val fsys = graft.etl.StoreFs.fs(s, path)
     val versions = graft.etl.StoreFs.committedVersions(fsys, path)
+    // versioned layout: CLAIM the next number before staging — two
+    // concurrent restagers each get a private version dir and the
+    // higher claim wins at resolution (claim order, not commit order,
+    // is the linearization: a slow lower-claim commit lands already
+    // shadowed, never interleaved). Flat layout keeps its original
+    // single-writer in-place protocol (the claim has nothing to
+    // serialize there — the root itself is the target).
     val target =
-      if (versions.isEmpty) path else s"$path/v${versions.max + 1}"
+      if (versions.isEmpty) path
+      else s"$path/v${graft.etl.StoreFs.claimNextVersion(fsys, path,
+        versions.max + 1, graft.etl.StoreFs.ownerId())}"
     if (target == path) // in-place flat stage: readers must refuse mid-write
       fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker),
         false): Unit
@@ -641,7 +653,14 @@ object DedupOps extends OpModule {
       throw new IllegalStateException(
         s"fingerprint store at $live has no ${graft.etl.StoreFs.Marker} " +
           "marker — cannot compact an unstaged store"))
-    val next = s"$path/v${versions.lastOption.getOrElse(0) + 1}"
+    // CLAIM the output version before writing a byte into it: two
+    // concurrent compactors (or a compactor racing a restager) each own
+    // a private immutable version dir instead of interleaving part
+    // files under one shared v<N+1> (StoreFs.Claim scaladoc). Both
+    // inputs compact the same resolved live root, so whichever claim is
+    // higher serves — the loser's version is correct, merely shadowed.
+    val next = s"$path/v${graft.etl.StoreFs.claimNextVersion(fsys, path,
+      versions.lastOption.getOrElse(0) + 1, graft.etl.StoreFs.ownerId())}"
     val counts = Seq("exact", "sigs", "bands").map { t =>
       val before = graft.etl.StoreFs.parquetFiles(fsys, s"$live/$t")
       val nOut = math.max(1L,

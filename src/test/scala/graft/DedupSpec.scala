@@ -494,6 +494,76 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(verdicts() == after, "pruning must not change served verdicts")
   }
 
+  test("concurrent writers on a versioned store: atomic claims, one winner, zero partial reads") {
+    import spark.implicits._
+    val docs = (0 until 24).map(i =>
+      (i.toLong, s"claim doc $i body " + (s"c$i " * 8))).toDF("doc_id", "text")
+    val probe = (100 until 106).map(i =>
+      (i.toLong, s"claim doc ${i - 100} body " + (s"c${i - 100} " * 8)))
+      .toDF("doc_id", "text")
+    val path = "file:" + java.nio.file.Files.createTempDirectory("dd9claims")
+    val fsys = graft.etl.StoreFs.fs(spark, path)
+    DedupOps.writeFingerprintStore(spark, docs, path, identity = "snap0")
+    DedupOps.compactFingerprintStoreVersioned(spark, path) // → versioned, live=v1
+    assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v1")
+    def verdictsOf(ex: org.apache.spark.sql.DataFrame,
+        sg: org.apache.spark.sql.DataFrame,
+        bd: org.apache.spark.sql.DataFrame): Seq[String] =
+      DedupOps.incrementalVerdicts(spark, probe, ex, sg, bd)
+        .collect().map(_.toString).toSeq.sorted
+    def servedVerdicts(): Seq[String] = {
+      val (ex, sg, bd) = DedupOps.readFingerprintStore(spark, path)
+      verdictsOf(ex, sg, bd)
+    }
+    val before = servedVerdicts()
+    // protocol level: both writers resolve live=v1, then race the v2
+    // claim — the create-exclusive file admits exactly one
+    assert(graft.etl.StoreFs.claimVersion(fsys, path, 2, "writerA"),
+      "first claim of v2 must win")
+    assert(!graft.etl.StoreFs.claimVersion(fsys, path, 2, "writerB"),
+      "second claim of the SAME version must lose")
+    assert(graft.etl.StoreFs.claimNextVersion(fsys, path, 2, "writerB") == 3,
+      "the loser must move to the next free number, not share v2")
+    // claims alone are invisible: no marker, so readers still serve v1
+    assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v1")
+    assert(servedVerdicts() == before,
+      "claimed-but-unstaged versions must not change served verdicts")
+    // end-to-end: two REAL writers restage different snapshots
+    // concurrently through the public API (claims v4/v5 — v2/v3 are
+    // burned above; numbers are never reused, that is the point)
+    val snapA = (0 until 24).map(i =>
+      (i.toLong, s"writerA doc $i body " + (s"a$i " * 8))).toDF("doc_id", "text")
+    val snapB = (0 until 24).map(i =>
+      (i.toLong, s"writerB doc $i body " + (s"b$i " * 8))).toDF("doc_id", "text")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(("snapA", snapA), ("snapB", snapB)).map { case (id, df) =>
+      new Thread(() =>
+        try DedupOps.writeFingerprintStore(spark, df, path, identity = id)
+        catch { case t: Throwable => errs.add(t): Unit })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent restage failed: ${errs.peek()}")
+    val vs = graft.etl.StoreFs.committedVersions(fsys, path)
+    assert(vs.size == 3 && vs.distinct == vs && vs.max >= 5,
+      s"both writers must commit DISTINCT new versions, got $vs")
+    // the winner (highest claim) serves, and its store is internally
+    // consistent: identity names one writer and the verdicts parity-match
+    // a from-scratch in-memory store of that writer's snapshot — an
+    // interleaved table mix would break this
+    val live = DedupOps.resolveStoreRoot(fsys, path)
+    val id = graft.etl.StoreFs.readMarker(fsys, live).get
+    assert(Set("snapA", "snapB").contains(id), s"unexpected winner identity $id")
+    val (wex, wsg, wbd) =
+      DedupOps.fingerprintStore(spark, if (id == "snapA") snapA else snapB)
+    assert(servedVerdicts() == verdictsOf(wex, wsg, wbd),
+      "winner's served store must parity-match a single-writer stage of its snapshot")
+    // the shadowed loser is complete too (committed marker + all tables)
+    val loser = vs.filter(v => s"$path/v$v" != live).max
+    assert(Seq("exact", "sigs", "bands").forall(t =>
+      graft.etl.StoreFs.exists(fsys, s"$path/v$loser/$t")),
+      "the shadowed writer's version must still be a complete store")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
