@@ -233,6 +233,13 @@ object RelationalOps extends OpModule {
           .orderBy("c_custkey")
       }),
 
+    // J10 — salted join over a planted hot key (70% of lineitem on one
+    // key): the explicit skew defense for dims too big to broadcast,
+    // run under the driver's correctness + bench gates (machinery and
+    // plan-shape pins live in SkewJoin / SkewJoinSpec).
+    Q("j10_skew_salted", Some(SkewJoin.skewedSaltedAggSql),
+      (s, dir) => SkewJoin.skewedSaltedAgg(s, dir)),
+
     // V4 — flagship multi-way equi-join (triplet formation analog).
     Q("v4_triplet_join", Some(flagshipSql), (s, dir) => flagship(s, dir)),
 

@@ -21,6 +21,40 @@ class SkewJoinSpec extends AnyFunSuite with SparkSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("j10: the oracled query engages the salted shuffled join — salt in the keys, no broadcast") {
+    val q = SkewJoin.skewedSaltedAgg(spark, sf)
+    q.write.format("noop").mode("overwrite").save() // settle AQE to the final plan
+    val plan = q.queryExecution.executedPlan.toString
+    // the dim is NOT broadcast (the regime the salted path exists for)…
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dim was broadcast — the salted shuffle regime never engaged:\n$plan")
+    // …the join is a shuffled join whose keys carry the salt…
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"no shuffled join in the executed plan:\n$plan")
+    assert(plan.contains("__salt"),
+      s"salt column absent from the executed plan's join keys:\n$plan")
+    // …and the planted hot key is really split: its rows land on many
+    // distinct (key, salt) shuffle keys instead of one hot reducer key
+    val hotSalts = SkewJoin.saltedJoin(
+      graft.Tables(spark, sf, "lineitem").select(
+        when(col("l_orderkey") % 10 < 7, lit(0L))
+          .otherwise(col("l_orderkey") % 997).as("hk")),
+      graft.Tables(spark, sf, "part")
+        .groupBy((col("p_partkey") % 997).as("k")).agg(count(lit(1)).as("dim_n"))
+        .hint("shuffle_hash"),
+      col("hk"), col("k"), salts = 32)
+    // peek under the drop(): recompute the salted big side alone
+    val spread = graft.Tables(spark, sf, "lineitem")
+      .select(when(col("l_orderkey") % 10 < 7, lit(0L))
+        .otherwise(col("l_orderkey") % 997).as("hk"))
+      .withColumn("__salt", (rand(42L) * 32).cast("int"))
+      .filter(col("hk") === 0L)
+      .select("__salt").distinct().count()
+    assert(spread >= 16, s"hot key spread over only $spread/32 salts")
+    assert(!hotSalts.columns.contains("__salt"),
+      "salt column must not leak into the salted-join output")
+  }
+
   test("AQE splits the skewed partition at runtime — the first-line skew defense") {
     import spark.implicits._
     // SCALING.md names AQE skew-join as the first line and saltedJoin as
