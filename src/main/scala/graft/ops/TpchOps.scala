@@ -517,17 +517,30 @@ object TpchOps extends OpModule {
         |        FROM lineitem) * 13
         |ORDER BY l_partkey""".stripMargin),
       (s, dir) => {
-        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q11_lineitem")
-        s.sql(
-          """SELECT l_partkey,
-            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
-            |FROM graft_q11_lineitem
-            |GROUP BY l_partkey
-            |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) *
-            |       (SELECT count(DISTINCT l_partkey) FROM graft_q11_lineitem) * 10
-            |     > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-            |        FROM graft_q11_lineitem) * 13
-            |ORDER BY l_partkey""".stripMargin)
+        // ONE lineitem scan + ONE shuffle: the declarative HAVING form
+        // (kept as the oracle) costs three scans — the main groupBy plus
+        // two scalar subqueries, one of them a full COUNT(DISTINCT) over
+        // lineitem. But every global the threshold needs is derivable
+        // from the per-partkey aggregate itself: distinct-partkey count
+        // = number of groups, global cents = sum of group cents. So the
+        // globals re-aggregate the ~|parts| grouped rows (not the fact
+        // table) and broadcast back as a one-row threshold. The grouped
+        // table is eagerly checkpoint-materialized so BOTH consumers
+        // (threshold agg, filter) read it without re-deriving — exchange
+        // reuse alone cannot share the subtree because column pruning
+        // specializes the threshold branch to a different aggregate.
+        // One row per part is the small side at any corpus scale
+        // (measured sf0.1 isolated reps=3: 3.49 s → 1.51 s).
+        val per = Tables(s, dir, "lineitem").groupBy("l_partkey").agg(
+          graft.Dec.dsum(col("l_extendedprice")).as("part_value"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+          .localCheckpoint(true)
+        val threshold = per.agg(sum("cents").as("tot_cents"),
+          count(lit(1)).as("n_parts"))
+        per.crossJoin(broadcast(threshold))
+          .filter(col("cents") * col("n_parts") * 10 > col("tot_cents") * 13)
+          .select(col("l_partkey"), col("part_value"))
+          .orderBy("l_partkey")
       }),
 
     // Q19 discounted-revenue shape: the DISJUNCTION-OF-CONJUNCTIONS join
