@@ -1083,13 +1083,22 @@ object TextOps extends OpModule {
 
   /** x23 implementation — see the Q above for the semantics and scale
     * argument. `buckets` is the hashed-feature dimensionality, `k` the
-    * fixed selection budget; the query uses the defaults, specs shrink
-    * `k` to exercise the cut on small fixtures.
+    * fixed selection budget; the query uses the defaults,
+    * QualityScaleSpec shrinks `k` through [[dsirSelectOf]] to exercise the cut (and its
+    * doc_id tiebreak) on a small fixture with a planted weight tie at
+    * the boundary.
     */
   def dsirSelect(s: SparkSession, dir: String, buckets: Int = 256,
+      k: Int = 64): DataFrame =
+    dsirSelectOf(s, Tables(s, dir, "documents"), buckets, k)
+
+  /** As [[dsirSelect]] but over an arbitrary (doc_id, lang, text, …)
+    * frame — the injection point small-fixture specs need to plant
+    * weight ties at the top-k boundary.
+    */
+  def dsirSelectOf(s: SparkSession, docs: DataFrame, buckets: Int = 256,
       k: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val docs = Tables(s, dir, "documents")
     val t0 = docs.select(col("doc_id"), col("lang"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
     val uni = t0.select(col("doc_id"), col("lang"),

@@ -83,4 +83,30 @@ class QualityScaleSpec extends AnyFunSuite with SparkSuite {
         s"$lang: threshold selection $got vs exact quota $keepN exceeds ±$tol")
     }
   }
+
+  test("x23: reduced-k dsir cut with a planted weight tie straddling the boundary") {
+    import spark.implicits._
+    // seven identical docs (identical gram multiset ⇒ identical DSIR
+    // weight) plus one distinct doc: whichever side of the tie group
+    // the lone doc sorts to, positions k-1 and k of the (weight desc,
+    // doc_id) order both land INSIDE the tie group at k=3, so the cut
+    // is decided by the doc_id tiebreak alone — the exact edge the
+    // deterministic ORDER BY exists for.
+    val docs = ((1 to 7).map(i =>
+      (i.toLong, "en", "alpha beta gamma delta epsilon")) :+
+      (8L, "en", "totally different words here now")).toDF("doc_id", "lang", "text")
+    val k = 3
+    val res = TextOps.dsirSelectOf(spark, docs, k = k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(res.length == 8)
+    val byCut = res.sortBy { case (id, w, _) => (-w, id) }
+    val tied = res.filter(_._1 <= 7).map(_._2).distinct
+    assert(tied.length == 1, s"identical docs must tie exactly, got $tied")
+    assert(byCut(k - 1)._2 == byCut(k)._2,
+      "fixture must place a weight tie exactly at the k boundary")
+    val kept = res.filter(_._3).map(_._1).toSet
+    assert(kept == byCut.take(k).map(_._1).toSet,
+      s"kept set $kept must be the top-$k by (weight desc, doc_id)")
+    assert(kept.size == k)
+  }
 }
