@@ -564,6 +564,63 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "the shadowed writer's version must still be a complete store")
   }
 
+  test("concurrent writers across TWO JVMs: disjoint claims, one winner, store stays readable") {
+    import spark.implicits._
+    val docs = (0 until 24).map(i =>
+      (i.toLong, s"race doc $i body " + (s"base$i " * 8))).toDF("doc_id", "text")
+    val path = "file:" + java.nio.file.Files.createTempDirectory("dd9race")
+    val fsys = graft.etl.StoreFs.fs(spark, path)
+    DedupOps.writeFingerprintStore(spark, docs, path, identity = "base")
+    DedupOps.compactFingerprintStoreVersioned(spark, path) // → versioned, live=v1
+    // fork a REAL second JVM staging the same path: same classpath and
+    // module flags as this (forked) test JVM, so Spark boots identically
+    val jvm = System.getProperty("java.home") + "/bin/java"
+    val flags = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val cmd = Seq(jvm) ++ flags ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.tools.StoreRaceProbe", path, "otherJvm", "theirs")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    // race it from THIS process while the child boots and stages
+    DedupOps.writeFingerprintStore(spark,
+      (0 until 24).map(i => (i.toLong, s"race doc $i body " + (s"ours$i " * 8)))
+        .toDF("doc_id", "text"),
+      path, identity = "thisJvm")
+    val out = new String(proc.getInputStream.readAllBytes,
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "second JVM did not finish")
+    assert(proc.exitValue() == 0, s"second JVM failed:\n${out.takeRight(4000)}")
+    val theirVersion = out.linesIterator.find(_.startsWith("RACE_COMMITTED"))
+      .map(_.split(" ")(1).trim).getOrElse(fail(s"no RACE_COMMITTED line:\n$out"))
+    assert(theirVersion.nonEmpty && !theirVersion.contains(","),
+      s"child must commit exactly one version, got '$theirVersion'")
+    // both processes committed, to DISTINCT versions (v1 + two new)
+    val vs = graft.etl.StoreFs.committedVersions(fsys, path)
+    assert(vs.size == 3 && vs.distinct == vs,
+      s"expected v1 + one version per process, got $vs")
+    val ourVersion = vs.find(v => graft.etl.StoreFs
+      .readMarker(fsys, s"$path/v$v").contains("thisJvm"))
+      .getOrElse(fail(s"this JVM's commit missing from $vs"))
+    assert(ourVersion.toString != theirVersion,
+      s"both processes claimed v$ourVersion — the cross-process race")
+    // the resolved store is one winner's COMPLETE stage, never a mix:
+    // its identity names one process and every table dir exists
+    val live = DedupOps.resolveStoreRoot(fsys, path)
+    val id = graft.etl.StoreFs.readMarker(fsys, live).get
+    assert(Set("thisJvm", "otherJvm").contains(id), s"unexpected winner $id")
+    val (ex, sg, bd) = DedupOps.readFingerprintStore(spark, path)
+    val probe = Seq((100L, "race doc 0 body " +
+      (s"${if (id == "thisJvm") "ours" else "theirs"}0 " * 8))).toDF("doc_id", "text")
+    val verdict = DedupOps.incrementalVerdicts(spark, probe, ex, sg, bd)
+      .select("status").collect().map(_.getString(0))
+    assert(verdict.sameElements(Array("exact_prior")),
+      s"winner's store must serve the winner's corpus, got ${verdict.toSeq}")
+  }
+
   test("simhash: identical docs collide, near-dups are close, hamming symmetric") {
     val sh = DedupOps.simhashes(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
