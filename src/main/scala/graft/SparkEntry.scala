@@ -16,7 +16,8 @@ object SparkEntry {
     ops.TpchOps, ops.ScalarOps, ops.GraphOps, ops.AnalyticsOps, ops.FeatureOps,
     quality.TextOps, quality.DedupOps, quality.SimilarityOps, quality.ClusterOps,
     quality.EntityOps, quality.Multimodal,
-    quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps)
+    quality.CorpusPipeline, sources.RootSourceOps, sources.LayoutOps, etl.SinkOps,
+    etl.IvmOps)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.qs)

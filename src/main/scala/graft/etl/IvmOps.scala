@@ -1,0 +1,187 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{OpModule, Q, Tables}
+
+/** Incremental view maintenance (IVM) — refresh a materialized aggregate
+  * from a changelog without re-aggregating the base fact table.
+  *
+  * This is the aggregate-side twin of the dd9 incremental-dedup store
+  * (`graft/quality/DedupOps.scala`): at 100 TB the daily delta is ~0.1–1%
+  * of the corpus, and a pipeline that recomputes its per-key statistics
+  * (corpus mixtures, per-source token budgets, per-customer rollups) from
+  * scratch each refresh spends 100× the I/O the mathematics requires. The
+  * fix is classical self-maintainable views: persist MERGEABLE partial
+  * state per group and fold the delta in —
+  *
+  *   - insert-only deltas (ivm1): any commutative-monoid state merges —
+  *     count, sum, min, max. Refresh = agg(delta) ∪ store → re-agg on the
+  *     view key. Cost ∝ |delta| + |view|; the base rows are never re-read.
+  *   - general changelogs with updates/deletes (ivm2): state must form a
+  *     commutative GROUP (every contribution invertible) so retractions
+  *     apply — count and sum qualify (delete = (-1, -x), update = the
+  *     net price change); min/max do NOT (deleting the current minimum
+  *     needs the runner-up, which the state no longer holds) and are
+  *     deliberately absent from the ivm2 view. Groups whose count reaches
+  *     zero leave the view, exactly as a full recompute would drop them.
+  *
+  * Numeric posture: sums are maintained in DECIMAL(18,4)-derived partials
+  * (the repo-wide [[graft.Dec]] idiom) so base+delta merge arithmetic is
+  * EXACT — a double-typed store would make the refreshed view differ from
+  * the full-recompute oracle by float-association noise, turning every
+  * refresh into a slow numeric drift. The cast to double happens once, on
+  * the final projection.
+  *
+  * Scale shape: one shuffle per refresh (the groupBy on the view key,
+  * map-side partials first). At deployment the store and the adjustment
+  * stream would both be bucketed by the view key (the measured g1b
+  * pattern), making the merge exchange-free; the store itself is
+  * group-cardinality-sized, not fact-sized, and rolls forward under the
+  * versioned claim-commit protocol of [[graft.etl.StoreFs]].
+  *
+  * Reference analog: the reference pipeline recomputes its per-event
+  * summary dictionaries from the full file list on every run
+  * (voxel_to_instance_data.py's rebuild loop); this module is the
+  * incremental posture the same statistics need at 100 TB.
+  */
+object IvmOps extends OpModule {
+
+  /** Partial-sum decimal type: exact for TPC-H-ish prices, and its Spark
+    * SUM widens to DECIMAL(28,4) — the store's on-disk type.
+    */
+  private val D = DecimalType(18, 4)
+
+  /** Mergeable per-custkey partials over one snapshot of `orders`.
+    * count/sum/min/max: the full insert-only-maintainable state.
+    */
+  def orderPartials(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(D)).as("sum_dec"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+
+  /** Insert-only refresh: fold a delta snapshot into stored partials.
+    * Both sides carry the same partial schema, so the merge is a union +
+    * one keyed aggregation; SUM-of-counts, SUM-of-sums, MIN-of-mins,
+    * MAX-of-maxes are each associative, so the result is independent of
+    * how many increments the view has absorbed.
+    */
+  def refreshInsertOnly(store: DataFrame, delta: DataFrame): DataFrame =
+    store.unionByName(orderPartials(delta))
+      .groupBy("o_custkey").agg(
+        sum("n_orders").as("n_orders"),
+        sum("sum_dec").as("sum_dec"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"))
+
+  /** Group-valued refresh: fold signed (Δcount, Δsum) adjustments into
+    * stored (count, sum) partials and drop groups that retract to zero
+    * membership. `adjustments` rows are (o_custkey, dn, ds) with
+    * dn ∈ {+1, 0, -1} per changelog op and ds the exact decimal net
+    * change that op makes to the group sum.
+    */
+  def refreshWithRetractions(store: DataFrame, adjustments: DataFrame): DataFrame =
+    store.select(col("o_custkey"), col("n_orders").as("dn"), col("sum_dec").as("ds"))
+      .unionByName(adjustments)
+      .groupBy("o_custkey").agg(
+        sum("dn").as("n_orders"),
+        sum("ds").as("sum_dec"))
+      .filter(col("n_orders") > 0)
+
+  /** Split `orders` at the median key into (base, delta) — the same
+    * in-plan broadcast-scalar cut as dd9, so one query works at every SF.
+    */
+  private def splitAtCut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val orders = Tables(s, dir, "orders")
+    val withCut = orders.crossJoin(
+      broadcast(orders.agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+    (withCut.filter(col("o_orderkey") < col("cut")),
+      withCut.filter(col("o_orderkey") >= col("cut")))
+  }
+
+  private def ivm1(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = splitAtCut(s, dir)
+    val storeDir = ScratchDirs.keyed("ivm1_view", dir)
+    orderPartials(base).write.mode("overwrite").parquet(storeDir)
+    refreshInsertOnly(s.read.parquet(storeDir), delta)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** Exact decimal +100.0000 — the ivm2 changelog's update semantics
+    * (`price := price + 100`). Literal BigDecimal, not a double: the
+    * adjustment must live entirely in decimal space for the retraction
+    * arithmetic to be exact on both engines.
+    */
+  private val UpdateBump = lit(new java.math.BigDecimal("100.0000")).cast(D)
+
+  private def ivm2(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = splitAtCut(s, dir)
+    val storeDir = ScratchDirs.keyed("ivm2_view", dir)
+    base.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(D)).as("sum_dec"))
+      .write.mode("overwrite").parquet(storeDir)
+
+    // Deterministic CDC changelog against the base snapshot: the delta
+    // keys are inserts; base keys ≡3 (mod 7) take a price update; base
+    // keys ≡5 (mod 13) not already updated are deletes. Each op row is
+    // its group-algebra contribution (Δcount, Δsum).
+    val p = col("o_totalprice").cast(D)
+    val inserts = delta.select(col("o_custkey"), lit(1L).as("dn"), p.as("ds"))
+    val updates = base.filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_custkey"), lit(0L).as("dn"), UpdateBump.as("ds"))
+    val deletes = base
+      .filter(col("o_orderkey") % 13 === 5 && col("o_orderkey") % 7 =!= 3)
+      .select(col("o_custkey"), lit(-1L).as("dn"), (-p).as("ds"))
+    val adjustments = inserts.unionByName(updates).unionByName(deletes)
+      // match the store's SUM-widened DECIMAL(28,4) so the union is
+      // loss-free on both branches
+      .select(col("o_custkey"), col("dn"), col("ds").cast(DecimalType(28, 4)).as("ds"))
+
+    refreshWithRetractions(s.read.parquet(storeDir), adjustments)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
+  val qs: Seq[Q] = Seq(
+    // IVM, insert-only delta: the refreshed view must equal a full
+    // recompute over the whole table — the oracle IS the full recompute.
+    Q("ivm1_delta_agg", Some(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      ivm1),
+
+    // IVM, general changelog (insert/update/delete via retractions): the
+    // oracle applies the same changelog semantics DIRECTLY to the rows
+    // (update = +100.0000 in decimal, delete = row removed) and fully
+    // recomputes — the incremental group arithmetic must land on the
+    // identical exact sums.
+    Q("ivm2_cdc_agg", Some(
+      """WITH cutv AS (SELECT (max(o_orderkey) + 1) // 2 AS cut FROM orders),
+        |survivors AS (
+        |  SELECT o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) +
+        |      CASE WHEN o_orderkey % 7 = 3 THEN CAST(100.0000 AS DECIMAL(18,4))
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END AS p
+        |  FROM orders, cutv
+        |  WHERE o_orderkey < cut
+        |    AND NOT (o_orderkey % 13 = 5 AND o_orderkey % 7 <> 3)),
+        |ins AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p
+        |  FROM orders, cutv WHERE o_orderkey >= cut),
+        |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |SELECT o_custkey, count(*) AS n_orders, CAST(sum(p) AS DOUBLE) AS sum_price
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      ivm2)
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.IvmOps
+
+class IvmSpec extends AnyFunSuite with SparkSuite {
+
+  private val D = DecimalType(18, 4)
+
+  test("ivm1: incremental insert-only refresh equals the full recompute") {
+    val refreshed = SparkEntry.queries("ivm1_delta_agg")(spark, sf)
+    val full = Tables(spark, sf, "orders")
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_custkey")
+    assert(refreshed.exceptAll(full).count() == 0 &&
+      full.exceptAll(refreshed).count() == 0,
+      "refreshed view differs from full recompute")
+  }
+
+  test("ivm1: the refresh plan reads the stored partials, not the base rows") {
+    // Run once so the store exists, then inspect the refresh's scans: the
+    // store parquet must be one of them — the merge consumes partials.
+    val df = SparkEntry.queries("ivm1_delta_agg")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = df.queryExecution.executedPlan.toString
+    val storeDir = graft.etl.ScratchDirs.keyed("ivm1_view", sf)
+    assert(scans.contains(new java.io.File(storeDir).getName),
+      s"refresh plan does not scan the partial store $storeDir:\n$scans")
+    // and the store is view-sized: one row per base custkey, not per order
+    val store = spark.read.parquet(storeDir)
+    assert(store.count() == store.select("o_custkey").distinct().count())
+  }
+
+  test("ivm2: retraction refresh equals the changelog applied directly") {
+    val refreshed = SparkEntry.queries("ivm2_cdc_agg")(spark, sf)
+    // Direct (non-incremental) evaluation of the same changelog semantics.
+    val orders = Tables(spark, sf, "orders")
+    val withCut = orders.crossJoin(
+      broadcast(orders.agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+    val survivors = withCut
+      .filter(col("o_orderkey") < col("cut"))
+      .filter(!(col("o_orderkey") % 13 === 5 && col("o_orderkey") % 7 =!= 3))
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(D) +
+          when(col("o_orderkey") % 7 === 3,
+            lit(new java.math.BigDecimal("100.0000")).cast(D))
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast(D))).as("p"))
+    val inserts = withCut.filter(col("o_orderkey") >= col("cut"))
+      .select(col("o_custkey"), col("o_totalprice").cast(D).cast(survivors.schema("p").dataType).as("p"))
+    val full = survivors.unionByName(inserts)
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum("p").cast("double").as("sum_price"))
+      .orderBy("o_custkey")
+    assert(refreshed.exceptAll(full).count() == 0 &&
+      full.exceptAll(refreshed).count() == 0,
+      "retraction-refreshed view differs from the directly-applied changelog")
+  }
+
+  test("ivm2 algebra: a group fully retracted leaves the view; updates keep membership") {
+    import spark.implicits._
+    val store = Seq((1L, 1L, "5.0000"), (2L, 2L, "10.0000"))
+      .toDF("o_custkey", "n_orders", "sum_dec")
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast(DecimalType(28, 4)).as("sum_dec"))
+    val adj = Seq(
+      (1L, -1L, "-5.0000"),  // delete custkey 1's only order → group leaves
+      (2L, 0L, "100.0000"))  // update one of custkey 2's orders
+      .toDF("o_custkey", "dn", "ds")
+      .select(col("o_custkey"), col("dn"),
+        col("ds").cast(DecimalType(28, 4)).as("ds"))
+    val out = IvmOps.refreshWithRetractions(store, adj)
+      .select(col("o_custkey"), col("n_orders"), col("sum_dec").cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((2L, 2L, 110.0)),
+      s"expected only custkey 2 with (n=2, sum=110.0), got $out")
+  }
+
+  test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
+    import spark.implicits._
+    def snap(rows: Seq[(Long, Double)]) =
+      rows.toDF("o_custkey", "o_totalprice")
+    val base = snap(Seq((1L, 10.0), (2L, 20.0)))
+    val d1 = snap(Seq((1L, 5.0), (3L, 7.0)))
+    val d2 = snap(Seq((2L, 1.0), (3L, 2.0)))
+    val store0 = IvmOps.orderPartials(base)
+    val seq2 = IvmOps.refreshInsertOnly(IvmOps.refreshInsertOnly(store0, d1), d2)
+    val once = IvmOps.refreshInsertOnly(store0, d1.unionByName(d2))
+    assert(seq2.exceptAll(once).count() == 0 && once.exceptAll(seq2).count() == 0,
+      "folding two deltas sequentially must equal folding their union once")
+  }
+}
