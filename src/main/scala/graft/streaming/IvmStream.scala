@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.etl.{IvmOps, StoreFs}
+
+/** Streaming twin of the ivm1 incremental-view refresh: order deltas
+  * arrive continuously and each micro-batch folds into the persisted
+  * per-custkey aggregate view, rolling the store forward one committed
+  * version per applied batch under the [[StoreFs]] claim→stage→marker
+  * protocol (the same object-store-safe flip the dd9/dd13 fingerprint
+  * stores use).
+  *
+  * Exactly-once WITHOUT a consumer-side dedup: unlike the dd9 stream
+  * (whose output is an append log, so at-least-once appends are healed
+  * downstream on (batch_id, doc_id)), a maintained VIEW cannot tolerate
+  * a replayed fold — the same delta added twice is silent corruption.
+  * The classical foreachBatch fix is a transactional sink keyed on
+  * batchId, and the version marker already IS that transaction record:
+  * each applied batch commits its version with identity `batch:<id>`,
+  * and a replayed batch (crash after the marker flip, before the
+  * checkpoint commit) finds its own id on the LIVE version and skips
+  * the fold. Micro-batches apply in order and replays re-run only the
+  * last uncommitted batch, so checking the live version's identity is
+  * sufficient — no scan of older markers. A crash BEFORE the marker
+  * flip leaves markerless `v<N>` debris, invisible to
+  * [[StoreFs.committedVersions]]; the replay claims the next number
+  * (lose-cleanly, never a shared dir) and `pruneStoreVersions`
+  * retention reclaims history.
+  *
+  * Scale shape per batch: one view-key shuffle over |batch| + |view|
+  * rows (the ivm1 merge), one metadata listing to resolve the live
+  * version — the base fact stream is never re-read.
+  */
+object IvmStream {
+
+  /** Arriving order-delta schema (the insert-only changelog). */
+  val orderSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType)))
+
+  /** Canonical on-disk view schema: the sum partial pinned at
+    * DECIMAL(38,4) so every version carries ONE type — an uncast chain
+    * would widen 28,4 → 38,4 on the first merge and drift the store
+    * schema across versions.
+    */
+  def canonical(view: DataFrame): DataFrame =
+    view.select(col("o_custkey"),
+      col("n_orders").cast("long").as("n_orders"),
+      col("sum_dec").cast(DecimalType(38, 4)).as("sum_dec"),
+      col("min_price"), col("max_price"))
+
+  /** The live (highest committed) view version, if any. */
+  def liveView(s: SparkSession, storePath: String): Option[(Int, DataFrame)] = {
+    val fs = StoreFs.fs(s, storePath)
+    StoreFs.committedVersions(fs, storePath).lastOption
+      .map(n => (n, s.read.parquet(s"$storePath/v$n/view")))
+  }
+
+  /** Start the continuous view-maintenance query over parquet order
+    * deltas landing in `inDir`. `onBatchCommitted` fires after the
+    * version-marker flip and before foreachBatch returns — the
+    * crash window the spec uses to prove replay idempotence.
+    */
+  def viewRefreshStream(spark: SparkSession, inDir: String, storePath: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      onBatchCommitted: Long => Unit = _ => ()): StreamingQuery = {
+    spark.readStream
+      .schema(orderSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = StoreFs.fs(s, storePath)
+        val live = StoreFs.committedVersions(fs, storePath).lastOption
+        val alreadyApplied = live.exists(n =>
+          StoreFs.readMarker(fs, s"$storePath/v$n")
+            .contains(s"batch:$batchId"))
+        if (!alreadyApplied) {
+          val newView = canonical(live match {
+            case Some(n) =>
+              IvmOps.refreshInsertOnly(s.read.parquet(s"$storePath/v$n/view"), batch)
+            case None => IvmOps.orderPartials(batch)
+          })
+          val vn = StoreFs.claimNextVersion(fs, storePath,
+            from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
+          newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
+          StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
+        }
+        onBatchCommitted(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+}

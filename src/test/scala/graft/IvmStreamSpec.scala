@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{IvmOps, StoreFs}
+import graft.streaming.IvmStream
+
+/** Streaming twin of ivm1: micro-batch order deltas folded into the
+  * persisted per-custkey view, one committed store version per applied
+  * batch, exactly-once via the version marker's batch identity.
+  */
+class IvmStreamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def rows(seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    // cents-exact prices: decimal partials are exact regardless, but
+    // min/max compare raw doubles, so keep the fixture on the 2dp grid
+    Seq.fill(40)((rng.nextInt(100000).toLong, rng.nextInt(7).toLong,
+      (rng.nextInt(100000) + 1) / 100.0))
+  }
+
+  private def writeDelta(inDir: String, seed: Int): Seq[(Long, Long, Double)] = {
+    val d = rows(seed)
+    d.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    d
+  }
+
+  private def fullRecompute(all: Seq[(Long, Long, Double)]) =
+    IvmStream.canonical(IvmOps.orderPartials(
+      all.toDF("o_orderkey", "o_custkey", "o_totalprice")))
+
+  private def assertViewEquals(got: org.apache.spark.sql.DataFrame,
+      want: org.apache.spark.sql.DataFrame, clue: String): Unit =
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"$clue: live view diverges from the batch recompute")
+
+  test("three micro-batches fold into the view; one committed version per batch") {
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ckpt").toString
+    val all = (1 to 3).flatMap(i => writeDelta(inDir, 100 + i))
+    val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt)
+    q.processAllAvailable(); q.stop()
+    val fs = StoreFs.fs(spark, store)
+    val versions = StoreFs.committedVersions(fs, store)
+    assert(versions == Seq(1, 2, 3), s"expected v1..v3 committed, got $versions")
+    val Some((live, view)) = IvmStream.liveView(spark, store)
+    assert(live == 3)
+    assertViewEquals(view, fullRecompute(all), "after 3 batches")
+    // each version carries a distinct batch identity — the transaction log
+    val ids = versions.map(n => StoreFs.readMarker(fs, s"$store/v$n").get)
+    assert(ids == ids.distinct && ids.forall(_.startsWith("batch:")),
+      s"marker identities must be distinct batch ids: $ids")
+  }
+
+  test("replay after a crash between marker flip and checkpoint commit does NOT double-fold") {
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_in2").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_store2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ckpt2").toString
+    val all = (1 to 2).flatMap(i => writeDelta(inDir, 200 + i))
+    @volatile var killed = false
+    val q1 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+      onBatchCommitted = _ => if (!killed) {
+        killed = true
+        throw new RuntimeException("injected crash after marker flip")
+      })
+    val err = intercept[Throwable] { q1.processAllAvailable() }
+    assert(Iterator.iterate(err)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(e => Option(e.getMessage).exists(_.contains("injected crash"))),
+      s"query died of something other than the injected crash: $err")
+    q1.stop()
+    // batch 0's version IS committed (crash was after the flip)…
+    val fs = StoreFs.fs(spark, store)
+    assert(StoreFs.committedVersions(fs, store) == Seq(1),
+      "the crashed batch must have committed its version before dying")
+    // …so the restart must SKIP refolding batch 0 and fold only batch 1
+    val q2 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val versions = StoreFs.committedVersions(fs, store)
+    assert(versions == Seq(1, 2),
+      s"replay must not create an extra version for the committed batch: $versions")
+    val Some((_, view)) = IvmStream.liveView(spark, store)
+    assertViewEquals(view, fullRecompute(all), "after crash + replay")
+  }
+
+  test("old versions stay immutable as the view rolls forward") {
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ckpt3").toString
+    writeDelta(inDir, 301)
+    val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt)
+    q.processAllAvailable(); q.stop()
+    val v1Before = spark.read.parquet(s"$store/v1/view").collect().toSet
+    writeDelta(inDir, 302)
+    val q2 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(StoreFs.committedVersions(StoreFs.fs(spark, store), store) == Seq(1, 2))
+    val v1After = spark.read.parquet(s"$store/v1/view").collect().toSet
+    assert(v1After == v1Before, "v1 changed after v2 was staged — versions must be immutable")
+  }
+}
