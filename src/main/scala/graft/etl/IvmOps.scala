@@ -103,9 +103,16 @@ object IvmOps extends OpModule {
       withCut.filter(col("o_orderkey") >= col("cut")))
   }
 
-  private def ivm1(s: SparkSession, dir: String): DataFrame = {
+  private def ivm1(s: SparkSession, dir: String): DataFrame =
+    ivm1At(s, dir, ScratchDirs.keyed("ivm1_view", dir))
+
+  /** ivm1 with an explicit store path — IvmSpec drives the identical
+    * dataflow against a private dir so it never overwrites the shared
+    * scratch store mid-read under parallel suites (EntrySpec and
+    * ShuffleBudgetSpec both execute the query surface).
+    */
+  def ivm1At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
     val (base, delta) = splitAtCut(s, dir)
-    val storeDir = ScratchDirs.keyed("ivm1_view", dir)
     orderPartials(base).write.mode("overwrite").parquet(storeDir)
     refreshInsertOnly(s.read.parquet(storeDir), delta)
       .select(col("o_custkey"), col("n_orders"),
@@ -121,9 +128,12 @@ object IvmOps extends OpModule {
     */
   private val UpdateBump = lit(new java.math.BigDecimal("100.0000")).cast(D)
 
-  private def ivm2(s: SparkSession, dir: String): DataFrame = {
+  private def ivm2(s: SparkSession, dir: String): DataFrame =
+    ivm2At(s, dir, ScratchDirs.keyed("ivm2_view", dir))
+
+  /** ivm2 with an explicit store path (see [[ivm1At]]). */
+  def ivm2At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
     val (base, delta) = splitAtCut(s, dir)
-    val storeDir = ScratchDirs.keyed("ivm2_view", dir)
     base.groupBy("o_custkey").agg(
       count(lit(1)).as("n_orders"),
       sum(col("o_totalprice").cast(D)).as("sum_dec"))
@@ -148,6 +158,43 @@ object IvmOps extends OpModule {
     refreshWithRetractions(s.read.parquet(storeDir), adjustments)
       .select(col("o_custkey"), col("n_orders"),
         col("sum_dec").cast("double").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** Build + register the full-table partial view, then run the base
+    * aggregate VERBATIM — [[graft.plans.MvRewriteRule]] must substitute
+    * the view scan at analysis time (MvRewriteSpec pins the plan; here
+    * the driver's oracle pins that the substituted answer is the right
+    * one). Registration precedes construction because Datasets analyze
+    * eagerly. The registration intentionally survives this query
+    * (registering a view IS the session-level opt-in, like every MV
+    * system's): it is harmless to the rest of the suite because the
+    * matcher fires only on the exact unfiltered partial shape over the
+    * registered path, and the view is rebuilt fresh here so even an
+    * accidental match answers correctly.
+    */
+  private def ivm3(s: SparkSession, dir: String): DataFrame = {
+    val basePath = s"$dir/orders.parquet"
+    // REBUILDING the view must never read the view: if a prior run of
+    // this query (same JVM) left the base registered, the partial-build
+    // aggregate below IS the registered shape and would be rewritten to
+    // scan the very store the write is overwriting (observed as
+    // FAILED_READ_FILE mid-write). Dropping the registration for the
+    // rebuild window is the production MV-refresh protocol; readers keep
+    // planning against the base until the fresh view re-registers.
+    graft.plans.MvRegistry.unregister(basePath)
+    val storeDir = ScratchDirs.keyed("ivm3_view", dir)
+    orderPartials(Tables(s, dir, "orders")).write.mode("overwrite").parquet(storeDir)
+    graft.plans.MvRegistry.register(s, basePath, storeDir)
+    Tables(s, dir, "orders")
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).as("sum_dec"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"))
       .orderBy("o_custkey")
   }
 
@@ -182,6 +229,17 @@ object IvmOps extends OpModule {
         |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
         |SELECT o_custkey, count(*) AS n_orders, CAST(sum(p) AS DOUBLE) AS sum_price
         |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
-      ivm2)
+      ivm2),
+
+    // Materialized-view rewrite under the oracle gate: the query Spark
+    // executes is the VIEW substitution (MvRewriteSpec pins the plan
+    // scans the partial store, not orders), and the oracle is the full
+    // recompute it must be indistinguishable from.
+    Q("ivm3_mv_rewrite", Some(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      ivm3)
   )
 }

@@ -100,6 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     e.injectOptimizerRule(_ => KernelFusionRule)
+    e.injectPostHocResolutionRule(_ => MvRewriteRule)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
     e.injectFunction((FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),

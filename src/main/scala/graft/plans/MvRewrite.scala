@@ -1,0 +1,159 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, RepartitionOperation}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized-view rewrite: route a matching aggregate to the
+  * ivm1-maintained partial store instead of the base fact scan.
+  *
+  * Maintaining a view incrementally ([[graft.etl.IvmOps]]) only pays off
+  * if queries actually READ it — at 100 TB the difference between
+  * `GROUP BY o_custkey` over the fact table and a scan of the
+  * group-cardinality-sized view is the whole corpus's I/O. Production
+  * engines do this transparently (Calcite/BigQuery/Snowflake MV
+  * rewrite); Spark's hook for it is exactly a catalyst [[Rule]] injected
+  * through `SparkSessionExtensions`, which is what this is.
+  *
+  * Scope — deliberately conservative, exactness over reach: a rewrite
+  * fires only when EVERY output of the aggregate maps onto a stored
+  * partial with the IDENTICAL type, the grouping is exactly the view's
+  * key, and the aggregated relation is exactly the registered base path
+  * (unwrapped through the test-fixture `Repartition` fan-out only — any
+  * filter, join, or projection in between disqualifies, because the
+  * partials answer only the unfiltered per-key question). The recognized
+  * partial vocabulary is ivm1's: `count(1)`, `sum(cast(src as
+  * DECIMAL(18,4)))`, `min(src)`, `max(src)`. No match → the plan is
+  * untouched, so the rule is sound by construction: it can only ever
+  * substitute the view where the view IS the query.
+  *
+  * Freshness is the registrar's contract (the same posture as every
+  * MV system's staleness window): [[MvRegistry.register]] is called
+  * right after the view is (re)built or rolled forward; registering a
+  * stale view rewrites queries to stale answers, exactly like reading
+  * the stale view by hand. Registration IS the opt-in — the rule is a
+  * no-op on an empty registry and touches only registered base paths,
+  * so a session never rewrites by accident (an earlier session-conf
+  * gate was removed: a JVM-shared mutable conf raced parallel test
+  * suites, while per-path registration composes).
+  */
+object MvRegistry {
+
+  /** One registered view: `basePath`'s per-`groupCol` partials of
+    * `srcCol` live at `viewRelation` under the ivm1 column names.
+    */
+  final case class MvDef(basePath: String, groupCol: String, srcCol: String,
+      viewRelation: LogicalRelation)
+
+  private val defs = new ConcurrentHashMap[String, MvDef]()
+
+  /** Register (or refresh) the view for `basePath`. Analyzes the view
+    * relation ONCE here — file listing and schema are pinned at
+    * registration, which is immediately after the view write, so the
+    * relation is fresh by construction.
+    */
+  def register(spark: SparkSession, basePath: String, viewPath: String,
+      groupCol: String = "o_custkey", srcCol: String = "o_totalprice"): Unit = {
+    val analyzed = spark.read.parquet(viewPath).queryExecution.analyzed
+    val rel = analyzed.collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalArgumentException(
+        s"view at $viewPath did not analyze to a file relation"))
+    defs.put(normalize(basePath), MvDef(normalize(basePath), groupCol, srcCol, rel)): Unit
+  }
+
+  def clear(): Unit = defs.clear()
+
+  /** Remove one base path's view — callers that registered a private
+    * fixture drop ONLY their own entry (clear() would race another
+    * session's registrations in the same JVM).
+    */
+  def unregister(basePath: String): Unit = {
+    defs.remove(normalize(basePath)): Unit
+  }
+
+  def lookup(path: String): Option[MvDef] = Option(defs.get(normalize(path)))
+
+  def isEmpty: Boolean = defs.isEmpty
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+}
+
+/** The rewrite rule (injected post-resolution by [[GraftExtensions]]). */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  private val PartialSum = DecimalType(18, 4)
+
+  /** The base-relation path under the aggregate, looking through the
+    * fixture fan-out repartition only.
+    */
+  private def scannedPath(plan: LogicalPlan): Option[(String, LogicalPlan)] = plan match {
+    case r: RepartitionOperation => scannedPath(r.child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.toList match {
+          case single :: Nil => Some((single.toUri.getPath, lr))
+          case _ => None
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Map one aggregate output onto a view column name; None disqualifies
+    * the whole rewrite.
+    */
+  private def partialFor(ne: NamedExpression, d: MvRegistry.MvDef): Option[String] =
+    ne match {
+      case a: AttributeReference if a.name == d.groupCol => Some(d.groupCol)
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
+        case Count(Seq(Literal(1, _))) => Some("n_orders")
+        case s: Sum => s.child match {
+          case c: Cast if c.dataType == PartialSum => c.child match {
+            case a: AttributeReference if a.name == d.srcCol => Some("sum_dec")
+            case _ => None
+          }
+          case _ => None
+        }
+        case Min(a: AttributeReference) if a.name == d.srcCol => Some("min_price")
+        case Max(a: AttributeReference) if a.name == d.srcCol => Some("max_price")
+        case _ => None
+      }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvRegistry.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+        (for {
+          (path, _) <- scannedPath(child)
+          d <- MvRegistry.lookup(path)
+          if g.name == d.groupCol
+          mapped <- {
+            val m = aggExprs.map(ne => partialFor(ne, d))
+            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+          }
+          view = d.viewRelation.newInstance()
+          viewAttr = view.output.map(a => a.name -> a).toMap
+          // every mapped partial must exist on the view with the exact
+          // output type the aggregate promised its parents
+          if mapped.forall(viewAttr.contains) &&
+            aggExprs.zip(mapped).forall { case (ne, col) =>
+              viewAttr(col).dataType == ne.dataType }
+        } yield {
+          val projections = aggExprs.zip(mapped).map { case (ne, col) =>
+            Alias(viewAttr(col), ne.name)(exprId = ne.exprId,
+              qualifier = ne.qualifier)
+          }
+          Project(projections, view)
+        }).getOrElse(agg)
+    }
+  }
+}

@@ -10,8 +10,15 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
 
   private val D = DecimalType(18, 4)
 
+  // the identical dataflow as the oracled queries, but against PRIVATE
+  // store dirs: EntrySpec and ShuffleBudgetSpec both execute the query
+  // surface in parallel suites, and a third writer on the shared scratch
+  // would overwrite a store mid-read
+  private def privateDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/store"
+
   test("ivm1: incremental insert-only refresh equals the full recompute") {
-    val refreshed = SparkEntry.queries("ivm1_delta_agg")(spark, sf)
+    val refreshed = IvmOps.ivm1At(spark, sf, privateDir("ivm1_spec"))
     val full = Tables(spark, sf, "orders")
       .groupBy("o_custkey").agg(
         count(lit(1)).as("n_orders"),
@@ -27,10 +34,10 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
   test("ivm1: the refresh plan reads the stored partials, not the base rows") {
     // Run once so the store exists, then inspect the refresh's scans: the
     // store parquet must be one of them — the merge consumes partials.
-    val df = SparkEntry.queries("ivm1_delta_agg")(spark, sf)
+    val storeDir = privateDir("ivm1_plan")
+    val df = IvmOps.ivm1At(spark, sf, storeDir)
     df.write.format("noop").mode("overwrite").save()
     val scans = df.queryExecution.executedPlan.toString
-    val storeDir = graft.etl.ScratchDirs.keyed("ivm1_view", sf)
     assert(scans.contains(new java.io.File(storeDir).getName),
       s"refresh plan does not scan the partial store $storeDir:\n$scans")
     // and the store is view-sized: one row per base custkey, not per order
@@ -39,7 +46,7 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("ivm2: retraction refresh equals the changelog applied directly") {
-    val refreshed = SparkEntry.queries("ivm2_cdc_agg")(spark, sf)
+    val refreshed = IvmOps.ivm2At(spark, sf, privateDir("ivm2_spec"))
     // Direct (non-incremental) evaluation of the same changelog semantics.
     val orders = Tables(spark, sf, "orders")
     val withCut = orders.crossJoin(

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.IvmOps
+import graft.plans.MvRegistry
+
+/** Materialized-view rewrite: a matching per-custkey aggregate over the
+  * registered base scan is substituted with the partial store at
+  * analysis time; anything the partials cannot answer is left alone.
+  *
+  * The suite registers a PRIVATE copy of `orders` as its base table:
+  * suites run in parallel in one JVM with one shared registry, and
+  * ivm3_mv_rewrite (run by ShuffleBudgetSpec over the shared sf dir)
+  * must not race this suite's registrations on the same key.
+  */
+class MvRewriteSpec extends AnyFunSuite with SparkSuite {
+
+  private val D = DecimalType(18, 4)
+
+  // private base: a copy of orders under a fixture-owned path
+  private lazy val basePath = {
+    val d = java.nio.file.Files.createTempDirectory("mv_base").toString + "/base"
+    Tables(spark, sf, "orders").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def baseAgg = spark.read.parquet(basePath)
+    .groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(D)).as("sum_dec"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+    .orderBy("o_custkey")
+
+  private def withView(f: String => Unit): Unit = {
+    val storeDir = java.nio.file.Files.createTempDirectory("mv_view").toString
+    IvmOps.orderPartials(spark.read.parquet(basePath))
+      .write.mode("overwrite").parquet(storeDir)
+    try f(storeDir)
+    finally MvRegistry.unregister(basePath) // only OUR key — clear() would race other suites
+  }
+
+  private def baseDirName = new java.io.File(basePath).getParentFile.getName
+
+  test("matching aggregate is rewritten to a view scan and answers identically") {
+    withView { storeDir =>
+      val want = baseAgg.collect() // analyzed before registration → base plan
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = baseAgg // analyzed with the view registered
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName),
+        s"rewritten plan does not scan the view:\n$plan")
+      assert(!plan.contains(baseDirName),
+        s"rewritten plan still scans the base table:\n$plan")
+      assert(!plan.contains("HashAggregate"),
+        s"rewritten plan still aggregates — the partials ARE the answer:\n$plan")
+      val got = rewritten.collect()
+      assert(got.toSeq == want.toSeq, "view substitution changed the answer")
+    }
+  }
+
+  test("a filter above the scan disqualifies — partials only answer the unfiltered question") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      val filtered = spark.read.parquet(basePath)
+        .filter(col("o_orderkey") > 100)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName) &&
+        !plan.contains(new java.io.File(storeDir).getName),
+        s"filtered aggregate must NOT be rewritten:\n$plan")
+    }
+  }
+
+  test("an aggregate the partials cannot answer disqualifies the whole rewrite") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      val withAvg = spark.read.parquet(basePath)
+        .groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          avg(col("o_totalprice")).as("avg_price"))
+      val plan = withAvg.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName) &&
+        !plan.contains(new java.io.File(storeDir).getName),
+        s"avg is not a stored partial — must not rewrite:\n$plan")
+    }
+  }
+
+  test("an unregistered base path is untouched — registration is the opt-in") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      MvRegistry.unregister(basePath)
+      val plan = baseAgg.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName),
+        s"rule must be inert once the view is unregistered:\n$plan")
+    }
+  }
+
+  test("view REBUILD must unregister first: the builder aggregate is itself the registered shape") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      // the partial-build aggregate over a registered base is EXACTLY the
+      // shape the rule substitutes — left registered, a rebuild would
+      // read the store it is overwriting (ivm3 unregisters for the
+      // rebuild window; this pins why)
+      val builder = IvmOps.orderPartials(spark.read.parquet(basePath))
+      assert(builder.queryExecution.executedPlan.toString
+        .contains(new java.io.File(storeDir).getName),
+        "builder shape unexpectedly escaped the rewrite — hazard pin is stale")
+      MvRegistry.unregister(basePath)
+      val safe = IvmOps.orderPartials(spark.read.parquet(basePath))
+      val plan = safe.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName) &&
+        !plan.contains(new java.io.File(storeDir).getName),
+        s"unregistered rebuild must read the base:\n$plan")
+    }
+  }
+
+  test("a different grouping key disqualifies") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      val byStatus = spark.read.parquet(basePath)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_orders"))
+      val plan = byStatus.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName) &&
+        !plan.contains(new java.io.File(storeDir).getName),
+        s"wrong grouping key must not rewrite:\n$plan")
+    }
+  }
+}

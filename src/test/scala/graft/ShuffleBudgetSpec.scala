@@ -309,7 +309,18 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // never appear in the counted plan (the w3b/x17b pattern); what
     // remains is the top-k verdict (TakeOrderedAndProject + broadcast,
     // exchange-free) over the checkpointed score table + the final sort
-    "x23_dsir_select" -> 2)
+    "x23_dsir_select" -> 2,
+    // ivm1: delta partial agg + merge re-agg + presentation sort (the
+    // base-store build is an eager write during construction), plus the
+    // broadcast-scalar cut's single-partition exchange
+    "ivm1_delta_agg" -> 4,
+    // ivm2: adjustment union agg + merge + sort + cut, one more branch
+    "ivm2_cdc_agg" -> 5,
+    // ivm3: ONE exchange — the presentation sort over the substituted
+    // view scan. This budget deliberately pins that MvRewriteRule
+    // ENGAGED (the unrewritten aggregate would count 2); a silent
+    // regression to the base-scan plan fails here
+    "ivm3_mv_rewrite" -> 1)
 
   private val exempt = Set("dd9_incremental_dedup")
 
