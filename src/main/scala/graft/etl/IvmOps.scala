@@ -121,6 +121,43 @@ object IvmOps extends OpModule {
       .orderBy("o_custkey")
   }
 
+  /** Per-nation mergeable partials over one fact snapshot JOINED to the
+    * customer dimension — the ivm4 building block. The general bilinear
+    * delta rule for a join view is ΔV = γ(ΔA⋈B) ∪ γ(A⋈ΔB) ∪ γ(ΔA⋈ΔB);
+    * the star-schema case implemented here (static dimension, insert-only
+    * fact — the overwhelmingly common 100 TB shape) collapses it to the
+    * first term: aggregate ONLY Δfact⋈dim and merge. The dim side is
+    * broadcast — the delta join never shuffles the dimension.
+    */
+  def joinPartials(factSnapshot: DataFrame, customer: DataFrame): DataFrame =
+    factSnapshot.join(
+      broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).as("sum_dec"))
+
+  /** ivm4 with an explicit store path (see [[ivm1At]]): maintain the
+    * per-nation join view from an insert-only fact delta without
+    * re-joining or re-aggregating the base fact.
+    */
+  def ivm4At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val (base, delta) = splitAtCut(s, dir)
+    val customer = Tables(s, dir, "customer")
+    joinPartials(base, customer).write.mode("overwrite").parquet(storeDir)
+    s.read.parquet(storeDir)
+      .unionByName(joinPartials(delta, customer))
+      .groupBy("c_nationkey").agg(
+        sum("n_orders").as("n_orders"),
+        sum("sum_dec").as("sum_dec"))
+      .select(col("c_nationkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"))
+      .orderBy("c_nationkey")
+  }
+
+  private def ivm4(s: SparkSession, dir: String): DataFrame =
+    ivm4At(s, dir, ScratchDirs.keyed("ivm4_view", dir))
+
   /** Exact decimal +100.0000 — the ivm2 changelog's update semantics
     * (`price := price + 100`). Literal BigDecimal, not a double: the
     * adjustment must live entirely in decimal space for the retraction
@@ -240,6 +277,16 @@ object IvmOps extends OpModule {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
-      ivm3)
+      ivm3),
+
+    // IVM over a JOIN view (star-schema delta-join: static dim,
+    // insert-only fact) — the refreshed per-nation view must equal the
+    // full join + recompute.
+    Q("ivm4_join_view", Some(
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      ivm4)
   )
 }

@@ -90,6 +90,26 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       s"expected only custkey 2 with (n=2, sum=110.0), got $out")
   }
 
+  test("ivm4: join-view refresh equals the full join recompute; delta join broadcasts the dim") {
+    val storeDir = privateDir("ivm4_spec")
+    val refreshed = IvmOps.ivm4At(spark, sf, storeDir)
+    val full = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("c_nationkey")
+    assert(refreshed.exceptAll(full).count() == 0 &&
+      full.exceptAll(refreshed).count() == 0,
+      "join-view refresh differs from the full join recompute")
+    val plan = refreshed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the delta join must broadcast the dimension:\n$plan")
+    assert(plan.contains(new java.io.File(storeDir).getName),
+      s"refresh must read the stored join partials:\n$plan")
+  }
+
   test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
     import spark.implicits._
     def snap(rows: Seq[(Long, Double)]) =

@@ -320,7 +320,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // view scan. This budget deliberately pins that MvRewriteRule
     // ENGAGED (the unrewritten aggregate would count 2); a silent
     // regression to the base-scan plan fails here
-    "ivm3_mv_rewrite" -> 1)
+    "ivm3_mv_rewrite" -> 1,
+    // ivm4: delta-join partial agg (dim broadcast, no dim shuffle) +
+    // merge re-agg + sort + the cut's single-partition exchange
+    "ivm4_join_view" -> 4)
 
   private val exempt = Set("dd9_incremental_dedup")
 
