@@ -279,6 +279,31 @@ object IvmOps extends OpModule {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
       ivm3),
 
+    // The GLOBAL rollup answered from the same registered view: the
+    // rewrite re-aggregates partials (count -> sum of counts, sum -> sum
+    // of sums) instead of touching the fact. Shares ivm3's registration
+    // (both run the unregister->rebuild->register protocol).
+    Q("ivm3b_mv_rollup", Some(
+      """SELECT count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin),
+      (s, dir) => {
+        val basePath = s"$dir/orders.parquet"
+        graft.plans.MvRegistry.unregister(basePath)
+        val storeDir = ScratchDirs.keyed("ivm3_view", dir)
+        orderPartials(Tables(s, dir, "orders"))
+          .write.mode("overwrite").parquet(storeDir)
+        graft.plans.MvRegistry.register(s, basePath, storeDir)
+        Tables(s, dir, "orders").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).as("sum_dec"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+          .select(col("n_orders"), col("sum_dec").cast("double").as("sum_price"),
+            col("min_price"), col("max_price"))
+      }),
+
     // IVM over a JOIN view (star-schema delta-join: static dim,
     // insert-only fact) — the refreshed per-nation view must equal the
     // full join + recompute.

@@ -3,8 +3,8 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, RepartitionOperation}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -128,9 +128,31 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def mkAgg(fn: AggregateFunction): AggregateExpression =
+    AggregateExpression(fn, Complete, isDistinct = false, filter = None,
+      resultId = NamedExpression.newExprId)
+
+  /** The GLOBAL (grouping-free) re-aggregation of one mapped partial:
+    * count re-sums the stored counts (coalesced to 0 so an empty view
+    * answers an empty base's global count correctly — sum over nothing
+    * is null, count over nothing is 0), sum re-sums the stored sums
+    * (cast back to the width the original aggregate promised), min/max
+    * fold their partials.
+    */
+  private def rollupFor(col: String, origType: org.apache.spark.sql.types.DataType,
+      viewAttr: Map[String, Attribute]): Expression = col match {
+    case "n_orders" => Coalesce(Seq(mkAgg(Sum(viewAttr("n_orders"))), Literal(0L)))
+    case "sum_dec" =>
+      Cast(mkAgg(Sum(viewAttr("sum_dec"))), origType, None, EvalMode.LEGACY)
+    case "min_price" => mkAgg(Min(viewAttr("min_price")))
+    case "max_price" => mkAgg(Max(viewAttr("max_price")))
+    case other => viewAttr(other) // unreachable for Nil grouping
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty) return plan
     plan.transformUp {
+      // exact-key aggregate: the partials ARE the answer — pure projection
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
         (for {
           (path, _) <- scannedPath(child)
@@ -154,6 +176,29 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           }
           Project(projections, view)
         }).getOrElse(agg)
+
+      // GLOBAL rollup: re-aggregate the partials (count → sum of counts,
+      // sum → sum of sums, min/max → min/max of partials) — the coarser
+      // question every per-key view also answers
+      case agg @ Aggregate(Seq(), aggExprs, child, _) =>
+        (for {
+          (path, _) <- scannedPath(child)
+          d <- MvRegistry.lookup(path)
+          mapped <- {
+            val m = aggExprs.map(ne => partialFor(ne, d))
+            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+          }
+          if !mapped.contains(d.groupCol) // key passthrough needs grouping
+          view = d.viewRelation.newInstance()
+          viewAttr = view.output.map(a => a.name -> a).toMap
+          if mapped.forall(viewAttr.contains)
+          rolled = aggExprs.zip(mapped).map { case (ne, col) =>
+            Alias(rollupFor(col, ne.dataType, viewAttr), ne.name)(
+              exprId = ne.exprId, qualifier = ne.qualifier)
+          }
+          // the re-aggregated outputs must carry the promised types
+          if rolled.zip(aggExprs).forall { case (r, ne) => r.dataType == ne.dataType }
+        } yield Aggregate(Nil, rolled, view)).getOrElse(agg)
     }
   }
 }

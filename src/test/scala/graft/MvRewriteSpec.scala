@@ -119,6 +119,47 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("GLOBAL rollup is answered from the view by re-aggregating partials") {
+    withView { storeDir =>
+      def globalAgg = spark.read.parquet(basePath).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).as("sum_dec"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      val want = globalAgg.collect() // before registration → base plan
+      MvRegistry.register(spark, basePath, storeDir)
+      val rolled = globalAgg
+      val plan = rolled.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"global rollup must re-aggregate the view, not the base:\n$plan")
+      assert(rolled.collect().toSeq == want.toSeq,
+        "view rollup changed the global answer")
+    }
+  }
+
+  test("GLOBAL rollup over an EMPTY base: count is 0, not null") {
+    val emptyBase = java.nio.file.Files.createTempDirectory("mv_empty").toString + "/base"
+    val emptyView = java.nio.file.Files.createTempDirectory("mv_empty_v").toString
+    spark.read.parquet(basePath).filter(lit(false))
+      .write.mode("overwrite").parquet(emptyBase)
+    IvmOps.orderPartials(spark.read.parquet(emptyBase))
+      .write.mode("overwrite").parquet(emptyView)
+    def globalAgg = spark.read.parquet(emptyBase).agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(D)).as("sum_dec"))
+    val want = globalAgg.collect() // (0, null) from the base plan
+    MvRegistry.register(spark, emptyBase, emptyView)
+    try {
+      val rolled = globalAgg
+      assert(rolled.queryExecution.executedPlan.toString
+        .contains(new java.io.File(emptyView).getName),
+        "empty-base rollup was not rewritten — edge test is vacuous")
+      assert(rolled.collect().toSeq == want.toSeq,
+        s"empty-base rollup diverged: ${rolled.collect().toSeq} vs ${want.toSeq}")
+    } finally MvRegistry.unregister(emptyBase)
+  }
+
   test("a different grouping key disqualifies") {
     withView { storeDir =>
       MvRegistry.register(spark, basePath, storeDir)

@@ -321,6 +321,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ENGAGED (the unrewritten aggregate would count 2); a silent
     // regression to the base-scan plan fails here
     "ivm3_mv_rewrite" -> 1,
+    // ivm3b: the global rollup over the view — ONE exchange (the
+    // re-aggregation's single-partition collect); pins the rollup
+    // rewrite engaged (the fact-scan plan would shuffle the fan-out too)
+    "ivm3b_mv_rollup" -> 1,
     // ivm4: delta-join partial agg (dim broadcast, no dim shuffle) +
     // merge re-agg + sort + the cut's single-partition exchange
     "ivm4_join_view" -> 4)
