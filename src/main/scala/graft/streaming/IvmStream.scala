@@ -61,6 +61,61 @@ object IvmStream {
       .map(n => (n, s.read.parquet(s"$storePath/v$n/view")))
   }
 
+  /** Arriving CDC-adjustment schema: each row is one changelog op's
+    * group-algebra contribution (insert (+1, +price), update (0, Δprice),
+    * delete (-1, -price)) — the ivm2 vocabulary as a stream.
+    */
+  val cdcSchema: StructType = StructType(Seq(
+    StructField("o_custkey", LongType),
+    StructField("dn", LongType),
+    StructField("ds", DecimalType(28, 4))))
+
+  /** The CDC twin of [[viewRefreshStream]]: micro-batches of signed
+    * (Δcount, Δsum) adjustments fold into the (o_custkey, n_orders,
+    * sum_dec) view via the ivm2 retraction algebra — groups retracting
+    * to zero membership leave the view. Same versioned store roll and
+    * marker-identity exactly-once.
+    */
+  def cdcRefreshStream(spark: SparkSession, inDir: String, storePath: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      onBatchCommitted: Long => Unit = _ => ()): StreamingQuery = {
+    spark.readStream
+      .schema(cdcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = StoreFs.fs(s, storePath)
+        val live = StoreFs.committedVersions(fs, storePath).lastOption
+        val alreadyApplied = live.exists(n =>
+          StoreFs.readMarker(fs, s"$storePath/v$n")
+            .contains(s"batch:$batchId"))
+        if (!alreadyApplied) {
+          val store = live match {
+            case Some(n) => s.read.parquet(s"$storePath/v$n/view")
+            case None => s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(
+                StructField("o_custkey", LongType),
+                StructField("n_orders", LongType),
+                StructField("sum_dec", DecimalType(38, 4)))))
+          }
+          val newView = IvmOps.refreshWithRetractions(store, batch)
+            .select(col("o_custkey"),
+              col("n_orders").cast("long").as("n_orders"),
+              col("sum_dec").cast(DecimalType(38, 4)).as("sum_dec"))
+          val vn = StoreFs.claimNextVersion(fs, storePath,
+            from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
+          newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
+          StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
+        }
+        onBatchCommitted(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Start the continuous view-maintenance query over parquet order
     * deltas landing in `inDir`. `onBatchCommitted` fires after the
     * version-marker flip and before foreachBatch returns — the

@@ -86,6 +86,30 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     assertViewEquals(view, fullRecompute(all), "after crash + replay")
   }
 
+  test("CDC stream: retraction adjustments fold per batch; a group deleted across batches leaves the view") {
+    val inDir = java.nio.file.Files.createTempDirectory("ivmc_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivmc_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivmc_ckpt").toString
+    def writeAdj(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("o_custkey", "dn", "ds")
+        .select(col("o_custkey"), col("dn"),
+          col("ds").cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("ds"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    // batch 0: insert ck1 (5.00), insert ck2 twice (10.00 + 20.00)
+    writeAdj(Seq((1L, 1L, "5.0000"), (2L, 1L, "10.0000"), (2L, 1L, "20.0000")))
+    // batch 1: delete ck1's only order; update one ck2 order by +100
+    writeAdj(Seq((1L, -1L, "-5.0000"), (2L, 0L, "100.0000")))
+    val q = IvmStream.cdcRefreshStream(spark, inDir, store, ckpt)
+    q.processAllAvailable(); q.stop()
+    val fs = StoreFs.fs(spark, store)
+    assert(StoreFs.committedVersions(fs, store) == Seq(1, 2))
+    val Some((_, view)) = IvmStream.liveView(spark, store)
+    val got = view.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSet
+    assert(got == Set((2L, 2L, 130.0)),
+      s"expected ck1 fully retracted and ck2 at (2, 130.0), got $got")
+  }
+
   test("old versions stay immutable as the view rolls forward") {
     val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
     val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString
