@@ -170,7 +170,7 @@ object IvmOps extends OpModule {
 
   /** ivm2 with an explicit store path (see [[ivm1At]]). */
   def ivm2At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
-    val (base, delta) = splitAtCut(s, dir)
+    val (base, _) = splitAtCut(s, dir)
     base.groupBy("o_custkey").agg(
       count(lit(1)).as("n_orders"),
       sum(col("o_totalprice").cast(D)).as("sum_dec"))
@@ -178,19 +178,27 @@ object IvmOps extends OpModule {
 
     // Deterministic CDC changelog against the base snapshot: the delta
     // keys are inserts; base keys ≡3 (mod 7) take a price update; base
-    // keys ≡5 (mod 13) not already updated are deletes. Each op row is
-    // its group-algebra contribution (Δcount, Δsum).
+    // keys ≡5 (mod 13) not already updated are deletes. Each row maps to
+    // at most ONE op, so the changelog derives in a single scan (a
+    // three-branch union would re-scan the fact per op type); no-op base
+    // rows drop out on the null dn. Each op row is its group-algebra
+    // contribution (Δcount, Δsum), cast to the store's SUM-widened
+    // DECIMAL(28,4) so the retraction union is loss-free.
     val p = col("o_totalprice").cast(D)
-    val inserts = delta.select(col("o_custkey"), lit(1L).as("dn"), p.as("ds"))
-    val updates = base.filter(col("o_orderkey") % 7 === 3)
-      .select(col("o_custkey"), lit(0L).as("dn"), UpdateBump.as("ds"))
-    val deletes = base
-      .filter(col("o_orderkey") % 13 === 5 && col("o_orderkey") % 7 =!= 3)
-      .select(col("o_custkey"), lit(-1L).as("dn"), (-p).as("ds"))
-    val adjustments = inserts.unionByName(updates).unionByName(deletes)
-      // match the store's SUM-widened DECIMAL(28,4) so the union is
-      // loss-free on both branches
-      .select(col("o_custkey"), col("dn"), col("ds").cast(DecimalType(28, 4)).as("ds"))
+    val k = col("o_orderkey")
+    val adjustments = Tables(s, dir, "orders")
+      .crossJoin(broadcast(Tables(s, dir, "orders")
+        .agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+      .select(col("o_custkey"),
+        when(k >= col("cut"), lit(1L))                          // insert
+          .when(k % 7 === 3, lit(0L))                           // update
+          .when(k % 13 === 5, lit(-1L))                         // delete
+          .as("dn"),
+        when(k >= col("cut"), p)
+          .when(k % 7 === 3, UpdateBump)
+          .when(k % 13 === 5, -p)
+          .cast(DecimalType(28, 4)).as("ds"))
+      .filter(col("dn").isNotNull)
 
     refreshWithRetractions(s.read.parquet(storeDir), adjustments)
       .select(col("o_custkey"), col("n_orders"),

@@ -314,8 +314,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // base-store build is an eager write during construction), plus the
     // broadcast-scalar cut's single-partition exchange
     "ivm1_delta_agg" -> 4,
-    // ivm2: adjustment union agg + merge + sort + cut, one more branch
-    "ivm2_cdc_agg" -> 5,
+    // ivm2: one-pass changelog derivation (when-chain, not a 3-branch
+    // union) + merge re-agg + sort + the cut's single-partition exchange
+    "ivm2_cdc_agg" -> 3,
     // ivm3: ONE exchange — the presentation sort over the substituted
     // view scan. This budget deliberately pins that MvRewriteRule
     // ENGAGED (the unrewritten aggregate would count 2); a silent
