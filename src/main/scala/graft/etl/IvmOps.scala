@@ -78,6 +78,30 @@ object IvmOps extends OpModule {
         min("min_price").as("min_price"),
         max("max_price").as("max_price"))
 
+  /** Join-form insert-only refresh, value-equivalent to
+    * [[refreshInsertOnly]] but shaped for a BUCKETED store: a union
+    * erases any physical distribution, while a full-outer join on the
+    * view key lets a store bucketed on that key merge WITHOUT
+    * re-shuffling its side — the delta's own partial aggregation is the
+    * one exchange left when the bucket count matches the shuffle
+    * partitioning (IvmSpec pins the plan; the g1b bucketed-layout
+    * pattern applied to the view store). least/greatest skip nulls, so
+    * store-only and delta-only keys merge without special cases.
+    */
+  def refreshInsertOnlyMerged(store: DataFrame, delta: DataFrame): DataFrame = {
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 4))
+    val d = orderPartials(delta).select(col("o_custkey"),
+      col("n_orders").as("d_n"), col("sum_dec").as("d_s"),
+      col("min_price").as("d_min"), col("max_price").as("d_max"))
+    store.join(d, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("sum_dec"), zero) + coalesce(col("d_s"), zero)).as("sum_dec"),
+        least(col("min_price"), col("d_min")).as("min_price"),
+        greatest(col("max_price"), col("d_max")).as("max_price"))
+  }
+
   /** Group-valued refresh: fold signed (Δcount, Δsum) adjustments into
     * stored (count, sum) partials and drop groups that retract to zero
     * membership. `adjustments` rows are (o_custkey, dn, ds) with

@@ -110,6 +110,40 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       s"refresh must read the stored join partials:\n$plan")
   }
 
+  test("a store bucketed on the view key merges exchange-free on its side") {
+    // The deployment claim in IvmOps' scaladoc, as a plan pin: bucket
+    // the store by o_custkey (bucket count == shuffle partitions so the
+    // delta agg's clustering satisfies the join), and the full-outer
+    // merge needs EXACTLY ONE exchange — the delta's partial aggregation.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables(spark, sf, "orders")
+      val base = orders.filter(col("o_orderkey") % 2 === 0)
+      val delta = orders.filter(col("o_orderkey") % 2 === 1)
+      IvmOps.orderPartials(base)
+        .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("ivm_store_bucketed")
+      val store = spark.table("ivm_store_bucketed")
+      val merged = IvmOps.refreshInsertOnlyMerged(store, delta)
+      val plan = merged.queryExecution.executedPlan.toString
+      val shuffles = "(?m)^\\s*[+:|\\- ]*Exchange ".r.findAllIn(plan).size
+      assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
+      assert(shuffles == 1,
+        s"expected only the delta partial-agg exchange, got $shuffles:\n$plan")
+      // value-equivalent to the union-form refresh
+      val unionForm = IvmOps.refreshInsertOnly(store, delta)
+      def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("s"), col("min_price"), col("max_price"))
+      assert(norm(merged).exceptAll(norm(unionForm)).count() == 0 &&
+        norm(unionForm).exceptAll(norm(merged)).count() == 0,
+        "join-form merge diverges from the union-form refresh")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ivm_store_bucketed")
+    }
+  }
+
   test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
     import spark.implicits._
     def snap(rows: Seq[(Long, Double)]) =
