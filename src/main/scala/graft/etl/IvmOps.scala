@@ -230,6 +230,21 @@ object IvmOps extends OpModule {
       .orderBy("o_custkey")
   }
 
+  /** ivm3/ivm3b's registered-view store dir — PROCESS-unique on purpose:
+    * [[graft.plans.MvRegistry.register]] pins the view's file listing at
+    * registration, and `ScratchDirs.keyed` alone is shared across
+    * processes for the same (user, source dir), so a second driver
+    * process rebuilding the view with mode("overwrite") would delete the
+    * files a live session's pinned LogicalRelation still references
+    * (FAILED_READ_FILE, or a stale rewritten answer). One dir per pid
+    * keeps each process's registration self-owned; in-process rebuild
+    * safety stays with the unregister→rebuild→register protocol below.
+    * The dir is view-sized (group cardinality) and reused across runs of
+    * the same process, so the per-pid fan-out stays bounded.
+    */
+  private def ivm3StoreDir(dir: String): String =
+    ScratchDirs.keyed(s"ivm3_view_p${ProcessHandle.current().pid()}", dir)
+
   /** Build + register the full-table partial view, then run the base
     * aggregate VERBATIM — [[graft.plans.MvRewriteRule]] must substitute
     * the view scan at analysis time (MvRewriteSpec pins the plan; here
@@ -252,7 +267,7 @@ object IvmOps extends OpModule {
     // rebuild window is the production MV-refresh protocol; readers keep
     // planning against the base until the fresh view re-registers.
     graft.plans.MvRegistry.unregister(basePath)
-    val storeDir = ScratchDirs.keyed("ivm3_view", dir)
+    val storeDir = ivm3StoreDir(dir)
     orderPartials(Tables(s, dir, "orders")).write.mode("overwrite").parquet(storeDir)
     graft.plans.MvRegistry.register(s, basePath, storeDir)
     Tables(s, dir, "orders")
@@ -323,7 +338,7 @@ object IvmOps extends OpModule {
       (s, dir) => {
         val basePath = s"$dir/orders.parquet"
         graft.plans.MvRegistry.unregister(basePath)
-        val storeDir = ScratchDirs.keyed("ivm3_view", dir)
+        val storeDir = ivm3StoreDir(dir)
         orderPartials(Tables(s, dir, "orders"))
           .write.mode("overwrite").parquet(storeDir)
         graft.plans.MvRegistry.register(s, basePath, storeDir)

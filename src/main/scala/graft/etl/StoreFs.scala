@@ -106,8 +106,11 @@ object StoreFs {
     * is atomic-and-all-or-nothing on `file:`, HDFS, and object stores
     * alike, where an overwritten pointer would be truncate-then-write
     * on file:/HDFS with a visible empty window). Markerless `v<N>`
-    * debris from a crashed maintenance run is invisible here and gets
-    * overwritten by the next run. Empty ⇔ the store root itself is the
+    * debris from a crashed maintenance run is invisible here; version
+    * numbers are claimed exclusively and NEVER reused ([[claimVersion]]
+    * — the next writer claims a fresh number), so debris keeps its
+    * number until the prune path reclaims it once its claim ages out
+    * ([[graft.quality.DedupOps.pruneStoreVersions]]). Empty ⇔ the store root itself is the
     * live (flat v0) layout, which keeps every pre-versioning store
     * readable. This listing-resolution is the HadoopCatalog-style
     * minimal stand-in for a metastore/catalog pointer; the listing is
@@ -123,19 +126,49 @@ object StoreFs {
       .sorted
   }
 
+  /** Filesystem schemes whose create-exclusive is a REAL atomic CAS:
+    * POSIX `O_EXCL` on `file:` (via `File.createNewFile` — see
+    * [[claimVersion]]), an atomic namespace create on HDFS/viewfs.
+    * Default S3A `create(overwrite = false)` is NOT in this set on
+    * purpose: it is check-then-act (existence probed at `create()`, the
+    * PUT happens at `close()`), so two concurrent claimants can both
+    * "win" — exactly the shared-staging-dir corruption the claim
+    * prevents. A deployment whose client DOES offer a conditional
+    * create (S3 If-None-Match via a conditional-write-enabled
+    * connector, GCS preconditions, ABFS lease/etag) opts its scheme in
+    * with [[trustClaimScheme]]; otherwise the claim is a metastore CAS
+    * and this file-based stand-in must not pretend to provide it.
+    */
+  private val atomicClaimSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Seq("file", "hdfs", "viewfs").foreach(atomicClaimSchemes.add)
+
+  /** Opt a scheme into [[claimVersion]]'s CAS after verifying the
+    * deployment's client performs a true conditional create there.
+    */
+  def trustClaimScheme(scheme: String): Unit = {
+    atomicClaimSchemes.add(scheme.toLowerCase): Unit
+  }
+
   /** Atomically claim exclusive write ownership of `v<n>` under
-    * `storePath`. True ⇔ THIS caller created the claim file — the one
-    * create-exclusive primitive each filesystem class offers (POSIX
-    * `O_EXCL` via `File.createNewFile` on `file:`, an atomic namespace
-    * create on HDFS, a conditional/If-None-Match put on object stores —
-    * at deployment scale this claim is a metastore CAS, which the
-    * create-exclusive marker is the minimal stand-in for). False ⇔
-    * another writer holds the version number; callers move to the next
-    * number ([[claimNextVersion]]) — the lose-cleanly path, never a
-    * shared staging dir.
+    * `storePath`. True ⇔ THIS caller created the claim file via a REAL
+    * create-exclusive (POSIX `O_EXCL` on `file:`, an atomic namespace
+    * create on HDFS). False ⇔ another writer holds the version number;
+    * callers move to the next number ([[claimNextVersion]]) — the
+    * lose-cleanly path, never a shared staging dir. Fails LOUDLY on a
+    * scheme not known to offer atomic create-exclusive (default S3A's
+    * `create(overwrite=false)` is check-then-act — see
+    * [[trustClaimScheme]] for the opt-in): a claim that can silently
+    * double-grant is worse than no claim at all.
     */
   def claimVersion(fs: FileSystem, storePath: String, n: Int,
       owner: String): Boolean = {
+    require(atomicClaimSchemes.contains(fs.getScheme.toLowerCase),
+      s"claimVersion on scheme '${fs.getScheme}': create(overwrite=false) " +
+        "is not known to be an atomic create-exclusive there (default S3A " +
+        "is check-then-act). Use a metastore CAS for version claims, or " +
+        "opt the scheme in with StoreFs.trustClaimScheme after verifying " +
+        "the client performs a true conditional create.")
     val dir = new Path(s"$storePath/v$n")
     fs.mkdirs(dir): Unit // mkdirs is idempotent; the CLAIM create is the race decider
     val p = new Path(dir, Claim)
@@ -152,6 +185,16 @@ object StoreFs {
         }
     if (won) writeSmall(fs, p, owner) // exclusively ours now — record who
     won
+  }
+
+  /** Modification time of `v<n>`'s claim file, if present — the age
+    * signal debris reclamation gates on ([[graft.quality.DedupOps.pruneStoreVersions]]):
+    * a markerless version dir whose claim is RECENT is an in-flight
+    * writer still staging, not debris.
+    */
+  def claimMtime(fs: FileSystem, storePath: String, n: Int): Option[Long] = {
+    val p = new Path(s"$storePath/v$n", Claim)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
   }
 
   /** First version number ≥ `from` this writer exclusively claims.

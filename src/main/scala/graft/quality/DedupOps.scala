@@ -630,8 +630,10 @@ object DedupOps extends OpModule {
     * never-deleted-here) old version — the same
     * no-overwrite-under-a-reader posture as dd13's versioned eval
     * staging. Crash window: a crash before the marker leaves a
-    * markerless debris dir — invisible to [[resolveStoreRoot]], served
-    * around, overwritten by the next run. Old versions are inert; prune
+    * markerless debris dir — invisible to [[resolveStoreRoot]] and
+    * served around; its claimed number is never reused (the next writer
+    * claims a fresh one) and [[pruneStoreVersions]] reclaims the bytes
+    * once the claim ages out. Old versions are inert; prune
     * them once no reader needs them. (Spark's own parquet task commits
     * go through the cluster's configured output committer — cloud
     * deployments use a manifest/"magic" committer there; this protocol
@@ -684,8 +686,15 @@ object DedupOps extends OpModule {
     *     probe);
     *   - markerless debris dirs BELOW the live version (crashed
     *     maintenance leftovers — invisible to [[resolveStoreRoot]] but
-    *     real bytes). Debris ABOVE the live version is NEVER touched:
-    *     that is an in-flight writer's next version.
+    *     real bytes), ONLY once their writer is provably gone: the claim
+    *     protocol legitimizes a slow lower-claim writer still staging
+    *     under a number below the live one (it commits shadowed, which
+    *     is correct), so a markerless dir whose `_CLAIM` file is newer
+    *     than `claimGraceMs` is an IN-FLIGHT stage, not debris — deleting
+    *     it mid-write would let the writer's later parquet tasks recreate
+    *     the dir and publish a committed-but-incomplete version. Debris
+    *     ABOVE the live version is NEVER touched: that is an in-flight
+    *     writer's next version.
     *   - the flat v0 tables + marker once any committed version exists
     *     (resolution never serves the flat root again — its tables are
     *     the oldest inert version of all).
@@ -693,8 +702,13 @@ object DedupOps extends OpModule {
     * dd2/dd9 no-silent-action posture). The live version and the store
     * marker protocol are untouched; a no-op on flat stores.
     */
+  /** @param claimGraceMs a markerless version whose `_CLAIM` is younger
+    *   than this is treated as a live writer and skipped; size it to the
+    *   longest plausible stage duration (default 24 h — debris waits one
+    *   extra prune cycle, a live writer is never yanked mid-stage).
+    */
   def pruneStoreVersions(s: SparkSession, path: String,
-      keepLast: Int = 2): Seq[String] = {
+      keepLast: Int = 2, claimGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fsys = graft.etl.StoreFs.fs(s, path)
     // ONE directory listing decides everything (the same single-read
@@ -711,8 +725,17 @@ object DedupOps extends OpModule {
     val keep = versions.takeRight(keepLast).toSet
     val staleCommitted = versions.filterNot(keep).map(n => s"$path/v$n")
     // markerless debris strictly below the live version; above it is an
-    // in-flight writer's next version — never touched
-    val debris = markerless.filter(_ < liveN).map(n => s"$path/v$n")
+    // in-flight writer's next version — never touched. Below it, a
+    // RECENT claim marks a slow writer still staging toward a shadowed
+    // commit (legal under the claim protocol): age-gate on the claim's
+    // mtime so the prune can never delete a stage out from under it. A
+    // claim-less markerless dir has no live writer by construction (the
+    // claim is created before any data lands) — reclaim immediately.
+    val now = System.currentTimeMillis()
+    val debris = markerless.filter(_ < liveN)
+      .filter(n => graft.etl.StoreFs.claimMtime(fsys, path, n)
+        .forall(m => now - m > claimGraceMs))
+      .map(n => s"$path/v$n")
     val flat = Seq("exact", "sigs", "bands").map(t => s"$path/$t")
       .filter(graft.etl.StoreFs.exists(fsys, _)) ++
       (if (graft.etl.StoreFs.readMarker(fsys, path).isDefined)

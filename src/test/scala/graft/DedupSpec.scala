@@ -492,6 +492,23 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "debris above the live version is an in-flight writer — never pruned")
     assert(DedupOps.resolveStoreRoot(fsys, path) == s"$path/v3")
     assert(verdicts() == after, "pruning must not change served verdicts")
+    // CLAIM AGE GATE: a markerless dir below live whose _CLAIM is fresh
+    // is a slow writer mid-stage (it will commit shadowed — legal), NOT
+    // debris; pruning it would let the writer's later parquet tasks
+    // recreate the dir and publish a committed-but-incomplete version.
+    // Only once the claim ages past the grace window is it reclaimable.
+    assert(graft.etl.StoreFs.claimVersion(fsys, s"$path", 1, "slowWriter"),
+      "re-claiming the reclaimed v1 number for the fixture must win")
+    docs.limit(2).write.mode("overwrite").parquet(s"$path/v1/sigs")
+    val spared = DedupOps.pruneStoreVersions(spark, path, keepLast = 2)
+    assert(!spared.contains(s"$path/v1") &&
+      graft.etl.StoreFs.exists(fsys, s"$path/v1/sigs"),
+      "a fresh-claimed in-flight stage below live must survive the prune")
+    val aged = DedupOps.pruneStoreVersions(spark, path, keepLast = 2,
+      claimGraceMs = -1L) // every claim is "old" — the abandoned case
+    assert(aged.contains(s"$path/v1") &&
+      !graft.etl.StoreFs.exists(fsys, s"$path/v1"),
+      "an aged-out claimed dir is abandoned debris and must be reclaimed")
   }
 
   test("concurrent writers on a versioned store: atomic claims, one winner, zero partial reads") {

@@ -15,6 +15,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * dd9_incremental_dedup is exempt: its plan shape depends on whether
   * the persisted fingerprint store exists (bootstrap vs roll-forward),
   * which this suite does not control.
+  *
+  * EAGER-CONSTRUCTION EXEMPTION (explicit, the same class as dd9's):
+  * queries whose builder runs jobs at CONSTRUCTION time —
+  * localCheckpoint(true) subtrees (tpch_q11_shape, v7, v8, w3b, x17b,
+  * ev4b, x18b, x23, dd6, dd13's staged store) and store writes (ivm1/
+  * ivm2/ivm3/ivm3b/ivm4's view builds) — are pinned here on the FINAL
+  * plan only; the shuffles inside the eager subtree are real work the
+  * query still performs but are not counted by this net. They are
+  * covered instead by the bench gate (BENCH_r*.json trends the total
+  * cost, eager stages included) and by each site's own scaladoc trade
+  * note (e.g. q11's checkpoint materializes a |parts|-sized table to
+  * buy a three-scan→one-scan rewrite). A listener-based count across
+  * construction + execution was considered and rejected: it would pin
+  * fixture-build shuffles (store writes that exist only to create the
+  * incremental-read situation) as if they were query cost. Note also
+  * that localCheckpoint is lossy under executor failure — at
+  * deployment scale the same truncation points become persisted
+  * checkpoints/tables (each site's scaladoc carries that mapping).
   */
 class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
 
