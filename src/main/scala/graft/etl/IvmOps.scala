@@ -282,6 +282,33 @@ object IvmOps extends OpModule {
       .orderBy("o_custkey")
   }
 
+  /** The most common warehouse read against a maintained view: a filter
+    * on the VIEW'S OWN GROUP KEY above the base scan. The predicate is
+    * constant within each group, so it commutes with the grouping and
+    * [[graft.plans.MvRewriteRule]] answers it from the store by pushing
+    * the predicate onto the substituted view scan — the fact table is
+    * never touched (MvRewriteSpec pins the plan; the oracle pins the
+    * answer against a full filtered recompute).
+    */
+  private def ivm3c(s: SparkSession, dir: String): DataFrame = {
+    val basePath = s"$dir/orders.parquet"
+    graft.plans.MvRegistry.unregister(basePath)
+    val storeDir = ivm3StoreDir(dir)
+    orderPartials(Tables(s, dir, "orders")).write.mode("overwrite").parquet(storeDir)
+    graft.plans.MvRegistry.register(s, basePath, storeDir)
+    Tables(s, dir, "orders")
+      .filter(col("o_custkey") % 5 === 2)
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).as("sum_dec"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_custkey")
+  }
+
   val qs: Seq[Q] = Seq(
     // IVM, insert-only delta: the refreshed view must equal a full
     // recompute over the whole table — the oracle IS the full recompute.
@@ -350,6 +377,18 @@ object IvmOps extends OpModule {
           .select(col("n_orders"), col("sum_dec").cast("double").as("sum_price"),
             col("min_price"), col("max_price"))
       }),
+
+    // Group-key-filtered read answered from the registered view: the
+    // filter commutes with the grouping (constant within each group),
+    // so the rewrite pushes it onto the view scan — the oracle is the
+    // full filtered recompute it must be indistinguishable from.
+    Q("ivm3c_mv_key_filter", Some(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_custkey % 5 = 2
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      ivm3c),
 
     // IVM over a JOIN view (star-schema delta-join: static dim,
     // insert-only fact) — the refreshed per-nation view must equal the

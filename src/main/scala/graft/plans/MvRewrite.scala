@@ -3,9 +3,9 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EvalMode, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, RepartitionOperation}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, RepartitionOperation}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -25,9 +25,18 @@ import org.apache.spark.sql.types.DecimalType
   * fires only when EVERY output of the aggregate maps onto a stored
   * partial with the IDENTICAL type, the grouping is exactly the view's
   * key, and the aggregated relation is exactly the registered base path
-  * (unwrapped through the test-fixture `Repartition` fan-out only — any
-  * filter, join, or projection in between disqualifies, because the
-  * partials answer only the unfiltered per-key question). The recognized
+  * (unwrapped through the test-fixture `Repartition` fan-out only). One
+  * exception to the no-operators-in-between rule, because it is
+  * algebraically free: a deterministic `Filter` whose predicate
+  * references ONLY the view's group key commutes with the grouping
+  * (σ_key(γ_key(R)) = γ_key(σ_key(R)) — the predicate is constant
+  * within each group), so it is pushed onto the substituted view scan
+  * instead of disqualifying. That is the most common warehouse read
+  * (`WHERE custkey IN (…) GROUP BY custkey`) answered at view cost. Any
+  * OTHER filter — touching a non-key column, non-deterministic, or
+  * carrying a subquery — still disqualifies, as do joins and
+  * projections, because the partials answer only per-key questions
+  * whose row population is the full base. The recognized
   * partial vocabulary is ivm1's: `count(1)`, `sum(cast(src as
   * DECIMAL(18,4)))`, `min(src)`, `max(src)`. No match → the plan is
   * untouched, so the rule is sound by construction: it can only ever
@@ -128,6 +137,45 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Split one optional GROUP-KEY-ONLY filter off the aggregate's child.
+    * Returns (predicate if one was split, the plan beneath it). A filter
+    * that fails eligibility is returned as part of the plan — the
+    * downstream `scannedPath` then refuses it, so ineligible filters
+    * disqualify exactly as before. Eligibility: deterministic,
+    * subquery-free, references exactly the view's group key and nothing
+    * else (an empty-reference predicate like `rand() < 0.5` or a literal
+    * is NOT key-only — leave it alone).
+    */
+  private def splitKeyFilter(plan: LogicalPlan): (Option[Expression], LogicalPlan) =
+    plan match {
+      case Filter(cond, child)
+          if cond.deterministic &&
+            !SubqueryExpression.hasSubquery(cond) &&
+            cond.references.map(_.name).toSeq.distinct.size == 1 =>
+        (Some(cond), child)
+      case other => (None, other)
+    }
+
+  /** True ⇔ the split predicate (if any) is answerable from the view:
+    * every reference is the view's group key AND the view column carries
+    * the identical type the predicate was analyzed against.
+    */
+  private def filterEligible(filt: Option[Expression], d: MvRegistry.MvDef,
+      viewAttr: Map[String, Attribute]): Boolean =
+    filt.forall(c => c.references.forall(a =>
+      a.name == d.groupCol &&
+        viewAttr.get(d.groupCol).exists(_.dataType == a.dataType)))
+
+  /** The split predicate re-anchored on the view's own group-key
+    * attribute — sound only under [[splitKeyFilter]]'s guarantee that
+    * every reference IS the group key, and only when the view column
+    * carries the identical type (checked by the caller).
+    */
+  private def remapOntoView(cond: Expression, viewKey: Attribute): Expression =
+    cond.transform {
+      case a: AttributeReference if a.name == viewKey.name => viewKey
+    }
+
   private def mkAgg(fn: AggregateFunction): AggregateExpression =
     AggregateExpression(fn, Complete, isDistinct = false, filter = None,
       resultId = NamedExpression.newExprId)
@@ -153,9 +201,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (MvRegistry.isEmpty) return plan
     plan.transformUp {
       // exact-key aggregate: the partials ARE the answer — pure projection
+      // (plus the commuted group-key filter, if one was split off)
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
         (for {
-          (path, _) <- scannedPath(child)
+          (filt, below) <- Some(splitKeyFilter(child))
+          (path, _) <- scannedPath(below)
           d <- MvRegistry.lookup(path)
           if g.name == d.groupCol
           mapped <- {
@@ -164,25 +214,32 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           }
           view = d.viewRelation.newInstance()
           viewAttr = view.output.map(a => a.name -> a).toMap
+          if filterEligible(filt, d, viewAttr)
           // every mapped partial must exist on the view with the exact
           // output type the aggregate promised its parents
           if mapped.forall(viewAttr.contains) &&
             aggExprs.zip(mapped).forall { case (ne, col) =>
               viewAttr(col).dataType == ne.dataType }
         } yield {
+          val scan = filt match {
+            case Some(c) => Filter(remapOntoView(c, viewAttr(d.groupCol)), view)
+            case None => view
+          }
           val projections = aggExprs.zip(mapped).map { case (ne, col) =>
             Alias(viewAttr(col), ne.name)(exprId = ne.exprId,
               qualifier = ne.qualifier)
           }
-          Project(projections, view)
+          Project(projections, scan)
         }).getOrElse(agg)
 
       // GLOBAL rollup: re-aggregate the partials (count → sum of counts,
       // sum → sum of sums, min/max → min/max of partials) — the coarser
-      // question every per-key view also answers
+      // question every per-key view also answers, over the commuted
+      // group-key filter's surviving groups if one was split off
       case agg @ Aggregate(Seq(), aggExprs, child, _) =>
         (for {
-          (path, _) <- scannedPath(child)
+          (filt, below) <- Some(splitKeyFilter(child))
+          (path, _) <- scannedPath(below)
           d <- MvRegistry.lookup(path)
           mapped <- {
             val m = aggExprs.map(ne => partialFor(ne, d))
@@ -191,6 +248,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           if !mapped.contains(d.groupCol) // key passthrough needs grouping
           view = d.viewRelation.newInstance()
           viewAttr = view.output.map(a => a.name -> a).toMap
+          if filterEligible(filt, d, viewAttr)
           if mapped.forall(viewAttr.contains)
           rolled = aggExprs.zip(mapped).map { case (ne, col) =>
             Alias(rollupFor(col, ne.dataType, viewAttr), ne.name)(
@@ -198,7 +256,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           }
           // the re-aggregated outputs must carry the promised types
           if rolled.zip(aggExprs).forall { case (r, ne) => r.dataType == ne.dataType }
-        } yield Aggregate(Nil, rolled, view)).getOrElse(agg)
+        } yield {
+          val scan = filt match {
+            case Some(c) => Filter(remapOntoView(c, viewAttr(d.groupCol)), view)
+            case None => view
+          }
+          Aggregate(Nil, rolled, scan)
+        }).getOrElse(agg)
     }
   }
 }

@@ -75,6 +75,79 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a GROUP-KEY filter commutes with the grouping and is answered from the view") {
+    withView { storeDir =>
+      def keyFiltered = spark.read.parquet(basePath)
+        .filter(col("o_custkey") % 5 === 2)
+        .groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).as("sum_dec"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_custkey")
+      val want = keyFiltered.collect() // before registration → base plan
+      assert(want.nonEmpty, "fixture filter selected no groups — test is vacuous")
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = keyFiltered
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"group-key-filtered aggregate must be answered from the view:\n$plan")
+      assert(!plan.contains("HashAggregate"),
+        s"per-key read over the view needs no re-aggregation:\n$plan")
+      assert(rewritten.collect().toSeq == want.toSeq,
+        "group-key filter substitution changed the answer")
+    }
+  }
+
+  test("a GROUP-KEY filter on the GLOBAL rollup filters the view's partials") {
+    withView { storeDir =>
+      def filteredRollup = spark.read.parquet(basePath)
+        .filter(col("o_custkey") % 5 === 2)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).as("sum_dec"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      val want = filteredRollup.collect()
+      MvRegistry.register(spark, basePath, storeDir)
+      val rolled = filteredRollup
+      val plan = rolled.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"filtered global rollup must re-aggregate the filtered view:\n$plan")
+      assert(rolled.collect().toSeq == want.toSeq,
+        "filtered rollup substitution changed the answer")
+    }
+  }
+
+  test("a filter mixing the group key with a non-key column still disqualifies") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      val mixed = spark.read.parquet(basePath)
+        .filter(col("o_custkey") % 5 === 2 && col("o_totalprice") > 10.0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      val plan = mixed.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName) &&
+        !plan.contains(new java.io.File(storeDir).getName),
+        s"a predicate touching a non-key column selects ROWS, not groups — " +
+          s"must not rewrite:\n$plan")
+    }
+  }
+
+  test("a non-deterministic group-key predicate disqualifies") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      val nondet = spark.read.parquet(basePath)
+        .filter(col("o_custkey") % 5 === 2 && rand() < 2.0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      val plan = nondet.queryExecution.executedPlan.toString
+      assert(plan.contains(baseDirName) &&
+        !plan.contains(new java.io.File(storeDir).getName),
+        s"rand() samples base ROWS; the view has one row per group — " +
+          s"must not rewrite:\n$plan")
+    }
+  }
+
   test("an aggregate the partials cannot answer disqualifies the whole rewrite") {
     withView { storeDir =>
       MvRegistry.register(spark, basePath, storeDir)

@@ -344,6 +344,9 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // re-aggregation's single-partition collect); pins the rollup
     // rewrite engaged (the fact-scan plan would shuffle the fan-out too)
     "ivm3b_mv_rollup" -> 1,
+    // ivm3c: group-key filter pushed onto the substituted view scan —
+    // still ONE exchange (the presentation sort); the filter is map-side
+    "ivm3c_mv_key_filter" -> 1,
     // ivm4: delta-join partial agg (dim broadcast, no dim shuffle) +
     // merge re-agg + sort + the cut's single-partition exchange
     "ivm4_join_view" -> 4)
