@@ -27,6 +27,12 @@ import graft.{OpModule, Q, Tables}
   *     needs the runner-up, which the state no longer holds) and are
   *     deliberately absent from the ivm2 view. Groups whose count reaches
   *     zero leave the view, exactly as a full recompute would drop them.
+  *   - min/max under retractions (ivm2b): the classical group-scoped fix
+  *     — detect the groups where a removed value reaches the stored
+  *     extremum and re-derive ONLY those groups from the (bucketed)
+  *     base, merging everywhere else ([[refreshWithRetractionsFull]]);
+  *     cost is a sliver of the fact table instead of the full-recompute
+  *     fallback a MIN/MAX-bearing view otherwise forces under CDC.
   *
   * Numeric posture: sums are maintained in DECIMAL(18,4)-derived partials
   * (the repo-wide [[graft.Dec]] idiom) so base+delta merge arithmetic is
@@ -115,6 +121,77 @@ object IvmOps extends OpModule {
         sum("dn").as("n_orders"),
         sum("ds").as("sum_dec"))
       .filter(col("n_orders") > 0)
+
+  /** Which groups need a MIN/MAX recompute under this changelog: exactly
+    * those where some REMOVED value (a delete, or an update's old value)
+    * reaches the stored extremum. Everywhere else the stored extremum row
+    * provably survives with its value intact, so the new extremum is the
+    * pure merge least(stored, added)/greatest(stored, added) — no base
+    * read. The ≤/≥ comparisons (not =) keep the gate sound even against
+    * an inconsistent changelog claiming to remove a value below the
+    * stored min: recompute rather than trust it. One group-keyed
+    * aggregation over the changelog joined to the view-sized store.
+    */
+  def extremumTouchedGroups(store: DataFrame, valueChanges: DataFrame): DataFrame =
+    valueChanges
+      .join(store.select(col("o_custkey"),
+        col("min_price").as("s_min"), col("max_price").as("s_max")),
+        Seq("o_custkey"), "left")
+      .groupBy("o_custkey").agg(
+        max(when(col("v_removed").isNotNull &&
+          col("v_removed") <= col("s_min"), 1).otherwise(0)).as("hit_min"),
+        max(when(col("v_removed").isNotNull &&
+          col("v_removed") >= col("s_max"), 1).otherwise(0)).as("hit_max"))
+      .filter(col("hit_min") === 1 || col("hit_max") === 1)
+      .select("o_custkey")
+
+  /** Full-state refresh under a general changelog, MIN/MAX INCLUDED —
+    * the classical fix for "min/max are not invertible under deletes"
+    * (the reason ivm2's view deliberately excludes them): keep the merge
+    * algebra for count/sum and for every group whose extremum survives,
+    * and fall back to a GROUP-SCOPED recompute only where a retraction
+    * actually removed the stored extremum.
+    *
+    * `valueChanges` rows are one per changelog op:
+    * (o_custkey, dn, ds, v_removed, v_added) — insert (+1, +p, null, p),
+    * update (0, Δsum, old, new), delete (−1, −p, p, null).
+    * `currentRows` is the post-changelog base state (o_custkey, v) — it
+    * is read ONLY through a left-semi join on [[extremumTouchedGroups]],
+    * so untouched groups never re-read the base (IvmSpec pins both the
+    * semi-join in the plan and that a no-extremum changelog touches zero
+    * groups); at deployment the base buckets by the view key and the
+    * recompute reads just the touched groups' buckets.
+    *
+    * Cost shape: everything except the recompute branch is view-sized or
+    * changelog-sized; the recompute is Σ|touched groups' rows| — under a
+    * uniform changelog that is ~|deletes hitting extrema| × avg group
+    * size, a sliver of the fact table, vs ivm2's alternative of a FULL
+    * recompute whenever a deployment needs MIN/MAX under CDC.
+    */
+  def refreshWithRetractionsFull(store: DataFrame, valueChanges: DataFrame,
+      currentRows: DataFrame): DataFrame = {
+    val cs = refreshWithRetractions(
+      store.select(col("o_custkey"), col("n_orders"), col("sum_dec")),
+      valueChanges.select(col("o_custkey"), col("dn"), col("ds")))
+    val touched = extremumTouchedGroups(store, valueChanges)
+    val adds = valueChanges.groupBy("o_custkey").agg(
+      min("v_added").as("add_min"), max("v_added").as("add_max"))
+    val rec = currentRows.join(touched, Seq("o_custkey"), "left_semi")
+      .groupBy("o_custkey").agg(min("v").as("r_min"), max("v").as("r_max"))
+    cs // survivors only: groups retracted to zero already dropped here
+      .join(store.select(col("o_custkey"),
+        col("min_price").as("s_min"), col("max_price").as("s_max")),
+        Seq("o_custkey"), "left")
+      .join(adds, Seq("o_custkey"), "left")
+      .join(rec, Seq("o_custkey"), "left")
+      // rec has a row ⇔ the group was touched (semi-join is on touched):
+      // touched groups take the exact recompute, everyone else the merge
+      .select(col("o_custkey"), col("n_orders"), col("sum_dec"),
+        when(col("r_min").isNotNull, col("r_min"))
+          .otherwise(least(col("s_min"), col("add_min"))).as("min_price"),
+        when(col("r_max").isNotNull, col("r_max"))
+          .otherwise(greatest(col("s_max"), col("add_max"))).as("max_price"))
+  }
 
   /** Split `orders` at the median key into (base, delta) — the same
     * in-plan broadcast-scalar cut as dd9, so one query works at every SF.
@@ -245,6 +322,68 @@ object IvmOps extends OpModule {
   private def ivm3StoreDir(dir: String): String =
     ScratchDirs.keyed(s"ivm3_view_p${ProcessHandle.current().pid()}", dir)
 
+  private def ivm2b(s: SparkSession, dir: String): DataFrame =
+    ivm2bAt(s, dir, ScratchDirs.keyed("ivm2b_view", dir))
+
+  /** ivm2b: the ivm2 changelog maintained over the FULL view — min/max
+    * included via [[refreshWithRetractionsFull]]'s group-scoped
+    * recompute. The changelog reuses ivm2's op assignment (inserts =
+    * delta half, updates = keys ≡3 mod 7 at +100, deletes = keys ≡5 mod
+    * 13 not updated) extended with the value-level removed/added columns
+    * min/max maintenance needs; the deletes statistically hit many group
+    * minima (1/13 of base rows), which is exactly the regime the
+    * recompute gate exists for. Value arithmetic for min/max stays in
+    * DOUBLE (+100.0 is one correctly-rounded IEEE add, identical on both
+    * engines); only the sum algebra runs in decimal.
+    */
+  def ivm2bAt(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val (base, _) = splitAtCut(s, dir)
+    orderPartials(base).write.mode("overwrite").parquet(storeDir)
+
+    val p = col("o_totalprice").cast(D)
+    val v = col("o_totalprice")
+    val k = col("o_orderkey")
+    val withCut = Tables(s, dir, "orders")
+      .crossJoin(broadcast(Tables(s, dir, "orders")
+        .agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+    val changes = withCut
+      .select(col("o_custkey"),
+        when(k >= col("cut"), lit(1L))                          // insert
+          .when(k % 7 === 3, lit(0L))                           // update
+          .when(k % 13 === 5, lit(-1L))                         // delete
+          .as("dn"),
+        when(k >= col("cut"), p)
+          .when(k % 7 === 3, UpdateBump)
+          .when(k % 13 === 5, -p)
+          .cast(DecimalType(28, 4)).as("ds"),
+        when(k >= col("cut"), lit(null).cast("double"))
+          .when(k % 7 === 3, v)                                 // old value out
+          .when(k % 13 === 5, v)
+          .as("v_removed"),
+        when(k >= col("cut"), v)
+          .when(k % 7 === 3, v + lit(100.0))                    // new value in
+          .when(k % 13 === 5, lit(null).cast("double"))
+          .as("v_added"))
+      .filter(col("dn").isNotNull)
+
+    // post-changelog base truth, derived in ONE scan (insert / update /
+    // delete / untouched branches mirror the changelog exactly); read
+    // only through the touched-group semi-join inside the refresh
+    val currentRows = withCut
+      .select(col("o_custkey"),
+        when(k >= col("cut"), v)
+          .when(k % 7 === 3, v + lit(100.0))
+          .when(k % 13 === 5, lit(null).cast("double"))
+          .otherwise(v).as("v"))
+      .filter(col("v").isNotNull)
+
+    refreshWithRetractionsFull(s.read.parquet(storeDir), changes, currentRows)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_custkey")
+  }
+
   /** Build + register the full-table partial view, then run the base
     * aggregate VERBATIM — [[graft.plans.MvRewriteRule]] must substitute
     * the view scan at analysis time (MvRewriteSpec pins the plan; here
@@ -341,6 +480,33 @@ object IvmOps extends OpModule {
         |SELECT o_custkey, count(*) AS n_orders, CAST(sum(p) AS DOUBLE) AS sum_price
         |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
       ivm2),
+
+    // Retraction-safe MIN/MAX: the ivm2 changelog maintained over the
+    // full view — groups whose extremum was removed recompute from just
+    // their own rows, everyone else merges. The oracle applies the same
+    // changelog row-level and fully recomputes all four aggregates; the
+    // refreshed view must be indistinguishable, min/max included.
+    Q("ivm2b_cdc_minmax", Some(
+      """WITH cutv AS (SELECT (max(o_orderkey) + 1) // 2 AS cut FROM orders),
+        |survivors AS (
+        |  SELECT o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) +
+        |      CASE WHEN o_orderkey % 7 = 3 THEN CAST(100.0000 AS DECIMAL(18,4))
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END AS p,
+        |    CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS v
+        |  FROM orders, cutv
+        |  WHERE o_orderkey < cut
+        |    AND NOT (o_orderkey % 13 = 5 AND o_orderkey % 7 <> 3)),
+        |ins AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+        |         o_totalprice AS v
+        |  FROM orders, cutv WHERE o_orderkey >= cut),
+        |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |SELECT o_custkey, count(*) AS n_orders, CAST(sum(p) AS DOUBLE) AS sum_price,
+        |  min(v) AS min_price, max(v) AS max_price
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      ivm2b),
 
     // Materialized-view rewrite under the oracle gate: the query Spark
     // executes is the VIEW substitution (MvRewriteSpec pins the plan

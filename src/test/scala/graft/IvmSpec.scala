@@ -90,6 +90,123 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       s"expected only custkey 2 with (n=2, sum=110.0), got $out")
   }
 
+  test("ivm2b: full-view retraction refresh (min/max included) equals the changelog applied directly") {
+    val refreshed = IvmOps.ivm2bAt(spark, sf, privateDir("ivm2b_spec"))
+    val orders = Tables(spark, sf, "orders")
+    val withCut = orders.crossJoin(
+      broadcast(orders.agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+    val survivors = withCut
+      .filter(col("o_orderkey") < col("cut"))
+      .filter(!(col("o_orderkey") % 13 === 5 && col("o_orderkey") % 7 =!= 3))
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(D) +
+          when(col("o_orderkey") % 7 === 3,
+            lit(new java.math.BigDecimal("100.0000")).cast(D))
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast(D))).as("p"),
+        when(col("o_orderkey") % 7 === 3, col("o_totalprice") + lit(100.0))
+          .otherwise(col("o_totalprice")).as("v"))
+    val inserts = withCut.filter(col("o_orderkey") >= col("cut"))
+      .select(col("o_custkey"),
+        col("o_totalprice").cast(D).cast(survivors.schema("p").dataType).as("p"),
+        col("o_totalprice").as("v"))
+    val full = survivors.unionByName(inserts)
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum("p").cast("double").as("sum_price"),
+        min("v").as("min_price"), max("v").as("max_price"))
+      .orderBy("o_custkey")
+    assert(refreshed.exceptAll(full).count() == 0 &&
+      full.exceptAll(refreshed).count() == 0,
+      "full-view retraction refresh differs from the directly-applied changelog")
+  }
+
+  test("ivm2b gate: only extremum-hit groups recompute; untouched groups never consult the base") {
+    import spark.implicits._
+    // store: g1 {1.0, 5.0}, g2 {2.0, 4.0}
+    val baseRows = Seq((1L, 1.0), (1L, 5.0), (2L, 2.0), (2L, 4.0))
+      .toDF("o_custkey", "v")
+    val store = baseRows.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("v").cast(D)).as("sum_dec"),
+      min("v").as("min_price"), max("v").as("max_price"))
+    // changelog: delete g1's MIN (1.0) → extremum hit; insert 3.0 into g2
+    // (interior value, no hit)
+    val changes = Seq(
+      (1L, -1L, "-1.0000", Some(1.0), None: Option[Double]),
+      (2L, 1L, "3.0000", None: Option[Double], Some(3.0)))
+      .toDF("o_custkey", "dn", "ds", "v_removed", "v_added")
+      .select(col("o_custkey"), col("dn"),
+        col("ds").cast(DecimalType(28, 4)).as("ds"),
+        col("v_removed"), col("v_added"))
+    assert(IvmOps.extremumTouchedGroups(store, changes)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "exactly the min-deleting group must be flagged for recompute")
+    // POISON base rows for the untouched group: if the refresh consulted
+    // the base anywhere outside the touched-group semi-join, g2's min
+    // would read -999.0 — it must come purely from the store/adds merge
+    val current = Seq((1L, 5.0), (2L, -999.0)).toDF("o_custkey", "v")
+    val out = IvmOps.refreshWithRetractionsFull(store, changes, current)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("s"),
+        col("min_price"), col("max_price"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      (1L, 1L, 5.0, 5.0, 5.0),    // recomputed from the group's own rows
+      (2L, 3L, 9.0, 2.0, 4.0)),   // merged: least/greatest of store + adds
+      s"unexpected refreshed view: $out")
+    // the recompute branch is a left-semi-gated read — the plan carries it
+    val plan = IvmOps.refreshWithRetractionsFull(store, changes, current)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"group-scoped recompute must read the base through a semi-join:\n$plan")
+    // an extremum-free changelog flags NOTHING — zero base groups re-read
+    val interiorOnly = changes.filter(col("o_custkey") === 2L)
+    assert(IvmOps.extremumTouchedGroups(store, interiorOnly).count() == 0,
+      "a changelog that never removes an extremum must touch zero groups")
+  }
+
+  test("ivm2b law: refresh equals recompute across changelog variants") {
+    import spark.implicits._
+    // exercise each gate edge: delete-at-max, update moving the min UP
+    // (old value out = extremum hit), duplicate-extremum delete (the
+    // conservative recompute still lands right), full-group retraction
+    val baseRows = Seq(
+      (1L, 1.0), (1L, 1.0), (1L, 9.0),   // duplicated min
+      (2L, 2.0), (2L, 8.0),              // max-delete target
+      (3L, 3.0), (3L, 7.0),              // min-update target
+      (4L, 4.0))                         // full retraction
+      .toDF("o_custkey", "v")
+    val store = baseRows.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("v").cast(D)).as("sum_dec"),
+      min("v").as("min_price"), max("v").as("max_price"))
+    val changes = Seq(
+      (1L, -1L, "-1.0000", Some(1.0), None: Option[Double]), // one of the dup mins
+      (2L, -1L, "-8.0000", Some(8.0), None: Option[Double]), // the max
+      (3L, 0L, "7.0000", Some(3.0), Some(10.0)),             // min 3 → 10
+      (4L, -1L, "-4.0000", Some(4.0), None: Option[Double])) // group empties
+      .toDF("o_custkey", "dn", "ds", "v_removed", "v_added")
+      .select(col("o_custkey"), col("dn"),
+        col("ds").cast(DecimalType(28, 4)).as("ds"),
+        col("v_removed"), col("v_added"))
+    // post-changelog truth
+    val current = Seq((1L, 1.0), (1L, 9.0), (2L, 2.0), (3L, 7.0), (3L, 10.0))
+      .toDF("o_custkey", "v")
+    val got = IvmOps.refreshWithRetractionsFull(store, changes, current)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast("double").as("s"),
+        col("min_price"), col("max_price"))
+    val want = current.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("v").cast(D)).cast("double").as("s"),
+      min("v").as("min_price"), max("v").as("max_price"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"refresh diverged from recompute: got ${got.collect().toSeq} " +
+        s"want ${want.collect().toSeq}")
+  }
+
   test("ivm4: join-view refresh equals the full join recompute; delta join broadcasts the dim") {
     val storeDir = privateDir("ivm4_spec")
     val refreshed = IvmOps.ivm4At(spark, sf, storeDir)

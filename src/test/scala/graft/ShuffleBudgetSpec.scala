@@ -335,6 +335,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ivm2: one-pass changelog derivation (when-chain, not a 3-branch
     // union) + merge re-agg + sort + the cut's single-partition exchange
     "ivm2_cdc_agg" -> 3,
+    // ivm2b: full-view CDC refresh with min/max — count/sum retraction
+    // agg + the changelog value-summary agg + the extremum-gate agg +
+    // the touched-group semi-joined recompute agg + the view-sized
+    // merge joins + final sort; every side is changelog- or view-sized
+    // except the semi-gated recompute (touched groups' rows only)
+    "ivm2b_cdc_minmax" -> 9,
     // ivm3: ONE exchange — the presentation sort over the substituted
     // view scan. This budget deliberately pins that MvRewriteRule
     // ENGAGED (the unrewritten aggregate would count 2); a silent
