@@ -76,9 +76,14 @@ object IvmStream {
     * to zero membership leave the view. Same versioned store roll and
     * marker-identity exactly-once.
     */
+  /** @param registerBase see [[viewRefreshStream]] — the CDC view
+    *   carries (o_custkey, n_orders, sum_dec) only, so routed reads are
+    *   those the rewrite can type-match against that narrower store.
+    */
   def cdcRefreshStream(spark: SparkSession, inDir: String, storePath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
-      onBatchCommitted: Long => Unit = _ => ()): StreamingQuery = {
+      onBatchCommitted: Long => Unit = _ => (),
+      registerBase: Option[String] = None): StreamingQuery = {
     spark.readStream
       .schema(cdcSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -110,20 +115,51 @@ object IvmStream {
           newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
           StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
         }
+        reRegister(s, registerBase, storePath)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
   }
 
+  /** Re-point the MV rewrite at the latest committed view version — the
+    * read-side half of stream maintenance. Without this, a view the
+    * stream keeps perfectly fresh on disk serves STALE answers through
+    * [[graft.plans.MvRegistry]]: registration pins the view's file
+    * listing, so it must re-run after every version flip (the batch
+    * path's unregister→rebuild→register protocol, IvmOps.ivm3). Called
+    * in foreachBatch strictly AFTER the marker commit — and also on the
+    * replay-skip path, which heals a crash that died between the flip
+    * and the registration. Readers planned against the previous version
+    * keep a complete immutable dir (never deleted under the retention
+    * window), so a routed read is stale by AT MOST one version and
+    * never torn.
+    */
+  private def reRegister(s: SparkSession, registerBase: Option[String],
+      storePath: String): Unit =
+    registerBase.foreach { bp =>
+      val fs = StoreFs.fs(s, storePath)
+      StoreFs.committedVersions(fs, storePath).lastOption.foreach { n =>
+        graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view")
+      }
+    }
+
   /** Start the continuous view-maintenance query over parquet order
     * deltas landing in `inDir`. `onBatchCommitted` fires after the
     * version-marker flip and before foreachBatch returns — the
     * crash window the spec uses to prove replay idempotence.
+    *
+    * @param registerBase base-table path to keep registered in
+    *   [[graft.plans.MvRegistry]] against the live view version (see
+    *   [[reRegister]]); None leaves the read side untouched. Freshness
+    *   contract: a routed read reflects every batch whose foreachBatch
+    *   has completed — files landed but not yet folded are the usual MV
+    *   staleness window, identical to the batch path's.
     */
   def viewRefreshStream(spark: SparkSession, inDir: String, storePath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
-      onBatchCommitted: Long => Unit = _ => ()): StreamingQuery = {
+      onBatchCommitted: Long => Unit = _ => (),
+      registerBase: Option[String] = None): StreamingQuery = {
     spark.readStream
       .schema(orderSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -147,6 +183,7 @@ object IvmStream {
           newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
           StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
         }
+        reRegister(s, registerBase, storePath)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)

@@ -110,6 +110,56 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
       s"expected ck1 fully retracted and ck2 at (2, 130.0), got $got")
   }
 
+  test("stream-maintained view routes reads through the MV rewrite, stale by at most one version") {
+    val inDir = java.nio.file.Files.createTempDirectory("ivmr_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivmr_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivmr_ckpt").toString
+    // the routed read: count/min/max over the stream's base dir — the
+    // exact shapes the canonical view answers with identical types (the
+    // stream's sum partial is pinned DECIMAL(38,4) for cross-version
+    // schema stability, so a 28,4-summing query correctly does NOT match)
+    def routed = spark.read.parquet(inDir)
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_custkey")
+    def recompute(all: Seq[(Long, Long, Double)]) =
+      all.toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("o_custkey")
+    try {
+      val batch1 = writeDelta(inDir, 301)
+      val q1 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+        registerBase = Some(inDir))
+      q1.processAllAvailable(); q1.stop()
+      val plan1 = routed.queryExecution.executedPlan.toString
+      assert(plan1.contains(new java.io.File(store).getName) &&
+        !plan1.contains(new java.io.File(inDir).getName),
+        s"routed read must scan the maintained view, not the base dir:\n$plan1")
+      assert(routed.collect().toSeq == recompute(batch1).collect().toSeq,
+        "routed read diverges from batch-1 truth")
+      // BETWEEN batches: files landed but not folded — the routed read
+      // must serve batch-1's complete version (stale by one, never torn)
+      val batch2 = writeDelta(inDir, 302)
+      assert(routed.collect().toSeq == recompute(batch1).collect().toSeq,
+        "between batches the read must serve the last committed version")
+      // resume: the next fold re-registers and the read advances to v2
+      val q2 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+        registerBase = Some(inDir))
+      q2.processAllAvailable(); q2.stop()
+      val plan2 = routed.queryExecution.executedPlan.toString
+      assert(plan2.contains("v2"),
+        s"after batch 2 the routed read must scan version 2:\n$plan2")
+      assert(routed.collect().toSeq ==
+        recompute(batch1 ++ batch2).collect().toSeq,
+        "routed read diverges from batch-2 truth after the version flip")
+    } finally graft.plans.MvRegistry.unregister(inDir)
+  }
+
   test("old versions stay immutable as the view rolls forward") {
     val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
     val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString
