@@ -272,8 +272,14 @@ object GraphOps extends OpModule {
     * co-locates (the [[pageRank]] evidence — BucketingSpec + PLANS.md —
     * covers this join, same key shape).
     */
-  def bfsHops(edges0: DataFrame, source: Long, rounds: Int): DataFrame = {
-    val edges = edges0.select("src", "dst").localCheckpoint(true)
+  /** @param truncateEdges as [[pageRank]]'s: pass false when `edges0` is
+    *   a BUCKETED table scan so every relaxation round's join co-locates
+    *   on the bucketed side instead of re-shuffling it.
+    */
+  def bfsHops(edges0: DataFrame, source: Long, rounds: Int,
+      truncateEdges: Boolean = true): DataFrame = {
+    val edges0sel = edges0.select("src", "dst")
+    val edges = if (truncateEdges) edges0sel.localCheckpoint(true) else edges0sel
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
     var d = nodes.withColumn("d",
       when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
@@ -314,15 +320,21 @@ object GraphOps extends OpModule {
     // g1 — link-graph influence rank as a corpus-quality prior: 5
     // damped power-iteration rounds over the trading graph, integer
     // micro-unit arithmetic end-to-end so the DuckDB oracle reproduces
-    // every rank bit-for-bit.
+    // every rank bit-for-bit. DELIBERATE UNBUCKETED BASELINE: g1b is
+    // the canonical entry point for iterative graph work — the measured
+    // bucketed advantage widens every decade (1.4× → 2.3× → 3.8×,
+    // COVERAGE.md three-decade trend table) because g1's per-round edge
+    // re-shuffle grows with data while g1b's round stays join-local.
+    // g1 stays oracled as the pair's control, the same role the
+    // unbucketed side plays in BucketingSpec.
     Q("g1_pagerank", Some(pageRankOracleSql),
       (s, dir) => pageRank(tradeEdges(s, dir), PrIters).orderBy("node_id"))
 ,
-    // g1b — g1 over the bucketed-edge layout (see [[bucketedTradeEdges]]):
-    // the same 5 damped rounds, same oracle, but every round's
-    // edges⋈ranks join reads the node-id-bucketed table instead of
-    // re-shuffling the fact side. COVERAGE.md carries the measured
-    // g1-vs-g1b trade at sf0.1.
+    // g1b — THE canonical iterative-graph path: g1 over the bucketed-
+    // edge layout (see [[bucketedTradeEdges]]) — the same 5 damped
+    // rounds, same oracle, but every round's edges⋈ranks join reads the
+    // node-id-bucketed table instead of re-shuffling the fact side.
+    // COVERAGE.md carries the measured three-decade g1-vs-g1b trend.
     Q("g1b_pagerank_bucketed", Some(pageRankOracleSql),
       (s, dir) => pageRank(bucketedTradeEdges(s, dir), PrIters,
         truncateEdges = false).orderBy("node_id"))
@@ -330,9 +342,13 @@ object GraphOps extends OpModule {
     // g2 — bounded-hop BFS distance from customer 0's node over the
     // trading graph (6 relaxation rounds; unreached → −1). The oracle
     // recomputes it with a bounded recursive enumeration — a different
-    // algorithm on a second engine agreeing on every hop count.
+    // algorithm on a second engine agreeing on every hop count. Routed
+    // through the bucketed-edge staging (the g1b canonicalization
+    // applied to the OTHER iterative family: rounds ≥ 3 amortize the
+    // staged layout, and the per-round frontier⋈edges join is the same
+    // node-keyed shape the bucketing co-locates).
     Q("g2_bfs_hops", Some(bfsOracleSql),
-      (s, dir) => bfsHops(tradeEdges(s, dir), source = 0L, rounds = BfsRounds)
-        .orderBy("node_id"))
+      (s, dir) => bfsHops(bucketedTradeEdges(s, dir), source = 0L,
+        rounds = BfsRounds, truncateEdges = false).orderBy("node_id"))
   )
 }

@@ -1,11 +1,11 @@
 package graft.plans
 
-import graft.tensor.{FloatDot, FloatL2Sq, FloatNorm}
+import graft.tensor.{FloatDot, FloatL2Sq, FloatNorm, LongAgreeCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite the idiomatic higher-order-function dot-product
   * / norm patterns into the codegen'd [[FloatDot]]/[[FloatNorm]] kernels.
@@ -55,7 +55,38 @@ object KernelFusionRule extends Rule[LogicalPlan] {
     }
   }
 
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  private object IntSumFold {
+    /** Matches `(acc, v) -> acc + v` over the zero literal 0 (int). */
+    def unapply(agg: ArrayAggregate): Option[Expression] = agg match {
+      case ArrayAggregate(input,
+          Literal(0, IntegerType),
+          LambdaFunction(Add(a: NamedLambdaVariable, b: NamedLambdaVariable, _), Seq(a2, b2), _),
+          LambdaFunction(f: NamedLambdaVariable, Seq(f2), _))
+        if a.exprId == a2.asInstanceOf[NamedLambdaVariable].exprId &&
+          b.exprId == b2.asInstanceOf[NamedLambdaVariable].exprId &&
+          f.exprId == f2.asInstanceOf[NamedLambdaVariable].exprId =>
+        Some(input)
+      case _ => None
+    }
+  }
+
   private def rewrite(e: Expression): Expression = e.transformUp {
+    // aggregate(zip_with(a, b, (x,y) -> IF(x = y, 1, 0)), 0, +)
+    //   → sig_agree(a, b) — the LSH agreement inner loop (dd2/dd9/dd13
+    //     and the dedup stream), scored per CANDIDATE PAIR so the boxed
+    //     HOF frame is a millions-of-times-per-run cost
+    case IntSumFold(ZipWith(l, r, LambdaFunction(
+        If(EqualTo(x: NamedLambdaVariable, y: NamedLambdaVariable),
+          Literal(1, IntegerType), Literal(0, IntegerType)), Seq(xv, yv), _)))
+      if isLongArray(l) && isLongArray(r) &&
+        x.exprId == xv.asInstanceOf[NamedLambdaVariable].exprId &&
+        y.exprId == yv.asInstanceOf[NamedLambdaVariable].exprId =>
+      LongAgreeCount(l, r)
     // aggregate(zip_with(a, b, (x,y) -> dx * dy), 0.0, +) → float_dot(a, b)
     case agg @ SumFold(ZipWith(l, r,
         LambdaFunction(Multiply(DoubleOf(x), DoubleOf(y), _), Seq(x2, y2), _)))
@@ -111,6 +142,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("float_l2sq"),
       new ExpressionInfo(classOf[FloatL2Sq].getName, "float_l2sq"),
       (exprs: Seq[Expression]) => FloatL2Sq(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[LongAgreeCount].getName, "sig_agree"),
+      (exprs: Seq[Expression]) => LongAgreeCount(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("tensor_explode"),
       new ExpressionInfo(classOf[graft.tensor.TensorExplode].getName, "tensor_explode"),
       (exprs: Seq[Expression]) => graft.tensor.TensorExplode(exprs(0), exprs(1))))

@@ -86,6 +86,80 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** `sig_agree(a, b)` — number of positions where two `array<bigint>`
+  * minhash signatures agree: the inner loop of every LSH verdict tier
+  * (dd2 rep pairs, dd9/dd13 candidate scoring, the dedup stream), where
+  * the interpreted HOF form
+  * `aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, +)` pays a
+  * boxed lambda frame and a fresh 32-element array PER CANDIDATE PAIR —
+  * millions of pairs per run once a corpus's duplicate families fill
+  * their LSH buckets (measured: 16M scored pairs at sf1.0, COVERAGE.md
+  * §dd13).
+  *
+  * Null/length contract is bit-identical to that HOF: a NULL array
+  * yields NULL; unequal lengths count agreement over the common prefix
+  * (zip_with pads the shorter side with nulls, `x = y` on a null is
+  * null, and `IF` sends null conditions to the 0 branch); a null
+  * ELEMENT on either side contributes 0 the same way. The element
+  * guard is only emitted for containsNull=true inputs.
+  */
+case class LongAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sig_agree requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemsNullable
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (!(checkNulls && (x.isNullAt(i) || y.isNullAt(i))) &&
+        x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val nullGuard = if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) continue;"
+      else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `float_norm(a)` — L2 norm with the same fold contract (a null element
   * yields NULL, matching `sqrt(aggregate(transform(a, x -> x*x), 0d, +))`
   * where the null propagates through the sum; guard emitted only for
