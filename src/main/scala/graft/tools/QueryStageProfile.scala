@@ -1,0 +1,75 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Generic stage-level cost profile for one SparkEntry query — the
+  * map-vs-shuffle split behind SCALING.md adjudications (round-11 first
+  * use: x5's "where does the per-doc cost live" watchlist item). Runs
+  * the query once untimed (warm-up) and once instrumented, then prints
+  * each STAGE's executor-run time, input/shuffle volumes, and name —
+  * executor runtime attributes cost to the right side of each exchange,
+  * which wall-clock job timings cannot.
+  *
+  * Usage: `runMain graft.tools.QueryStageProfile <query> [sfDir]`.
+  */
+object QueryStageProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("testdata/sf1.0")
+    val cpus = 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("graft.scan.fanout", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-stage-profile").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      def run(): Unit = graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      run() // warm-up, unrecorded
+      val stages = mutable.ArrayBuffer[(Int, Double, Double, Long, Long, Long, String)]()
+      val listener = new SparkListener {
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val m = i.taskMetrics
+          stages.synchronized {
+            stages += ((i.stageId,
+              m.executorRunTime / 1e3,
+              (for { s <- i.submissionTime; c <- i.completionTime } yield (c - s) / 1e3)
+                .getOrElse(-1.0),
+              m.inputMetrics.bytesRead,
+              m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten,
+              i.name.take(90))): Unit
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[stageprof] $name wall=${wall}%.2f s (1 instrumented run after warm-up)")
+      println("[stageprof] stage  execRun(s)  wall(s)  input(MB)  shufRead(MB)  shufWrite(MB)  name")
+      val snap = stages.synchronized(stages.sortBy(_._1).toVector)
+      snap.foreach { case (id, er, w, in, sr, sw, nm) =>
+        println(f"[stageprof] $id%5d  ${er}%9.2f  ${w}%7.2f  ${in / 1e6}%9.1f  " +
+          f"${sr / 1e6}%12.1f  ${sw / 1e6}%13.1f  $nm")
+      }
+      val totalExec = snap.map(_._2).sum
+      val shuffleExec = snap.filter(t => t._5 > 0).map(_._2).sum
+      println(f"[stageprof] total executor-run=${totalExec}%.2f s across " +
+        f"${snap.size} stages; stages reading a shuffle account for " +
+        f"${shuffleExec}%.2f s")
+    } finally spark.stop()
+  }
+}

@@ -11,33 +11,45 @@ import graft.Tables
   * derivable from the sf1.0 runs the oracle verified") into a
   * measurement (SCALING.md §shard-parity).
   *
-  * What is asserted, per family:
+  * What is asserted, per family — the invariants the construction
+  * ACTUALLY provides, which differ by family class:
   *
-  *   - NO CROSS-SHARD LEAKAGE — every output row's keys lie in ONE
-  *     shard's key range. This is the load-bearing scale claim: a pair/
-  *     cluster/component that crossed shards would mean the family
-  *     manufactures relationships between unrelated sub-corpora.
-  *   - SHARD-0 EQUALITY — sf10's results restricted to shard 0 equal the
-  *     standalone sf1.0 run EXACTLY (shard 0 is sf1.0 verbatim: no key
-  *     shift, no text mutation), proving per-shard results are
-  *     independent of the other nine shards' presence.
-  *   - TEN-WAY SHARD IDENTITY (text-free families: v7, g1b) — every
-  *     shard's result, un-shifted back to shard-0 coordinates, is
-  *     bit-identical to shard 0's: the copies are isomorphic structures,
-  *     so the family must not care WHICH key range it runs in. (g1b's
-  *     rank constant S div N is global, so sf1.0 equality does not apply
-  *     — the 10-way identity is the exact invariant the construction
-  *     provides.)
+  * KEY-ONLY families (v7 voxel CC over (partkey, suppkey); g1b PageRank
+  * over the trading graph) — copies are EXACTLY isomorphic structures
+  * (keys shift, nothing else changes), so the strongest checks hold:
+  *   - zero cross-shard components (disjoint key ranges cannot abut:
+  *     v7's iy ranges are shard-disjoint, so +1-adjacency never crosses);
+  *   - shard-0 equality with the standalone sf1.0 run (v7; g1b's rank
+  *     constant S div N is global so sf1.0 equality does not apply);
+  *   - TEN-WAY SHARD IDENTITY: every shard's result, un-shifted back to
+  *     shard-0 coordinates, bit-identical to shard 0's.
   *
-  * For the HASH-REALIZATION families (dd2/dd6) shards c > 0 are reported
-  * but not asserted equal: GenScale's token mutation is a per-copy token
-  * BIJECTION, which preserves every token-set Jaccard exactly but not
-  * the minhash REALIZATION (different token strings hash to different
-  * lattice points, so borderline band collisions flip) — per-shard pair
-  * counts land close, and the check prints them for the record.
+  * TEXT families (dd2 pairs, dd6 clusters) — GenScale's mutation is
+  * TOKEN-keyed (every token with even crc32 gains a copy suffix), which
+  * drives the AVERAGE cross-copy Jaccard to ≈0.33 but is NOT a per-doc
+  * bound: a doc whose distinct tokens skew crc-odd mutates little and
+  * its copies stay genuine near-dups. The construction therefore PLANTS
+  * a cross-copy duplicate population (measured at sf10: 1.47 M of
+  * 11.4 M dd2 pairs cross shards, median TRUE token-set Jaccard 0.70 vs
+  * the 0.33 background — `CrossShardProbe`), so "zero cross-shard
+  * pairs" is the WRONG invariant. What does hold, and is asserted:
+  *   - CROSS-SHARD PAIRS ARE SIGNAL: every cross-shard pair's true
+  *     token-set Jaccard exceeds the 1/3 cross-copy background — none
+  *     is a pure hash artifact (measured min 0.393);
+  *   - SHARD-0 SUBSET LAW: sf10's within-shard-0 pairs are a SUBSET of
+  *     the standalone sf1.0 pairs — a theorem of the construction
+  *     (shard-0 sigs/cliques/band keys are unchanged; buckets only GAIN
+  *     cross-copy members, so the bucket cap can only drop candidates,
+  *     never mint them). Zero gained pairs asserted; losses reported
+  *     (the cap effect: 122,874 = 9.3% at sf10).
+  *   - dd6 cluster structure: cross-shard memberships exist exactly
+  *     where planted duplicates connect copies; per-shard cluster
+  *     counts asserted within a 5% band (isomorphic-up-to-mutation),
+  *     cross-shard membership fraction reported.
   *
   * Usage: `runMain graft.tools.ShardParity [sf1Dir] [sf10Dir]`.
-  * Exits non-zero on any failed assertion.
+  * Exits non-zero on any failed assertion. Results recorded in
+  * SCALING.md §shard-parity.
   */
 object ShardParity {
 
@@ -93,30 +105,50 @@ object ShardParity {
         .localCheckpoint(true)
       val r10 = graft.quality.DedupOps.minhashPairs(spark, sf10, minEstJaccard = 0.8)
         .localCheckpoint(true)
-      check("dd2 zero cross-shard pairs",
-        r10.filter(floor(col("a") / D) =!= floor(col("b") / D)).isEmpty)
-      check("dd2 shard-0 == standalone sf1.0",
-        equalSets(r10.filter(col("a") < D && col("b") < D), r1))
-      val perShard = r10.groupBy(floor(col("a") / D).as("shard")).count()
-        .orderBy("shard").collect().map(r => r.getLong(1))
-      println(s"[parity] dd2 per-shard pair counts (c>0 informative — " +
-        s"token bijection preserves Jaccard, not minhash realization): " +
-        perShard.mkString(","))
+      val cross = r10.filter(floor(col("a") / D) =!= floor(col("b") / D))
+        .localCheckpoint(true)
+      val toks = Tables(spark, sf10, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("tok"))
+      val trueJ = cross
+        .join(toks.select(col("doc_id").as("a"), col("tok").as("ta")), "a")
+        .join(toks.select(col("doc_id").as("b"), col("tok").as("tb")), "b")
+        .select((size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb")))).as("true_j"))
+        .localCheckpoint(true)
+      check("dd2 cross-shard pairs are signal (true Jaccard > 1/3 background, all)",
+        trueJ.filter(col("true_j") <= 1.0 / 3.0).isEmpty,
+        s"artifact pairs at/below background: " +
+          trueJ.filter(col("true_j") <= 1.0 / 3.0).count().toString)
+      val dec = trueJ.select(expr(
+        "percentile(true_j, array(0.0, 0.5, 1.0))")).head().getSeq[Double](0)
+      println(f"[parity] dd2 cross-shard pairs=${cross.count()} of " +
+        f"${r10.count()} (planted cross-copy duplicates); true-J " +
+        f"min=${dec(0)}%.3f median=${dec(1)}%.3f max=${dec(2)}%.3f")
+      val s0 = r10.filter(col("a") < D && col("b") < D)
+      check("dd2 shard-0 subset law (sf10 within-shard-0 pairs gain NOTHING vs sf1.0)",
+        s0.exceptAll(r1).isEmpty,
+        s"gained pairs: ${s0.exceptAll(r1).count()}")
+      println(s"[parity] dd2 shard-0 pairs lost to cross-copy bucket-cap " +
+        s"pressure: ${r1.exceptAll(s0).count()} of ${r1.count()} " +
+        "(caps are monotone in members, so losses are the only legal delta)")
     }
 
     // ---- dd6: dedup clusters (doc_id, cluster_rep) --------------------
     locally {
-      val r1 = graft.quality.DedupOps.dedupClusters(spark, sf1, minEstJaccard = 0.95)
-        .localCheckpoint(true)
       val r10 = graft.quality.DedupOps.dedupClusters(spark, sf10, minEstJaccard = 0.95)
         .localCheckpoint(true)
-      check("dd6 zero cross-shard cluster membership",
-        r10.filter(floor(col("doc_id") / D) =!= floor(col("cluster_rep") / D)).isEmpty)
-      check("dd6 shard-0 == standalone sf1.0",
-        equalSets(r10.filter(col("doc_id") < D), r1))
+      val crossFrac = r10
+        .filter(floor(col("doc_id") / D) =!= floor(col("cluster_rep") / D))
+        .count().toDouble / r10.count()
+      println(f"[parity] dd6 cross-shard membership fraction=" +
+        f"$crossFrac%.4f (planted cross-copy duplicates merge clusters)")
       val sizes = r10.groupBy(floor(col("doc_id") / D).as("shard"))
         .agg(countDistinct("cluster_rep").as("n_clusters"))
         .orderBy("shard").collect().map(_.getLong(1))
+      check("dd6 per-shard cluster counts within a 5% band (isomorphic up to mutation)",
+        sizes.max.toDouble / sizes.min <= 1.05,
+        s"counts: ${sizes.mkString(",")}")
       println(s"[parity] dd6 per-shard cluster counts: ${sizes.mkString(",")}")
     }
 
