@@ -52,6 +52,22 @@ object TextOps extends OpModule {
     * for the driver harness.
     */
   def winnowFingerprints(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame =
+    winnowFingerprintsOf(s, Tables(s, dir, "documents"), k, w)
+
+  /** As [[winnowFingerprints]] over an arbitrary (doc_id, text, …) frame.
+    * Callers that need a globally ORDERED result should sort the INPUT
+    * and project these fingerprints after (the x5 query's shape): a
+    * global sort ABOVE this projection runs the whole k-gram/window
+    * pipeline TWICE, because RangePartitioning's bounds-sampling pass
+    * executes the sort's child — measured at sf10 as two ~1,550
+    * executor-second stages for one answer (QueryStageProfile, SCALING
+    * §x5). Sorting the raw rows first costs one text-sized exchange and
+    * computes the expensive projection exactly once, order preserved
+    * (a per-row projection never reorders).
+    */
+  def winnowFingerprintsOf(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
       k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame = {
     graft.tensor.TextFunctions.register(s)
     // poly_hash31(substring(text, i, k)) == the per-char Horner fold over
@@ -59,11 +75,14 @@ object TextOps extends OpModule {
     // position the sequence generates when length ≥ k (the corpus's min
     // length is ~44; a sub-k text would hash its short tail instead of
     // zero-padding, a domain edge the oracle shares by never exercising).
-    Tables(s, dir, "documents")
+    // sliding_min == the HOF `transform(sequence(0, greatest(0,
+    // size(hs) - w)), j -> array_min(slice(hs, j + 1, w)))` by value
+    // (WinnowSpec pins the equality law on the corpus), as one O(n)
+    // deque sweep instead of an O(n·w) slice allocation per window
+    docs
       .withColumn("hs", expr(
         s"transform(sequence(1, greatest(1, length(text) - $k + 1)), i -> poly_hash31(substring(text, i, $k)))"))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w))))"))
+      .withColumn("fps", expr(s"array_distinct(sliding_min(hs, $w))"))
       .select(col("doc_id"), col("fps"))
   }
 
@@ -259,14 +278,19 @@ object TextOps extends OpModule {
     // the fingerprint set — the driver compare cannot hash array cells);
     // the polynomial hash is engine-agnostic, so the query is fully
     // DuckDB-oracled.
+    // Sort FIRST, fingerprint after: a global sort above the winnow
+    // projection would re-run the whole k-gram/window pipeline in the
+    // range-bounds sampling pass (measured 2× at sf10 — SCALING §x5);
+    // sorting the raw rows costs one text-sized exchange and the
+    // per-row projection preserves the order.
     Q("x5_winnow_fingerprint", Some(winnowOracleSql),
-      (s, dir) => winnowFingerprints(s, dir)
+      (s, dir) => winnowFingerprintsOf(s,
+          Tables(s, dir, "documents").orderBy("doc_id"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
           expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("fps_sum"),
           array_min(col("fps")).as("fps_min"),
-          array_max(col("fps")).as("fps_max"))
-        .orderBy("doc_id")),
+          array_max(col("fps")).as("fps_max"))),
 
     // Sequence packing for training batches: consecutive docs (by id,
     // within a shard) are grouped into packs of ~2048 tokens — the

@@ -64,11 +64,98 @@ object PolyHash31 {
   }
 }
 
+/** `sliding_min(arr, w)` — minima of every width-`w` sliding window over
+  * an `array<bigint>`, in position order: the winnowing window pass
+  * (TextOps.winnowFingerprintsOf) as ONE O(n) monotonic-deque sweep.
+  *
+  * Value contract (must not drift — WinnowSpec pins equality on the
+  * corpus): identical to the HOF form
+  * `transform(sequence(0, greatest(0, size(a) - w)), j ->
+  *    array_min(slice(a, j + 1, w)))`, including the n < w edge (ONE
+  * window covering the whole array — slice clamps) and null elements
+  * (array_min skips nulls; an all-null window yields null). The HOF
+  * form is O(n·w) with a fresh w-element slice allocation per window —
+  * measured as the bulk of x5's 1,543 executor-seconds at sf10
+  * (SCALING §x5) — while the deque pops each index at most once.
+  */
+case class SlidingMin(child: Expression, wExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = wExpr
+
+  private lazy val w: Int = wExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"sliding_min window must be a foldable integer literal, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, wExpr.foldable) match {
+      case (ArrayType(LongType, _), true) => TypeCheckResult.TypeCheckSuccess
+      case (_, false) => TypeCheckResult.TypeCheckFailure(
+        "sliding_min window must be a foldable integer literal")
+      case (other, _) => TypeCheckResult.TypeCheckFailure(
+        s"sliding_min requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, unused: Any): Any =
+    SlidingMin.mins(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.tensor.SlidingMin.mins($a, $w);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, wExpr = r)
+}
+
+object SlidingMin {
+  /** Static kernel shared by interpreted eval and generated code: one
+    * left-to-right sweep with a monotonic index deque (front = current
+    * window's minimum; every index enters and leaves at most once).
+    * Null elements never enter the deque; an emptied deque emits null —
+    * exactly array_min's skip-nulls semantics per window.
+    */
+  def mins(arr: org.apache.spark.sql.catalyst.util.ArrayData, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(w >= 1, s"sliding_min window must be >= 1, got $w")
+    val n = arr.numElements()
+    val nOut = math.max(1, n - w + 1)
+    val out = new Array[Any](nOut)
+    val idx = new Array[Int](math.max(n, 1))
+    var head = 0
+    var tail = 0 // deque is idx[head, tail): indices with increasing values
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        while (tail > head && arr.getLong(idx(tail - 1)) >= v) tail -= 1
+        idx(tail) = i; tail += 1
+      }
+      if (i >= w - 1) {
+        val j = i - w + 1 // window j covers [j, j + w)
+        while (head < tail && idx(head) < j) head += 1
+        out(j) = if (head < tail) java.lang.Long.valueOf(arr.getLong(idx(head))) else null
+      }
+      i += 1
+    }
+    if (n < w && nOut == 1) // the clamped single whole-array window
+      out(0) = if (head < tail) java.lang.Long.valueOf(arr.getLong(idx(head))) else null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
-  /** Register `poly_hash31`; idempotent. */
+  /** Register `poly_hash31` / `sliding_min`; idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("poly_hash31",
       exprs => PolyHash31(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("sliding_min",
+      exprs => SlidingMin(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -30,6 +30,38 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
     dir
   }
 
+  test("sliding_min kernel == the HOF window-min form, value for value") {
+    graft.tensor.TextFunctions.register(spark)
+    // the real corpus at sf (every document length/shape), both forms
+    // computed side by side — the drift pin for the O(n) deque kernel
+    val both = Tables(spark, sf, "documents")
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(1, length(text) - 7)), i -> poly_hash31(substring(text, i, 8)))"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, greatest(0, size(hs) - 16)), j -> array_min(slice(hs, j + 1, 16)))").as("hof"),
+        expr("sliding_min(hs, 16)").as("kern"))
+    assert(both.filter(not(col("hof") <=> col("kern"))).isEmpty,
+      "kernel diverges from the HOF form on the corpus")
+    // edge cases the corpus may not cover: n < w (single clamped
+    // window), w = 1 (identity), null elements (skipped; all-null
+    // window -> null), equal values (latest-index pop keeps the min)
+    import spark.implicits._
+    val edges = Seq(
+      Seq[java.lang.Long](5L, 3L, 7L),                     // n < w
+      Seq[java.lang.Long](4L),                             // single element
+      Seq[java.lang.Long](9L, null, 2L, null, 8L, 1L),     // nulls interior
+      Seq[java.lang.Long](null, null),                     // all null
+      Seq[java.lang.Long](2L, 2L, 2L, 1L, 2L, 2L))         // equal runs
+      .toDF("hs")
+    for (w <- Seq(1, 2, 4, 16)) {
+      val cmp = edges.select(
+        expr(s"transform(sequence(0, greatest(0, size(hs) - $w)), j -> array_min(slice(hs, j + 1, $w)))").as("hof"),
+        expr(s"sliding_min(hs, $w)").as("kern"))
+      assert(cmp.filter(not(col("hof") <=> col("kern"))).isEmpty,
+        s"kernel diverges from the HOF form at w=$w: ${cmp.collect().toSeq}")
+    }
+  }
+
   test("identical docs share all fingerprints; overlapping docs share many; unrelated few") {
     val fps = fingerprints(plantedDir)
     assert(fps(0L) == fps(4L)) // exact copy
