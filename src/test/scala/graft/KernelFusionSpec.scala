@@ -42,6 +42,27 @@ class KernelFusionSpec extends AnyFunSuite with SparkSuite {
     assert(fused == want) // bit-identical
   }
 
+  test("rule rewrites the LSH agreement HOF into LongAgreeCount, results unchanged") {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, Seq(3L, 5L, 7L, 9L), Seq(3L, 5L, 8L, 9L)),   // 3 agree
+      (2L, Seq(1L, 2L), Seq(1L, 2L, 3L)),               // ragged: prefix, 2 agree
+      (3L, Seq.empty[Long], Seq.empty[Long]))           // empty: 0
+      .toDF("id", "siga", "sigb")
+    val hof = "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    val df = sigs.select(col("id"), expr(hof).as("n_agree"))
+    val before = df.queryExecution.analyzed
+    assert(!before.expressions.exists(_.exists(
+      _.isInstanceOf[graft.tensor.LongAgreeCount])))
+    val after = KernelFusionRule(before)
+    assert(after.expressions.exists(_.exists(
+      _.isInstanceOf[graft.tensor.LongAgreeCount])),
+      s"agreement HOF did not fuse:\n$after")
+    // session-fused end-to-end values match the HOF contract exactly
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0), s"unexpected: $got")
+  }
+
   test("fused session plans produce identical results") {
     // GraftExtensions injects KernelFusionRule session-wide, so the HOF
     // form plans straight into the kernel…
