@@ -144,6 +144,83 @@ object IvmStream {
       }
     }
 
+  /** Arriving FULL-CDC schema: the ivm2b vocabulary as a stream — each
+    * row one changelog op's group-algebra contribution plus the
+    * value-level removed/added columns MIN/MAX maintenance needs
+    * (insert (+1, +p, null, p), update (0, Δ, old, new),
+    * delete (−1, −p, p, null)).
+    */
+  val fullCdcSchema: StructType = StructType(Seq(
+    StructField("o_custkey", LongType),
+    StructField("dn", LongType),
+    StructField("ds", DecimalType(28, 4)),
+    StructField("v_removed", DoubleType),
+    StructField("v_added", DoubleType)))
+
+  /** The ivm2b twin of [[cdcRefreshStream]]: maintain the FULL view —
+    * count/sum via retraction algebra AND min/max via the group-scoped
+    * recompute — from a continuous changelog. The recompute side reads
+    * `baseTablePath`, the CURRENT base table the same CDC feed maintains
+    * upstream (in a real pipeline the base-table commit precedes the
+    * changelog publication, so by the time a batch folds here the base
+    * already reflects it): [[graft.etl.IvmOps.refreshWithRetractionsFull]]
+    * reads it ONLY through the extremum-touched-group semi-join, so a
+    * batch that never removes a stored extremum never touches the base
+    * at all — per batch that is one view-key shuffle plus, rarely, the
+    * touched groups' buckets. Same versioned store roll and
+    * marker-identity exactly-once as the other twins; `registerBase`
+    * wires the read side (the full view carries every column the
+    * MvRewrite vocabulary knows, so routed reads type-match all four
+    * aggregates).
+    */
+  def fullCdcRefreshStream(spark: SparkSession, inDir: String,
+      storePath: String, baseTablePath: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      onBatchCommitted: Long => Unit = _ => (),
+      registerBase: Option[String] = None): StreamingQuery = {
+    spark.readStream
+      .schema(fullCdcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = StoreFs.fs(s, storePath)
+        val live = StoreFs.committedVersions(fs, storePath).lastOption
+        val alreadyApplied = live.exists(n =>
+          StoreFs.readMarker(fs, s"$storePath/v$n")
+            .contains(s"batch:$batchId"))
+        if (!alreadyApplied) {
+          val store = live match {
+            case Some(n) => s.read.parquet(s"$storePath/v$n/view")
+            case None => s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(
+                StructField("o_custkey", LongType),
+                StructField("n_orders", LongType),
+                StructField("sum_dec", DecimalType(38, 4)),
+                StructField("min_price", DoubleType),
+                StructField("max_price", DoubleType))))
+          }
+          val currentRows = s.read.parquet(baseTablePath)
+            .select(col("o_custkey"), col("o_totalprice").as("v"))
+          val newView = IvmOps.refreshWithRetractionsFull(store, batch, currentRows)
+            .select(col("o_custkey"),
+              col("n_orders").cast("long").as("n_orders"),
+              col("sum_dec").cast(DecimalType(38, 4)).as("sum_dec"),
+              col("min_price"), col("max_price"))
+          val vn = StoreFs.claimNextVersion(fs, storePath,
+            from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
+          newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
+          StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
+        }
+        reRegister(s, registerBase, storePath)
+        onBatchCommitted(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Start the continuous view-maintenance query over parquet order
     * deltas landing in `inDir`. `onBatchCommitted` fires after the
     * version-marker flip and before foreachBatch returns — the

@@ -160,6 +160,57 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     } finally graft.plans.MvRegistry.unregister(inDir)
   }
 
+  test("full-CDC stream maintains MIN/MAX: extremum deletes recompute from the maintained base") {
+    import org.apache.spark.sql.types.DecimalType
+    val inDir = java.nio.file.Files.createTempDirectory("ivmf_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivmf_store").toString
+    val base = java.nio.file.Files.createTempDirectory("ivmf_base").toString + "/orders"
+    val ckpt = java.nio.file.Files.createTempDirectory("ivmf_ckpt").toString
+    def writeBase(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(base)
+    def writeBatch(ops: Seq[(Long, Long, String, Option[Double], Option[Double])]): Unit =
+      ops.toDF("o_custkey", "dn", "ds", "v_removed", "v_added")
+        .select(col("o_custkey"), col("dn"),
+          col("ds").cast(DecimalType(28, 4)).as("ds"),
+          col("v_removed"), col("v_added"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def view(): Map[Long, (Long, Double, Double, Double)] = {
+      val Some((_, v)) = IvmStream.liveView(spark, store)
+      v.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    }
+    // batch 0: the upstream writer commits the base, then publishes the
+    // insert-only changelog — g1 {5, 9}, g2 {3, 7}
+    val rows0 = Seq((1L, 5.0), (1L, 9.0), (2L, 3.0), (2L, 7.0))
+    writeBase(rows0)
+    writeBatch(rows0.map { case (k, p) =>
+      (k, 1L, f"$p%.4f", None: Option[Double], Some(p)) })
+    val q = IvmStream.fullCdcRefreshStream(spark, inDir, store, base, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(view() == Map(
+        1L -> ((2L, 14.0, 5.0, 9.0)),
+        2L -> ((2L, 10.0, 3.0, 7.0))), s"after batch 0: ${view()}")
+      // batch 1: delete g1's MIN (extremum hit → recompute g1 from the
+      // maintained base) + insert an INTERIOR value into g2 (merge path)
+      val rows1 = Seq((1L, 9.0), (2L, 3.0), (2L, 7.0), (2L, 4.0))
+      writeBase(rows1) // base-table commit precedes the changelog
+      writeBatch(Seq(
+        (1L, -1L, "-5.0000", Some(5.0), None),
+        (2L, 1L, "4.0000", None, Some(4.0))))
+      q.processAllAvailable()
+      assert(view() == Map(
+        1L -> ((1L, 9.0, 9.0, 9.0)),   // min recomputed: 5.0 left
+        2L -> ((3L, 14.0, 3.0, 7.0))), // merged: interior insert
+        s"after batch 1: ${view()}")
+      val fs = StoreFs.fs(spark, store)
+      assert(StoreFs.committedVersions(fs, store) == Seq(1, 2),
+        "one committed version per applied batch")
+    } finally q.stop()
+  }
+
   test("old versions stay immutable as the view rolls forward") {
     val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
     val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString
