@@ -124,13 +124,17 @@ object IvmOps extends OpModule {
 
   /** Which groups need a MIN/MAX recompute under this changelog: exactly
     * those where some REMOVED value (a delete, or an update's old value)
-    * reaches the stored extremum. Everywhere else the stored extremum row
-    * provably survives with its value intact, so the new extremum is the
-    * pure merge least(stored, added)/greatest(stored, added) — no base
-    * read. The ≤/≥ comparisons (not =) keep the gate sound even against
-    * an inconsistent changelog claiming to remove a value below the
-    * stored min: recompute rather than trust it. One group-keyed
-    * aggregation over the changelog joined to the view-sized store.
+    * reaches the stored extremum — or where a removal hits a group the
+    * STORE has never seen (a group born and retracted within one
+    * changelog: the merge's least(null, added) would count the removed
+    * value as if it survived, so store-absent + any removal ⇒
+    * recompute). Everywhere else the stored extremum row provably
+    * survives with its value intact, so the new extremum is the pure
+    * merge least(stored, added)/greatest(stored, added) — no base read.
+    * The ≤/≥ comparisons (not =) keep the gate sound even against an
+    * inconsistent changelog claiming to remove a value below the stored
+    * min: recompute rather than trust it. One group-keyed aggregation
+    * over the changelog joined to the view-sized store.
     */
   def extremumTouchedGroups(store: DataFrame, valueChanges: DataFrame): DataFrame =
     valueChanges
@@ -139,9 +143,11 @@ object IvmOps extends OpModule {
         Seq("o_custkey"), "left")
       .groupBy("o_custkey").agg(
         max(when(col("v_removed").isNotNull &&
-          col("v_removed") <= col("s_min"), 1).otherwise(0)).as("hit_min"),
+          (col("s_min").isNull || col("v_removed") <= col("s_min")), 1)
+          .otherwise(0)).as("hit_min"),
         max(when(col("v_removed").isNotNull &&
-          col("v_removed") >= col("s_max"), 1).otherwise(0)).as("hit_max"))
+          (col("s_max").isNull || col("v_removed") >= col("s_max")), 1)
+          .otherwise(0)).as("hit_max"))
       .filter(col("hit_min") === 1 || col("hit_max") === 1)
       .select("o_custkey")
 
@@ -193,13 +199,21 @@ object IvmOps extends OpModule {
           .otherwise(greatest(col("s_max"), col("add_max"))).as("max_price"))
   }
 
+  /** `orders` with the broadcast median-key cut column attached — the
+    * one spelling of the dd9-style in-plan split every ivm query's
+    * base/delta/changelog derivation starts from.
+    */
+  private def ordersWithCut(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    orders.crossJoin(
+      broadcast(orders.agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+  }
+
   /** Split `orders` at the median key into (base, delta) — the same
     * in-plan broadcast-scalar cut as dd9, so one query works at every SF.
     */
   private def splitAtCut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val orders = Tables(s, dir, "orders")
-    val withCut = orders.crossJoin(
-      broadcast(orders.agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+    val withCut = ordersWithCut(s, dir)
     (withCut.filter(col("o_orderkey") < col("cut")),
       withCut.filter(col("o_orderkey") >= col("cut")))
   }
@@ -269,27 +283,27 @@ object IvmOps extends OpModule {
   private def ivm2(s: SparkSession, dir: String): DataFrame =
     ivm2At(s, dir, ScratchDirs.keyed("ivm2_view", dir))
 
-  /** ivm2 with an explicit store path (see [[ivm1At]]). */
-  def ivm2At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
-    val (base, _) = splitAtCut(s, dir)
-    base.groupBy("o_custkey").agg(
-      count(lit(1)).as("n_orders"),
-      sum(col("o_totalprice").cast(D)).as("sum_dec"))
-      .write.mode("overwrite").parquet(storeDir)
-
-    // Deterministic CDC changelog against the base snapshot: the delta
-    // keys are inserts; base keys ≡3 (mod 7) take a price update; base
-    // keys ≡5 (mod 13) not already updated are deletes. Each row maps to
-    // at most ONE op, so the changelog derives in a single scan (a
-    // three-branch union would re-scan the fact per op type); no-op base
-    // rows drop out on the null dn. Each op row is its group-algebra
-    // contribution (Δcount, Δsum), cast to the store's SUM-widened
-    // DECIMAL(28,4) so the retraction union is loss-free.
+  /** The deterministic CDC changelog against the base snapshot, in ONE
+    * spelling (ivm2 consumes the (dn, ds) algebra columns, ivm2b
+    * additionally the value-level (v_removed, v_added) — sharing the
+    * builder is what keeps the two queries describing the same CDC feed,
+    * which their scaladocs and oracles both assume): the delta keys are
+    * inserts; base keys ≡3 (mod 7) take a +100 price update; base keys
+    * ≡5 (mod 13) not already updated are deletes. Each row maps to at
+    * most ONE op, so the changelog derives in a single scan (a
+    * three-branch union would re-scan the fact per op type); no-op base
+    * rows drop out on the null dn. (dn, ds) is the op's group-algebra
+    * contribution, ds cast to the store's SUM-widened DECIMAL(28,4) so
+    * the retraction union is loss-free; the value columns stay in
+    * DOUBLE (+100.0 is one correctly-rounded IEEE add, identical on
+    * both engines) — min/max live in double space, only the sum algebra
+    * in decimal.
+    */
+  private def cdcChangelog(s: SparkSession, dir: String): DataFrame = {
     val p = col("o_totalprice").cast(D)
+    val v = col("o_totalprice")
     val k = col("o_orderkey")
-    val adjustments = Tables(s, dir, "orders")
-      .crossJoin(broadcast(Tables(s, dir, "orders")
-        .agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
+    ordersWithCut(s, dir)
       .select(col("o_custkey"),
         when(k >= col("cut"), lit(1L))                          // insert
           .when(k % 7 === 3, lit(0L))                           // update
@@ -298,10 +312,27 @@ object IvmOps extends OpModule {
         when(k >= col("cut"), p)
           .when(k % 7 === 3, UpdateBump)
           .when(k % 13 === 5, -p)
-          .cast(DecimalType(28, 4)).as("ds"))
+          .cast(DecimalType(28, 4)).as("ds"),
+        when(k >= col("cut"), lit(null).cast("double"))
+          .when(k % 7 === 3, v)                                 // old value out
+          .when(k % 13 === 5, v)
+          .as("v_removed"),
+        when(k >= col("cut"), v)
+          .when(k % 7 === 3, v + lit(100.0))                    // new value in
+          .when(k % 13 === 5, lit(null).cast("double"))
+          .as("v_added"))
       .filter(col("dn").isNotNull)
+  }
 
-    refreshWithRetractions(s.read.parquet(storeDir), adjustments)
+  /** ivm2 with an explicit store path (see [[ivm1At]]). */
+  def ivm2At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val (base, _) = splitAtCut(s, dir)
+    base.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(D)).as("sum_dec"))
+      .write.mode("overwrite").parquet(storeDir)
+    refreshWithRetractions(s.read.parquet(storeDir),
+      cdcChangelog(s, dir).select("o_custkey", "dn", "ds"))
       .select(col("o_custkey"), col("n_orders"),
         col("sum_dec").cast("double").as("sum_price"))
       .orderBy("o_custkey")
@@ -317,10 +348,48 @@ object IvmOps extends OpModule {
     * keeps each process's registration self-owned; in-process rebuild
     * safety stays with the unregister→rebuild→register protocol below.
     * The dir is view-sized (group cardinality) and reused across runs of
-    * the same process, so the per-pid fan-out stays bounded.
+    * the same process; DEAD processes' dirs are reclaimed best-effort on
+    * each rebuild (pid liveness via ProcessHandle — pid reuse errs
+    * toward KEEPING a dir, never deleting a live writer's), so the
+    * per-pid fan-out stays bounded across runs too, the reclamation
+    * path the versioned stores get from pruneStoreVersions.
     */
-  private def ivm3StoreDir(dir: String): String =
-    ScratchDirs.keyed(s"ivm3_view_p${ProcessHandle.current().pid()}", dir)
+  private def ivm3StoreDir(s: SparkSession, dir: String): String = {
+    val ownPid = ProcessHandle.current().pid()
+    val own = ScratchDirs.keyed(s"ivm3_view_p$ownPid", dir)
+    val ownFile = new java.io.File(own)
+    val digest = ownFile.getName.substring(ownFile.getName.lastIndexOf('_') + 1)
+    val pat = "^ivm3_view_p(\\d+)_([0-9a-f]{32})$".r
+    Option(ownFile.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(pid, dg) if dg == digest && pid.toLong != ownPid &&
+            !ProcessHandle.of(pid.toLong)
+              .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE) =>
+          try graft.etl.StoreFs.deleteRecursive(
+            graft.etl.StoreFs.fs(s, f.getAbsolutePath), f.getAbsolutePath)
+          catch { case _: java.io.IOException => () } // best-effort
+        case _ => ()
+      }
+    }
+    own
+  }
+
+  /** The MV refresh protocol in ONE spelling (ivm3/ivm3b/ivm3c all run
+    * it): unregister → rebuild the full-table partial store → re-
+    * register. The unregister window is load-bearing — left registered,
+    * the partial-build aggregate below IS the registered shape and would
+    * be rewritten to scan the very store the write is overwriting
+    * (observed as FAILED_READ_FILE mid-write); readers keep planning
+    * against the base until the fresh view re-registers, exactly the
+    * production MV-refresh posture.
+    */
+  private def rebuildAndRegister(s: SparkSession, dir: String): Unit = {
+    val basePath = s"$dir/orders.parquet"
+    graft.plans.MvRegistry.unregister(basePath)
+    val storeDir = ivm3StoreDir(s, dir)
+    orderPartials(Tables(s, dir, "orders")).write.mode("overwrite").parquet(storeDir)
+    graft.plans.MvRegistry.register(s, basePath, storeDir)
+  }
 
   private def ivm2b(s: SparkSession, dir: String): DataFrame =
     ivm2bAt(s, dir, ScratchDirs.keyed("ivm2b_view", dir))
@@ -340,36 +409,12 @@ object IvmOps extends OpModule {
     val (base, _) = splitAtCut(s, dir)
     orderPartials(base).write.mode("overwrite").parquet(storeDir)
 
-    val p = col("o_totalprice").cast(D)
+    // post-changelog base truth, derived in ONE scan (insert / update /
+    // delete / untouched branches mirror cdcChangelog's exactly); read
+    // only through the touched-group semi-join inside the refresh
     val v = col("o_totalprice")
     val k = col("o_orderkey")
-    val withCut = Tables(s, dir, "orders")
-      .crossJoin(broadcast(Tables(s, dir, "orders")
-        .agg(expr("(max(o_orderkey) + 1) div 2").as("cut"))))
-    val changes = withCut
-      .select(col("o_custkey"),
-        when(k >= col("cut"), lit(1L))                          // insert
-          .when(k % 7 === 3, lit(0L))                           // update
-          .when(k % 13 === 5, lit(-1L))                         // delete
-          .as("dn"),
-        when(k >= col("cut"), p)
-          .when(k % 7 === 3, UpdateBump)
-          .when(k % 13 === 5, -p)
-          .cast(DecimalType(28, 4)).as("ds"),
-        when(k >= col("cut"), lit(null).cast("double"))
-          .when(k % 7 === 3, v)                                 // old value out
-          .when(k % 13 === 5, v)
-          .as("v_removed"),
-        when(k >= col("cut"), v)
-          .when(k % 7 === 3, v + lit(100.0))                    // new value in
-          .when(k % 13 === 5, lit(null).cast("double"))
-          .as("v_added"))
-      .filter(col("dn").isNotNull)
-
-    // post-changelog base truth, derived in ONE scan (insert / update /
-    // delete / untouched branches mirror the changelog exactly); read
-    // only through the touched-group semi-join inside the refresh
-    val currentRows = withCut
+    val currentRows = ordersWithCut(s, dir)
       .select(col("o_custkey"),
         when(k >= col("cut"), v)
           .when(k % 7 === 3, v + lit(100.0))
@@ -377,7 +422,8 @@ object IvmOps extends OpModule {
           .otherwise(v).as("v"))
       .filter(col("v").isNotNull)
 
-    refreshWithRetractionsFull(s.read.parquet(storeDir), changes, currentRows)
+    refreshWithRetractionsFull(s.read.parquet(storeDir),
+      cdcChangelog(s, dir), currentRows)
       .select(col("o_custkey"), col("n_orders"),
         col("sum_dec").cast("double").as("sum_price"),
         col("min_price"), col("max_price"))
@@ -397,18 +443,7 @@ object IvmOps extends OpModule {
     * accidental match answers correctly.
     */
   private def ivm3(s: SparkSession, dir: String): DataFrame = {
-    val basePath = s"$dir/orders.parquet"
-    // REBUILDING the view must never read the view: if a prior run of
-    // this query (same JVM) left the base registered, the partial-build
-    // aggregate below IS the registered shape and would be rewritten to
-    // scan the very store the write is overwriting (observed as
-    // FAILED_READ_FILE mid-write). Dropping the registration for the
-    // rebuild window is the production MV-refresh protocol; readers keep
-    // planning against the base until the fresh view re-registers.
-    graft.plans.MvRegistry.unregister(basePath)
-    val storeDir = ivm3StoreDir(dir)
-    orderPartials(Tables(s, dir, "orders")).write.mode("overwrite").parquet(storeDir)
-    graft.plans.MvRegistry.register(s, basePath, storeDir)
+    rebuildAndRegister(s, dir)
     Tables(s, dir, "orders")
       .groupBy("o_custkey").agg(
         count(lit(1)).as("n_orders"),
@@ -430,11 +465,7 @@ object IvmOps extends OpModule {
     * answer against a full filtered recompute).
     */
   private def ivm3c(s: SparkSession, dir: String): DataFrame = {
-    val basePath = s"$dir/orders.parquet"
-    graft.plans.MvRegistry.unregister(basePath)
-    val storeDir = ivm3StoreDir(dir)
-    orderPartials(Tables(s, dir, "orders")).write.mode("overwrite").parquet(storeDir)
-    graft.plans.MvRegistry.register(s, basePath, storeDir)
+    rebuildAndRegister(s, dir)
     Tables(s, dir, "orders")
       .filter(col("o_custkey") % 5 === 2)
       .groupBy("o_custkey").agg(
@@ -529,12 +560,7 @@ object IvmOps extends OpModule {
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders""".stripMargin),
       (s, dir) => {
-        val basePath = s"$dir/orders.parquet"
-        graft.plans.MvRegistry.unregister(basePath)
-        val storeDir = ivm3StoreDir(dir)
-        orderPartials(Tables(s, dir, "orders"))
-          .write.mode("overwrite").parquet(storeDir)
-        graft.plans.MvRegistry.register(s, basePath, storeDir)
+        rebuildAndRegister(s, dir)
         Tables(s, dir, "orders").agg(
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(D)).as("sum_dec"),

@@ -194,7 +194,10 @@ object StoreFs {
     */
   def claimMtime(fs: FileSystem, storePath: String, n: Int): Option[Long] = {
     val p = new Path(s"$storePath/v$n", Claim)
-    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+    // one call, exception-mapped: an exists-then-stat pair races a
+    // concurrent prune deleting the claim between the two
+    try Some(fs.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** First version number ≥ `from` this writer exclusively claims.

@@ -1280,10 +1280,17 @@ object DedupOps extends OpModule {
     *   release tag the publisher minted. None falls back to a per-run
     *   [[corpusFingerprint]] content digest (a full eval-text scan —
     *   the right key only when files can mutate in place).
+    * @param broadcastStore default true — eval suites are benchmark-
+    *   sized by nature, and the pair-shuffle-free probe needs the eval
+    *   signature table on one executor. An eval corpus too large to
+    *   broadcast (past Spark's 8 GB broadcast ceiling) passes false and
+    *   takes the distinct-then-shuffle-join pipeline instead of failing
+    *   the broadcast.
     */
   def contaminationVerdicts(s: SparkSession, trainDocs: DataFrame,
       evalDocs: DataFrame, storePath: Option[String] = None,
-      evalIdentity: Option[String] = None): DataFrame = {
+      evalIdentity: Option[String] = None,
+      broadcastStore: Boolean = true): DataFrame = {
     // The eval corpus is a FIXED artifact: its fingerprints are staged
     // ONCE and re-probed every train run, never recomputed in-plan per
     // run. With `storePath` set, the store persists as parquet (dd9's
@@ -1333,7 +1340,7 @@ object DedupOps extends OpModule {
       case None => fingerprintStore(s, evalDocs)
     }
     incrementalVerdicts(s, trainDocs, exStore, sigStore, bandStore,
-      internalDedup = false, broadcastStore = true)
+      internalDedup = false, broadcastStore = broadcastStore)
       .select(col("doc_id"),
         when(col("status") === "exact_prior", "exact_contam")
           .when(col("status") === "near_prior", "near_contam")

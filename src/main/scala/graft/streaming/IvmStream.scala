@@ -159,22 +159,33 @@ object IvmStream {
 
   /** The ivm2b twin of [[cdcRefreshStream]]: maintain the FULL view —
     * count/sum via retraction algebra AND min/max via the group-scoped
-    * recompute — from a continuous changelog. The recompute side reads
-    * `baseTablePath`, the CURRENT base table the same CDC feed maintains
-    * upstream (in a real pipeline the base-table commit precedes the
-    * changelog publication, so by the time a batch folds here the base
-    * already reflects it): [[graft.etl.IvmOps.refreshWithRetractionsFull]]
-    * reads it ONLY through the extremum-touched-group semi-join, so a
-    * batch that never removes a stored extremum never touches the base
-    * at all — per batch that is one view-key shuffle plus, rarely, the
-    * touched groups' buckets. Same versioned store roll and
-    * marker-identity exactly-once as the other twins; `registerBase`
-    * wires the read side (the full view carries every column the
-    * MvRewrite vocabulary knows, so routed reads type-match all four
-    * aggregates).
+    * recompute — from a continuous changelog.
+    *
+    * @param baseSnapshotFor batchId → the base-table state CONSISTENT
+    *   WITH the changelog up to and including that batch — the
+    *   correctness keystone, made structural on purpose: reading "the
+    *   live base path" here would tear a version whenever the producer
+    *   runs ahead of the fold (base already reflects batch N+1 while
+    *   this fold commits batch N's view: a recomputed group's min/max
+    *   would disagree with the version's own count/sum). At deployment
+    *   the base is a versioned/snapshot table and the changelog carries
+    *   the base version each batch corresponds to (the standard CDC
+    *   watermark), so the provider is a time-travel read; a pipeline
+    *   whose producer NEVER runs ahead may return the live path.
+    *   [[graft.etl.IvmOps.refreshWithRetractionsFull]] reads the
+    *   snapshot ONLY through the extremum-touched-group semi-join, so a
+    *   batch that never removes a stored extremum never touches the
+    *   base at all — per batch that is one view-key shuffle plus,
+    *   rarely, the touched groups' buckets.
+    *
+    * Same versioned store roll and marker-identity exactly-once as the
+    * other twins; `registerBase` wires the read side (the full view
+    * carries every column the MvRewrite vocabulary knows, so routed
+    * reads type-match all four aggregates).
     */
   def fullCdcRefreshStream(spark: SparkSession, inDir: String,
-      storePath: String, baseTablePath: String, checkpointDir: String,
+      storePath: String, baseSnapshotFor: Long => DataFrame,
+      checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
       onBatchCommitted: Long => Unit = _ => (),
       registerBase: Option[String] = None): StreamingQuery = {
@@ -202,7 +213,7 @@ object IvmStream {
                 StructField("min_price", DoubleType),
                 StructField("max_price", DoubleType))))
           }
-          val currentRows = s.read.parquet(baseTablePath)
+          val currentRows = baseSnapshotFor(batchId)
             .select(col("o_custkey"), col("o_totalprice").as("v"))
           val newView = IvmOps.refreshWithRetractionsFull(store, batch, currentRows)
             .select(col("o_custkey"),

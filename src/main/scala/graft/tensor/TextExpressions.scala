@@ -71,12 +71,19 @@ object PolyHash31 {
   * Value contract (must not drift — WinnowSpec pins equality on the
   * corpus): identical to the HOF form
   * `transform(sequence(0, greatest(0, size(a) - w)), j ->
-  *    array_min(slice(a, j + 1, w)))`, including the n < w edge (ONE
-  * window covering the whole array — slice clamps) and null elements
-  * (array_min skips nulls; an all-null window yields null). The HOF
-  * form is O(n·w) with a fresh w-element slice allocation per window —
-  * measured as the bulk of x5's 1,543 executor-seconds at sf10
-  * (SCALING §x5) — while the deque pops each index at most once.
+  *    array_min(slice(a, j + 1, w)))` for every NON-NULL input array,
+  * including the n < w edge (ONE window covering the whole array —
+  * slice clamps), the empty array ([null]), and null elements
+  * (array_min skips nulls; an all-null window yields null). One
+  * DELIBERATE divergence, pinned in WinnowSpec: a NULL input ARRAY
+  * returns NULL (the standard null-in/null-out every Spark function
+  * follows), where the full HOF pattern yields [null] only because its
+  * outer `greatest(0, size(null))` = 0 manufactures one window over a
+  * null slice — an accident of that spelling, not a semantic anyone
+  * wants; winnow's `hs` is never null. The HOF form is O(n·w) with a
+  * fresh w-element slice allocation per window — measured as the bulk
+  * of x5's 1,543 executor-seconds at sf10 (SCALING §x5) — while the
+  * deque pops each index at most once.
   */
 case class SlidingMin(child: Expression, wExpr: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {

@@ -167,6 +167,36 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       "a changelog that never removes an extremum must touch zero groups")
   }
 
+  test("ivm2b gate: a group born AND retracted within one changelog recomputes (store-absent removal)") {
+    import spark.implicits._
+    // store knows nothing of group 9; one batch inserts {5.0, 1.0} and
+    // deletes the 1.0 — the merge path would answer min = least(null,
+    // add_min) = 1.0, counting the retracted value as if it survived
+    val store = Seq((1L, 1L, "7.0000", 7.0, 7.0))
+      .toDF("o_custkey", "n_orders", "sum_dec", "min_price", "max_price")
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_dec").cast(DecimalType(28, 4)).as("sum_dec"),
+        col("min_price"), col("max_price"))
+    val changes = Seq(
+      (9L, 1L, "5.0000", None: Option[Double], Some(5.0)),
+      (9L, 1L, "1.0000", None: Option[Double], Some(1.0)),
+      (9L, -1L, "-1.0000", Some(1.0), None: Option[Double]))
+      .toDF("o_custkey", "dn", "ds", "v_removed", "v_added")
+      .select(col("o_custkey"), col("dn"),
+        col("ds").cast(DecimalType(28, 4)).as("ds"),
+        col("v_removed"), col("v_added"))
+    assert(IvmOps.extremumTouchedGroups(store, changes)
+      .collect().map(_.getLong(0)).toSet == Set(9L),
+      "a removal against a store-absent group must trip the recompute gate")
+    val current = Seq((1L, 7.0), (9L, 5.0)).toDF("o_custkey", "v")
+    val out = IvmOps.refreshWithRetractionsFull(store, changes, current)
+      .filter(col("o_custkey") === 9L)
+      .select(col("n_orders"), col("min_price"), col("max_price"))
+      .head()
+    assert((out.getLong(0), out.getDouble(1), out.getDouble(2)) == ((1L, 5.0, 5.0)),
+      s"born-and-retracted group must recompute, got $out")
+  }
+
   test("ivm2b law: refresh equals recompute across changelog variants") {
     import spark.implicits._
     // exercise each gate edge: delete-at-max, update moving the min UP

@@ -166,9 +166,13 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     val store = java.nio.file.Files.createTempDirectory("ivmf_store").toString
     val base = java.nio.file.Files.createTempDirectory("ivmf_base").toString + "/orders"
     val ckpt = java.nio.file.Files.createTempDirectory("ivmf_ckpt").toString
-    def writeBase(rows: Seq[(Long, Double)]): Unit =
+    // one base SNAPSHOT per batch — the versioned-table time-travel
+    // pattern the provider contract expects (a live-path read would
+    // tear versions whenever the producer runs ahead of the fold)
+    def writeBase(rows: Seq[(Long, Double)], batchId: Long): Unit =
       rows.toDF("o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(base)
+        .write.mode("overwrite").parquet(s"$base/b$batchId")
+    def baseSnapshotFor(batchId: Long) = spark.read.parquet(s"$base/b$batchId")
     def writeBatch(ops: Seq[(Long, Long, String, Option[Double], Option[Double])]): Unit =
       ops.toDF("o_custkey", "dn", "ds", "v_removed", "v_added")
         .select(col("o_custkey"), col("dn"),
@@ -184,10 +188,11 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     // batch 0: the upstream writer commits the base, then publishes the
     // insert-only changelog — g1 {5, 9}, g2 {3, 7}
     val rows0 = Seq((1L, 5.0), (1L, 9.0), (2L, 3.0), (2L, 7.0))
-    writeBase(rows0)
+    writeBase(rows0, 0L)
     writeBatch(rows0.map { case (k, p) =>
       (k, 1L, f"$p%.4f", None: Option[Double], Some(p)) })
-    val q = IvmStream.fullCdcRefreshStream(spark, inDir, store, base, ckpt)
+    val q = IvmStream.fullCdcRefreshStream(spark, inDir, store,
+      baseSnapshotFor, ckpt)
     try {
       q.processAllAvailable()
       assert(view() == Map(
@@ -196,7 +201,7 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
       // batch 1: delete g1's MIN (extremum hit → recompute g1 from the
       // maintained base) + insert an INTERIOR value into g2 (merge path)
       val rows1 = Seq((1L, 9.0), (2L, 3.0), (2L, 7.0), (2L, 4.0))
-      writeBase(rows1) // base-table commit precedes the changelog
+      writeBase(rows1, 1L) // the batch's consistent base snapshot
       writeBatch(Seq(
         (1L, -1L, "-5.0000", Some(5.0), None),
         (2L, 1L, "4.0000", None, Some(4.0))))

@@ -49,6 +49,7 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
     val edges = Seq(
       Seq[java.lang.Long](5L, 3L, 7L),                     // n < w
       Seq[java.lang.Long](4L),                             // single element
+      Seq[java.lang.Long](),                               // empty array
       Seq[java.lang.Long](9L, null, 2L, null, 8L, 1L),     // nulls interior
       Seq[java.lang.Long](null, null),                     // all null
       Seq[java.lang.Long](2L, 2L, 2L, 1L, 2L, 2L))         // equal runs
@@ -60,6 +61,12 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
       assert(cmp.filter(not(col("hof") <=> col("kern"))).isEmpty,
         s"kernel diverges from the HOF form at w=$w: ${cmp.collect().toSeq}")
     }
+    // the ONE deliberate divergence (scaladoc): NULL array -> NULL,
+    // where the HOF spelling's greatest(0, size(null))=0 accident
+    // manufactures [null]
+    val nullArr = Seq(Tuple1(null: Seq[java.lang.Long])).toDF("hs")
+    assert(nullArr.select(expr("sliding_min(hs, 16)")).head().isNullAt(0),
+      "a NULL input array must follow the standard null-in/null-out contract")
   }
 
   test("identical docs share all fingerprints; overlapping docs share many; unrelated few") {
