@@ -44,9 +44,15 @@ object GraphOps extends OpModule {
       earlyStop: Boolean = true, verify: Boolean = false): DataFrame = {
     // localCheckpoint (not cache): each round's plan must be TRUNCATED,
     // or the logical plan doubles every iteration and analysis time
-    // explodes — the standard iterative-DataFrame trap.
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // explodes — the standard iterative-DataFrame trap. The INPUT pair
+    // list is truncated FIRST: the symmetrize union reads it twice, and
+    // callers hand this function their most expensive subtree (dd6/dd7's
+    // LSH bucket expansion, v7/v8's shifted-coordinate joins) — without
+    // the cut, that subtree executes once per union branch (measured as
+    // two full ~4 s pair-generation stages in dd6's sf1.0 profile).
+    val sym = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = sym
+      .union(sym.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
@@ -177,9 +183,12 @@ object GraphOps extends OpModule {
   def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
     val l = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    // truncated before the symmetrize union — both branches would
+    // otherwise re-run the orders⋈lineitem join + distinct (the same
+    // double-execution connectedComponents' input cut removes)
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
