@@ -327,7 +327,8 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // never appear in the counted plan (the w3b/x17b pattern); what
     // remains is the top-k verdict (TakeOrderedAndProject + broadcast,
     // exchange-free) over the checkpointed score table + the final sort
-    "x23_dsir_select" -> 2,
+    // (round 11 measured 1 — tightened per this suite's contract)
+    "x23_dsir_select" -> 1,
     // ivm1: delta partial agg + merge re-agg + presentation sort (the
     // base-store build is an eager write during construction), plus the
     // broadcast-scalar cut's single-partition exchange
