@@ -183,12 +183,19 @@ object GraphOps extends OpModule {
   def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
     val l = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    // truncated before the symmetrize union — both branches would
-    // otherwise re-run the orders⋈lineitem join + distinct (the same
-    // double-execution connectedComponents' input cut removes)
+    // The symmetrize union DOES re-run this join+distinct once per
+    // branch, and that is the RIGHT trade here — measured both ways at
+    // sf10: a localCheckpoint cut before the union (the fix that pays
+    // off for connectedComponents' sketch-sized pair lists) made g1
+    // 90 → 229 s, because e0 is FACT-scale — materializing it (and the
+    // union checkpoint above it) overruns the block store and thrashes
+    // to disk, while the recompute streams through the join twice with
+    // zero storage. Recompute-vs-materialize is a size question, not a
+    // dogma; the g1b bucketed staging is the real fix for repeated
+    // consumers of this graph.
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct()
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
