@@ -438,9 +438,11 @@ object IvmOps extends OpModule {
     * eagerly. The registration intentionally survives this query
     * (registering a view IS the session-level opt-in, like every MV
     * system's): it is harmless to the rest of the suite because the
-    * matcher fires only on the exact unfiltered partial shape over the
-    * registered path, and the view is rebuilt fresh here so even an
-    * accidental match answers correctly.
+    * matcher fires only on partial-aggregate shapes over the registered
+    * path — the exact unfiltered shape, its group-key-filtered variants
+    * (ivm3c), and the global rollup — and harmlessness rests on the view
+    * being rebuilt FRESH here immediately before registration, so even an
+    * accidental later match answers from current data.
     */
   private def ivm3(s: SparkSession, dir: String): DataFrame = {
     rebuildAndRegister(s, dir)

@@ -200,6 +200,33 @@ object StoreFs {
     catch { case _: java.io.FileNotFoundException => None }
   }
 
+  /** Heartbeat an already-won claim: refresh `v<n>/_CLAIM`'s mtime so
+    * [[graft.quality.DedupOps.pruneStoreVersions]]' age gate keeps treating this stage as
+    * in-flight. Writers call it between long staging steps (one table
+    * write apart), bounding how stale a LIVE claim can look regardless
+    * of total stage duration — the advisory race where a stage
+    * legitimately outlives `claimGraceMs` and gets reclaimed mid-write.
+    * `setTimes` where the filesystem supports it; payload rewrite as the
+    * fallback (we already own the claim — overwriting our own file is
+    * safe, and on object stores the rewrite IS the mtime update).
+    */
+  def touchClaim(fs: FileSystem, storePath: String, n: Int): Unit = {
+    val p = new Path(s"$storePath/v$n", Claim)
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch {
+      case _: UnsupportedOperationException =>
+        val owner = try {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.IOException => ownerId() }
+        writeSmall(fs, p, owner)
+      case _: java.io.FileNotFoundException => // claim pruned under us:
+        // nothing to heartbeat — the commit-marker write will surface the
+        // torn stage to resolution (markerless dir), not hide it
+    }
+  }
+
   /** First version number ≥ `from` this writer exclusively claims.
     * Bounded: pathological contention (or a filesystem whose
     * create-exclusive lies) fails loudly instead of spinning.

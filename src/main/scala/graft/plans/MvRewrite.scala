@@ -206,6 +206,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         (for {
           (filt, below) <- Some(splitKeyFilter(child))
           (path, _) <- scannedPath(below)
+          // name-based remapping below is sound ONLY while the split
+          // predicate's references are attributes OF the scanned relation
+          // (exprId membership) — guards any future scannedPath extension
+          // through Project/Join from remapping a same-named outer column
+          if filt.forall(_.references.subsetOf(below.outputSet))
           d <- MvRegistry.lookup(path)
           if g.name == d.groupCol
           mapped <- {
@@ -240,6 +245,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         (for {
           (filt, below) <- Some(splitKeyFilter(child))
           (path, _) <- scannedPath(below)
+          if filt.forall(_.references.subsetOf(below.outputSet)) // see above
           d <- MvRegistry.lookup(path)
           mapped <- {
             val m = aggExprs.map(ne => partialFor(ne, d))

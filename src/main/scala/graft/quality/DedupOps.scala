@@ -42,14 +42,39 @@ object DedupOps extends OpModule {
   /** Multiplier of the band-key Horner fold (any odd constant ≪ 2^31). */
   private val BandP = 1000003L
 
-  /** Skew guard on dd2/dd6's banded rep-LSH buckets (one shared
-    * constant for Spark and the oracle SQL — a drift between them would
-    * silently de-synchronize candidate sets); over-cap buckets are
-    * ambient boilerplate by design and surfaced by
-    * [[minhashDroppedBuckets]], the dd2 leg of the no-silent-caps
-    * posture (simhash/dd9/er1 each have their own).
+  /** In-expression pair-expansion threshold on dd2/dd6's banded rep-LSH
+    * buckets: a bucket up to this size expands its candidate pairs inside
+    * one expression evaluation (≤ ~500k structs in one row — the shape
+    * that benched fastest for the common case). Buckets DENSER than this
+    * are no longer dropped — round 11 measured that dropping them cost
+    * 9.3% of shard-0's true candidate pairs at sf10 cross-copy density —
+    * they take the CHUNKED enumeration path instead (see [[repPairs]]),
+    * which emits the IDENTICAL pair set with per-row memory bounded at
+    * [[PairChunk]]² structs. The threshold is therefore an execution
+    * boundary, not a semantic one: the result set only depends on
+    * [[MinhashBucketHardCap]].
     */
   val MinhashBucketCap = 1000
+
+  /** Recall-preserving admit ceiling on dd2/dd6's rep buckets (one shared
+    * constant for Spark and the oracle SQL — a drift would silently
+    * de-synchronize candidate sets). Chunking bounds MEMORY per task, but
+    * a bucket's pair count is inherently quadratic — n = 8192 is ~3.4e7
+    * pairs, roughly the entire over-cap pair population measured at sf10
+    * (26M across 18 buckets, max bucket 2474; tools/BucketDist). Buckets
+    * beyond the hard cap are degenerate template floods, not dup
+    * families, and are surfaced by [[minhashDroppedBuckets]], the dd2 leg
+    * of the no-silent-caps posture (simhash/dd9/er1 each have their own).
+    */
+  val MinhashBucketHardCap = 8192
+
+  /** Chunk width of the over-cap pair enumeration: an over-cap bucket's
+    * sorted member list is cut into `PairChunk`-wide slices and pairs are
+    * enumerated per slice-pair, so no single expression evaluation
+    * materializes more than PairChunk² ≈ 262k pair structs regardless of
+    * bucket size.
+    */
+  private[graft] val PairChunk = 512
 
   /** Seeded affine constants (a in [1, M−1], b in [0, M−1]). */
   private def affineSeeds(n: Int, seed: Long): Seq[(Long, Long)] = {
@@ -153,17 +178,50 @@ object DedupOps extends OpModule {
 
   /** Banded-LSH near-dup pairs between clique REPRESENTATIVES with the
     * minhash-agreement Jaccard estimate.
+    *
+    * Bucket pair enumeration is two-path by size, ONE pair set
+    * (DedupSpec pins path equivalence by shrinking the thresholds):
+    *
+    *   - ≤ `expandCap` members (the overwhelmingly common case): the
+    *     sorted member array expands triangularly inside one expression —
+    *     no extra shuffle, fully codegen.
+    *   - (`expandCap`, hard cap]: the member array is cut into
+    *     [[PairChunk]]-wide slices; one row per slice-pair (ci ≤ cj) is
+    *     exploded, hash-REPARTITIONED so a dense bucket's quadratic work
+    *     spreads across the cluster instead of pinning one task, then
+    *     expanded triangularly (ci = cj) or as a full cross product
+    *     (ci < cj). Sortedness makes every emitted pair canonical
+    *     (a < b) on both paths. The repartition's shuffle volume is
+    *     slice-pair rows (~8 KB each), not pairs. This is what turns the
+    *     bucket cap from a recall loss (9.3% of true sf10 candidates in
+    *     round 11) into a pure memory/skew bound.
     */
-  private def repPairs(cliques: DataFrame, minEstJaccard: Double, minBands: Int): DataFrame = {
+  private[graft] def repPairs(cliques: DataFrame, minEstJaccard: Double, minBands: Int,
+      expandCap: Int = MinhashBucketCap, hardCap: Int = MinhashBucketHardCap,
+      chunk: Int = PairChunk): DataFrame = {
     val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
     val buckets = bandKeysOf(reps)
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, MinhashBucketCap)) // skew guard
-    val cand = buckets
+      .filter(size(col("ids")).between(2, hardCap)) // audited skew guard
+    val small = buckets.filter(size(col("ids")) <= expandCap)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
       )).as("p"))
+    val nch = s"int(ceil(size(ids) / ${chunk}.0))"
+    val big = buckets.filter(size(col("ids")) > expandCap)
+      .select(col("band"), col("bkey"), explode(expr(
+        s"""flatten(transform(sequence(0, $nch - 1), i ->
+           |  transform(sequence(i, $nch - 1), j ->
+           |    struct(i AS ci, j AS cj,
+           |           slice(ids, i * $chunk + 1, $chunk) AS la,
+           |           slice(ids, j * $chunk + 1, $chunk) AS lb))))""".stripMargin)).as("cp"))
+      .repartition(col("band"), col("bkey"), col("cp.ci"), col("cp.cj"))
+      .select(explode(expr(
+        """IF(cp.ci = cp.cj,
+          |  flatten(transform(cp.la, (x, i) -> transform(slice(cp.la, i + 2, size(cp.la)), y -> struct(x AS a, y AS b)))),
+          |  flatten(transform(cp.la, x -> transform(cp.lb, y -> struct(x AS a, y AS b)))))""".stripMargin)).as("p"))
+    val cand = small.unionByName(big)
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= minBands)
@@ -372,13 +430,20 @@ object DedupOps extends OpModule {
     */
   val IncrementalMinAgree = 29
 
-  /** Skew guard on the store's band buckets: a band key shared by more
-    * than this many PRIOR docs is ambient-density noise (shared
-    * boilerplate), not a dup clique — candidates from it are dropped, as
-    * in dd2's capped buckets. Size-1 buckets stay admitted: one prior doc
-    * plus one new doc is exactly the match the operator exists to find.
+  /** Skew ceiling on the store's band buckets. Unlike dd2's in-expression
+    * expansion, dd9's candidate side is an equi-JOIN — its output streams,
+    * so the cap bounds candidate-VERIFICATION work (each candidate is one
+    * sig_agree kernel evaluation), not task memory. Round 11 measured that
+    * a tight 1000-cap drops true near-dup candidates under cross-copy
+    * density (the dd2 9.3% finding; dd9 shares the band store shape), so
+    * round 12 raised the admit ceiling to match [[MinhashBucketHardCap]]:
+    * buckets beyond it are degenerate template floods whose members
+    * multiply every probing doc's candidates past any verification
+    * budget, and are surfaced by [[dd9DroppedBuckets]] rather than
+    * silently skipped. Size-1 buckets stay admitted: one prior doc plus
+    * one new doc is exactly the match the operator exists to find.
     */
-  val IncrementalBucketCap = 1000
+  val IncrementalBucketCap = 8192
 
   /** Per-ROW MinHash signatures — bit-identical to
     * [[minhashSignaturesOf]] but computed as ONE higher-order fold per
@@ -429,16 +494,21 @@ object DedupOps extends OpModule {
     bandedSigs(sigs).drop("sig")
 
   /** Band buckets over the dd2/dd6 clique REPRESENTATIVES that
-    * [[MinhashBucketCap]] would drop — the dd2 audit surface mirroring
-    * [[simhashDroppedBuckets]]/[[dd9DroppedBuckets]]: an unexpectedly
-    * dense rep bucket means genuine near-dups are no longer caught via
-    * that band key. One groupBy over the fingerprint-sized band table.
+    * [[MinhashBucketHardCap]] would drop — the dd2 audit surface
+    * mirroring [[simhashDroppedBuckets]]/[[dd9DroppedBuckets]]: a bucket
+    * past the HARD cap means genuine near-dups are no longer caught via
+    * that band key. Since round 12, buckets merely past the expansion
+    * threshold [[MinhashBucketCap]] are enumerated (chunked), not
+    * dropped, so they no longer appear here — at sf10 this emptied the
+    * audit entirely (max measured bucket 2474 ≪ 8192) and zeroed the
+    * shard-0 subset-law losses. One groupBy over the fingerprint-sized
+    * band table.
     */
   def minhashDroppedBuckets(s: SparkSession, dir: String): DataFrame =
     bandKeysOf(minhashCliques(s, dir)
       .select(element_at(col("ids"), 1).as("doc_id"), col("sig")))
       .groupBy("band", "bkey").agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") > MinhashBucketCap)
+      .filter(col("n_members") > MinhashBucketHardCap)
       .select(col("band"), col("bkey"), col("n_members"))
 
   /** Fingerprint store of one snapshot, three tables:
@@ -497,16 +567,22 @@ object DedupOps extends OpModule {
     // shadowed, never interleaved). Flat layout keeps its original
     // single-writer in-place protocol (the claim has nothing to
     // serialize there — the root itself is the target).
-    val target =
-      if (versions.isEmpty) path
-      else s"$path/v${graft.etl.StoreFs.claimNextVersion(fsys, path,
-        versions.max + 1, graft.etl.StoreFs.ownerId())}"
+    val claimed: Option[Int] =
+      if (versions.isEmpty) None
+      else Some(graft.etl.StoreFs.claimNextVersion(fsys, path,
+        versions.max + 1, graft.etl.StoreFs.ownerId()))
+    val target = claimed.fold(path)(n => s"$path/v$n")
     if (target == path) // in-place flat stage: readers must refuse mid-write
       fsys.delete(new org.apache.hadoop.fs.Path(path, graft.etl.StoreFs.Marker),
         false): Unit
     val (exact, sigs, bands) = fingerprintStore(s, docs)
+    // heartbeat the claim between table writes: a stage longer than the
+    // prune grace stays visibly in-flight (claim mtime ≤ one table write
+    // stale), so pruneStoreVersions can never age it out mid-write
     exact.write.mode("overwrite").parquet(s"$target/exact")
+    claimed.foreach(graft.etl.StoreFs.touchClaim(fsys, path, _))
     sigs.write.mode("overwrite").parquet(s"$target/sigs")
+    claimed.foreach(graft.etl.StoreFs.touchClaim(fsys, path, _))
     bands.write.mode("overwrite").parquet(s"$target/bands")
     graft.etl.StoreFs.commitMarker(fsys, target, identity)
   }
@@ -661,14 +737,18 @@ object DedupOps extends OpModule {
     // files under one shared v<N+1> (StoreFs.Claim scaladoc). Both
     // inputs compact the same resolved live root, so whichever claim is
     // higher serves — the loser's version is correct, merely shadowed.
-    val next = s"$path/v${graft.etl.StoreFs.claimNextVersion(fsys, path,
-      versions.lastOption.getOrElse(0) + 1, graft.etl.StoreFs.ownerId())}"
+    val claimedN = graft.etl.StoreFs.claimNextVersion(fsys, path,
+      versions.lastOption.getOrElse(0) + 1, graft.etl.StoreFs.ownerId())
+    val next = s"$path/v$claimedN"
     val counts = Seq("exact", "sigs", "bands").map { t =>
       val before = graft.etl.StoreFs.parquetFiles(fsys, s"$live/$t")
       val nOut = math.max(1L,
         (before.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
       s.read.parquet(s"$live/$t").coalesce(nOut)
         .write.mode("overwrite").parquet(s"$next/$t")
+      // heartbeat per table (writeFingerprintStore's posture): a long
+      // compaction stays visibly in-flight to the prune's age gate
+      graft.etl.StoreFs.touchClaim(fsys, path, claimedN)
       t -> ((before.length,
         graft.etl.StoreFs.parquetFiles(fsys, s"$next/$t").length))
     }.toMap
@@ -703,9 +783,13 @@ object DedupOps extends OpModule {
     * marker protocol are untouched; a no-op on flat stores.
     */
   /** @param claimGraceMs a markerless version whose `_CLAIM` is younger
-    *   than this is treated as a live writer and skipped; size it to the
-    *   longest plausible stage duration (default 24 h — debris waits one
-    *   extra prune cycle, a live writer is never yanked mid-stage).
+    *   than this is treated as a live writer and skipped. Writers
+    *   heartbeat their claim between table writes
+    *   ([[graft.etl.StoreFs.touchClaim]]), so size this to the longest
+    *   plausible SINGLE-TABLE write, not the whole stage (default 24 h —
+    *   debris waits one extra prune cycle, a live writer is never yanked
+    *   mid-stage; the delete re-stats the claim immediately before
+    *   acting, shrinking the check-then-act window to one call pair).
     */
   def pruneStoreVersions(s: SparkSession, path: String,
       keepLast: Int = 2, claimGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -732,18 +816,28 @@ object DedupOps extends OpModule {
     // claim-less markerless dir has no live writer by construction (the
     // claim is created before any data lands) — reclaim immediately.
     val now = System.currentTimeMillis()
-    val debris = markerless.filter(_ < liveN)
+    val debrisN = markerless.filter(_ < liveN)
       .filter(n => graft.etl.StoreFs.claimMtime(fsys, path, n)
         .forall(m => now - m > claimGraceMs))
-      .map(n => s"$path/v$n")
     val flat = Seq("exact", "sigs", "bands").map(t => s"$path/$t")
       .filter(graft.etl.StoreFs.exists(fsys, _)) ++
       (if (graft.etl.StoreFs.readMarker(fsys, path).isDefined)
          Seq(s"$path/${graft.etl.StoreFs.Marker}")
        else Nil)
-    val doomed = staleCommitted ++ debris ++ flat
-    doomed.foreach(graft.etl.StoreFs.deleteRecursive(fsys, _))
-    doomed
+    staleCommitted.foreach(graft.etl.StoreFs.deleteRecursive(fsys, _))
+    flat.foreach(graft.etl.StoreFs.deleteRecursive(fsys, _))
+    // debris deletes RE-STAT the claim immediately before acting: the
+    // age decision above is check-then-act, and a writer heartbeating
+    // its claim (StoreFs.touchClaim, one table write apart) between the
+    // first stat and this delete means the stage is alive after all —
+    // skip it this cycle. The residual window is one stat-to-delete
+    // call pair, not the whole listing-to-delete span.
+    val debris = debrisN.filter(n =>
+        graft.etl.StoreFs.claimMtime(fsys, path, n)
+          .forall(m => System.currentTimeMillis() - m > claimGraceMs))
+      .map(n => s"$path/v$n")
+    debris.foreach(graft.etl.StoreFs.deleteRecursive(fsys, _))
+    staleCommitted ++ debris ++ flat
   }
 
   /** One verdict row per NEW-snapshot document, against a PRIOR store:
@@ -1004,7 +1098,7 @@ object DedupOps extends OpModule {
        |       FROM reps, range(0, $NumBands) r(blk)),
        |bsz AS (SELECT blk, bkey, count(*) AS n FROM bk GROUP BY blk, bkey),
        |adm AS (SELECT bk.doc_id, bk.blk, bk.bkey FROM bk JOIN bsz USING (blk, bkey)
-       |        WHERE n BETWEEN 2 AND $MinhashBucketCap),
+       |        WHERE n BETWEEN 2 AND $MinhashBucketHardCap),
        |cand AS (SELECT l.doc_id AS a, r2.doc_id AS b, count(*) AS nbands
        |         FROM adm l JOIN adm r2 USING (blk, bkey) WHERE l.doc_id < r2.doc_id
        |         GROUP BY 1, 2)""".stripMargin

@@ -102,7 +102,24 @@ case class SlidingMin(child: Expression, wExpr: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, wExpr.foldable) match {
-      case (ArrayType(LongType, _), true) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), true) =>
+        // Validate the window VALUE at analysis time, not first eval: a
+        // non-integral or < 1 literal must be a TypeCheckFailure the user
+        // sees at query build, never an executor-side require/cast crash.
+        wExpr.dataType match {
+          case IntegerType | LongType =>
+            val v = wExpr.eval(null)
+            if (v == null)
+              TypeCheckResult.TypeCheckFailure("sliding_min window must not be null")
+            else {
+              val w = v match { case i: Int => i.toLong; case l: Long => l }
+              if (w >= 1) TypeCheckResult.TypeCheckSuccess
+              else TypeCheckResult.TypeCheckFailure(
+                s"sliding_min window must be >= 1, got $w")
+            }
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"sliding_min window must be an integer literal, got ${other.simpleString}")
+        }
       case (_, false) => TypeCheckResult.TypeCheckFailure(
         "sliding_min window must be a foldable integer literal")
       case (other, _) => TypeCheckResult.TypeCheckFailure(

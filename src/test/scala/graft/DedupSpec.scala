@@ -53,6 +53,41 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.length < 60)
   }
 
+  test("over-cap buckets are enumerated chunked, not dropped: identical pair set") {
+    import spark.implicits._
+    // A dense near-dup family: 60 docs sharing a 50-token base plus 5
+    // unique tokens each (pairwise J ≈ 0.83) — signatures distinct, and
+    // per band roughly half the family lands in one bucket, far above the
+    // shrunk expansion threshold below.
+    val rng = new scala.util.Random(7)
+    val baseTok = Seq.fill(50)(s"b${rng.nextInt(3000)}")
+    val fam = (0 until 60).map { i =>
+      (i.toLong, (baseTok ++ (0 until 5).map(j => s"u${i}_$j")).mkString(" "),
+        "en", s"fam$i", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("densefam").toString
+    fam.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cliques = DedupOps.minhashCliques(spark, dir).cache()
+    try {
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val direct = DedupOps.repPairs(cliques, 0.5, 1).collect().map(key).toSet
+      val chunked = DedupOps.repPairs(cliques, 0.5, 1, expandCap = 8, chunk = 5)
+        .collect().map(key).toSet
+      assert(direct.nonEmpty, "planted dense family produced no candidate pairs")
+      // the shrunk-threshold run must have actually exercised the chunked
+      // path — at least one bucket above expandCap — or this test is vacuous
+      val maxBucket = DedupOps.bandedSigs(
+        cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig")))
+        .groupBy("band", "bkey").count().agg(max("count")).head().getLong(0)
+      assert(maxBucket > 8,
+        s"family too sparse to exceed the shrunk expansion threshold: max bucket $maxBucket")
+      assert(chunked == direct,
+        s"chunked enumeration diverged: only-direct=${(direct -- chunked).take(5)} " +
+          s"only-chunked=${(chunked -- direct).take(5)}")
+    } finally cliques.unpersist(blocking = false)
+  }
+
   test("minhash estimate tracks exact token-set jaccard on real docs") {
     val exact = quality.TextOps.qs.find(_.name == "dd4_ngram_jaccard").get
       .fn(spark, sf).collect()

@@ -67,6 +67,15 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
     val nullArr = Seq(Tuple1(null: Seq[java.lang.Long])).toDF("hs")
     assert(nullArr.select(expr("sliding_min(hs, 16)")).head().isNullAt(0),
       "a NULL input array must follow the standard null-in/null-out contract")
+    // a bad window is an ANALYSIS error (TypeCheckFailure), never an
+    // executor-side crash: non-integral, zero, negative, and null
+    for (bad <- Seq("'x'", "0", "-3", "CAST(NULL AS INT)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        nullArr.select(expr(s"sliding_min(hs, $bad)")).queryExecution.analyzed
+      }
+      assert(e.getMessage.toLowerCase.contains("sliding_min"),
+        s"window $bad: unexpected analysis message ${e.getMessage}")
+    }
   }
 
   test("identical docs share all fingerprints; overlapping docs share many; unrelated few") {
@@ -87,7 +96,14 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("x5 scalar projection agrees with the fingerprint sets") {
-    val scalars = SparkEntry.queries("x5_winnow_fingerprint")(spark, plantedDir).collect()
+    // x5 relies on narrow-projection order preservation after its input
+    // sort (no final orderBy — the query comment documents the reliance).
+    // Pin the order CONTRACT here so a future plan change that inserts an
+    // exchange surfaces as a failing spec, not as driver-gate hash drift.
+    val collected = SparkEntry.queries("x5_winnow_fingerprint")(spark, plantedDir).collect()
+    assert(collected.map(_.getLong(0)).toSeq == collected.map(_.getLong(0)).sorted.toSeq,
+      "x5 output no longer arrives in doc_id order — the sort no longer survives the projection")
+    val scalars = collected
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val raw = fingerprints(plantedDir)
     assert(scalars.keySet == raw.keySet)
