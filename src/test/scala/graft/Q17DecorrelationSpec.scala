@@ -17,8 +17,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
 
-  test("tpch_q17's correlated scalar subqueries decorrelate to an aggregate+join") {
-    val df = ops.TpchOps.qs.find(_.name == "tpch_q17").get.fn(spark, sf)
+  test("q17 subquery form: correlated scalar subqueries decorrelate to aggregate+join") {
+    // the CLASSIC q17 spelling, constructed here (the product tpch_q17 is
+    // hand-fused since round 12 — this spec keeps pinning what Catalyst
+    // does with the subquery form, which is exactly WHY the product query
+    // is fused: the twin correlated pair decorrelates to TWO aggregates)
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("q17spec_lineitem")
+    Tables(spark, sf, "part").createOrReplaceTempView("q17spec_part")
+    val df = spark.sql(
+      """SELECT p.p_brand, count(*) AS n_small
+        |FROM q17spec_lineitem l JOIN q17spec_part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 *
+        |      (SELECT count(*) FROM q17spec_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4))) FROM q17spec_lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand""".stripMargin)
     val opt = df.queryExecution.optimizedPlan
 
     // no correlated scalar subquery survives optimization
@@ -50,6 +63,30 @@ class Q17DecorrelationSpec extends AnyFunSuite with SparkSuite {
     }
 
     // and the result itself is non-empty at the test scale
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
+  test("product tpch_q17 is the FUSED form: exactly one per-partkey aggregate") {
+    val df = ops.TpchOps.qs.find(_.name == "tpch_q17").get.fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // one per-partkey pass computes count AND sum (the fusion the
+    // decorrelated form pays two scans for); lineitem is aggregate-
+    // scanned once
+    val partkeyAggs = opt.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.references.exists(
+        _.name == "l_partkey")) => a
+    }
+    assert(partkeyAggs.size == 1,
+      s"fused q17 must carry exactly ONE per-partkey aggregate:\n$opt")
+    val aggFns = partkeyAggs.head.aggregateExpressions
+      .flatMap(_.collect { case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae })
+    assert(aggFns.size == 2 &&
+      aggFns.exists(_.aggregateFunction.prettyName == "count") &&
+      aggFns.exists(_.aggregateFunction.prettyName == "sum"),
+      s"fused aggregate must compute count and sum together: $aggFns")
+    // the fused aggregate still reads a pruned projection
+    assert(partkeyAggs.head.child.output.length <= 2,
+      s"fused aggregate not column-pruned:\n${partkeyAggs.head}")
     assert(df.limit(1).collect().nonEmpty)
   }
 
