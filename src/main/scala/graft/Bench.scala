@@ -55,6 +55,34 @@ object Bench {
     // readings (the other suite-ordering mechanism). SPARK_GRAFT_WARMUP=0
     // restores the bare protocol for comparisons.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // --- Sentinel protocol (round 12, verdict #6): three fixed cheap
+    // queries timed at sweep START and END. Their ratio to PINNED
+    // reference times turns ambient machine drift into a number the
+    // round-over-round diff divides out — rounds 10-11 each needed an
+    // adjudication essay for 1.2-1.7× ambient swings this makes
+    // mechanical. The trio spans the three cost archetypes: scan+agg
+    // (q1), shuffle join (j1), shuffle agg (v1); start vs end also
+    // exposes drift DURING the sweep itself.
+    val sentinelNames = Seq("tpch_q1", "j1_hash_join", "v1_voxelize")
+    // Pinned reference: this machine class, sf0.1, min-of-2 after a
+    // warm-up rep (the values measured when the protocol landed).
+    // Re-pin whenever the sentinel protocol or machine class changes.
+    val sentinelRef = Map(
+      "tpch_q1" -> 1.05, "j1_hash_join" -> 0.46, "v1_voxelize" -> 0.55)
+    def timeSentinels(): Map[String, Double] = sentinelNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => return Double.NaN }
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm-up, unrecorded
+        n -> (1 to 2).map(_ => run()).min
+      }
+    }.toMap
+    val sfIs01 = sfDir.contains("sf0.1")
+    val sentStart = if (sfIs01) timeSentinels() else Map.empty[String, Double]
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = picked.map { case (name, fn) =>
@@ -98,6 +126,51 @@ object Bench {
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f2(v) else "null") }
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // Sentinel end pass + ambient scale: geometric mean of measured/ref
+    // across the six readings (3 queries × start/end). scale > 1 ⇒ the
+    // machine ran that much slower than the pinned reference session;
+    // norm_total = total / scale is the ambient-corrected figure.
+    val sentEnd = if (sfIs01) timeSentinels() else Map.empty[String, Double]
+    val sentRatios = (sentStart.toSeq ++ sentEnd.toSeq).collect {
+      case (n, t) if sentinelRef.contains(n) && !t.isNaN && t > 0 =>
+        t / sentinelRef(n)
+    }
+    val sentScale =
+      if (sentRatios.isEmpty) Double.NaN
+      else math.exp(sentRatios.map(math.log).sum / sentRatios.size)
+    val sentJson = sentinelNames.flatMap(n =>
+      for { s <- sentStart.get(n); e <- sentEnd.get(n) }
+        yield s""""$n":[${f2(s)},${f2(e)}]""").mkString("{", ",", "}")
+    // Movers vs the COMMITTED previous sweep (bench_prev.json, written by
+    // the builder at each round close): per-query normalized deltas
+    // (each side divided by its own sweep's sentinel scale), reported
+    // when the normalized change is both >0.3 s and >1.25× — the verdict
+    // reads regressions off this table instead of re-adjudicating.
+    val prevTxt = try Some(scala.io.Source.fromFile("bench_prev.json").mkString)
+      catch { case _: Throwable => None }
+    val prevScale = prevTxt.flatMap(t =>
+      """"sentinel_scale":([0-9.]+)""".r.findFirstMatchIn(t).map(_.group(1).toDouble))
+      .getOrElse(1.0)
+    val resultNames = results.map(_._1).toSet
+    val prevQ: Map[String, Double] = prevTxt.map { t =>
+      val inner = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(t).map(_.group(1)).getOrElse("")
+      """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(inner)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (n, _) => resultNames.contains(n) }.toMap
+    }.getOrElse(Map.empty)
+    val scaleNow = if (sentScale.isNaN) 1.0 else sentScale
+    val movers = results.collect {
+      case (n, t, true) if prevQ.contains(n) =>
+        val curN = t / scaleNow
+        val prevN = prevQ(n) / prevScale
+        (n, prevN, curN)
+    }.filter { case (_, p, c) =>
+      math.abs(c - p) > 0.3 && (c > p * 1.25 || p > c * 1.25)
+    }.sortBy { case (_, p, c) => -math.abs(c - p) }.take(12)
+    val moversJson = movers.map { case (n, p, c) =>
+      s""""$n":[${f2(p)},${f2(c)}]""" }.mkString("{", ",", "}")
+    movers.foreach { case (n, p, c) =>
+      System.err.println(f"# mover: $n norm ${p}%.2f -> ${c}%.2f") }
     // The driver captures only the LAST ~2000 bytes of output (and sbt's
     // own "[success] Total time ..." line lands after ours inside that
     // window). Rounds 1-3 all lost the score because the final line carried
@@ -108,8 +181,11 @@ object Bench {
     // still carries every contract key (metric/value/unit/queries/sf) —
     // "queries" holds the fixed headline subset per the Bench contract
     // ("runs headline queries"), not all 90+.
+    val sentScaleJson = if (sentScale.isNaN) "null" else f2(sentScale)
     val fullLine =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,""" +
+        s""""sentinel":$sentJson,"sentinel_scale":$sentScaleJson,""" +
+        s""""norm_total":${f2(total / scaleNow)},"movers":$moversJson,"sf":$sfNum}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
@@ -122,7 +198,7 @@ object Bench {
     val byName = results.map { case (k, v, ok) => k -> (if (ok) f2(v) else "null") }.toMap
     val hqs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + v))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$hqs,"n_queries":${results.size},"queries_full":"bench_full.json","sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$hqs,"n_queries":${results.size},"sentinel_scale":$sentScaleJson,"norm_total":${f2(total / scaleNow)},"n_movers":${movers.size},"queries_full":"bench_full.json","sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -168,7 +168,12 @@ object EventPipelines {
     // exhausted unconverged, so a snaking track can split silently
     // nowhere (the CC scaladoc's clique assumption does not hold for
     // occupancy chains — this caller is the worst case)
-    val comp = graft.ops.GraphOps.connectedComponents(edges, maxIter = 30)
+    // dedupe=false: the three affine-shift self equi-joins emit each
+    // directed pair at most once (distinct shift deltas cannot produce
+    // the same (a, b) twice), and duplicates would be harmless to
+    // min-propagation anyway — the edge-list distinct is pure cost here
+    val comp = graft.ops.GraphOps.connectedComponents(edges, maxIter = 30,
+      dedupe = false)
     val derived = withId.join(comp, Seq("id"), "left")
       .withColumn("instance", coalesce(col("comp"), col("id")))
     aggregateInstances(derived.drop("id", "comp", "evi"))

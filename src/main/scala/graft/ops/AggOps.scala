@@ -382,40 +382,79 @@ object AggOps extends OpModule {
         |  min(iy) AS min_iy, max(iy) AS max_iy
         |FROM lab GROUP BY comp ORDER BY instance""".stripMargin),
       (s, dir) => {
+        // Packed SINGLE-COLUMN ids BEFORE the distinct/checkpoint (the
+        // v8 instanceTableCC posture, applied here after the round-12
+        // stage profile): every downstream consumer — both shift joins,
+        // each CC round, the final label join — re-reads this set, and
+        // carrying (ix, iy) beside id tripled the checkpoint (5.4 GB at
+        // sf10) and every exchange built from it; the packing is
+        // bijective under the guard, so the coordinates re-derive from
+        // id (div/mod) at the final aggregation only.
+        //
+        // The ix*1e6+iy packing is collision-free only while
+        // 0 ≤ iy < 1e6 — at TPC-H SF≥100 suppkey reaches 1e6 and
+        // (ix, 1e6) would alias (ix+1, 0), silently fusing unrelated
+        // instances in BOTH engines (parity could not catch it); fail
+        // loudly instead, like instanceTableCC's packing guard.
         val vox = Tables(s, dir, "lineitem")
           .select(col("l_partkey").as("ix"), col("l_suppkey").as("iy"))
-          .distinct()
-          // the ix*1e6+iy packing is collision-free only while
-          // 0 ≤ iy < 1e6 — at TPC-H SF≥100 suppkey reaches 1e6 and
-          // (ix, 1e6) would alias (ix+1, 0), silently fusing unrelated
-          // instances in BOTH engines (parity could not catch it); fail
-          // loudly instead, like instanceTableCC's packing guard
-          .withColumn("id", when(col("iy") < 0 || col("iy") >= 1000000L || col("ix") < 0,
+          .select(when(col("iy") < 0 || col("iy") >= 1000000L || col("ix") < 0,
             expr("raise_error('v7 cell coord outside packable range')").cast("long"))
-            .otherwise(col("ix") * 1000000L + col("iy")))
+            .otherwise(col("ix") * 1000000L + col("iy")).as("id"))
+          .distinct()
           .localCheckpoint(true) // reused by both edge joins + the label join
-        def shiftEdges(dx: Int, dy: Int) =
-          vox.as("x").join(vox.as("y"),
-            col("y.ix") === col("x.ix") + dx && col("y.iy") === col("x.iy") + dy)
+        // Adjacency never leaves id space: (ix+1, iy) is id + 1e6
+        // exactly; (ix, iy+1) is id + 1 UNLESS iy = 999999, where +1
+        // would wrap into (ix+1, 0) — a false adjacency the guard's
+        // iy < 1e6 bound still permits — so the iy-shift masks that
+        // boundary row out of its probe side.
+        def shiftEdges(delta: Long, guardWrap: Boolean) = {
+          val x = if (guardWrap) vox.filter(col("id") % 1000000L =!= 999999L)
+            else vox
+          x.as("x").join(vox.as("y"), col("y.id") === col("x.id") + delta)
             .select(col("x.id").as("a"), col("y.id").as("b"))
+        }
         // earlyStop deliberately kept ON (adjudicated round 8, isolated
-        // reps=3 at sf0.1): a fixed 4-round budget + one-shot verify
-        // measured 7.38 s vs 6.72 s with per-round probes, because the
-        // probes are NOT the cost — each STEP eagerly materializes via
-        // localCheckpoint (2 joins + write), so earlyStop's adaptive
-        // round count (stop as soon as labels stabilize) beats any
-        // conservative fixed budget; a changed() probe is one
-        // join+limit job, far cheaper than the extra steps it saves.
+        // reps=3 at sf0.1): each STEP eagerly materializes via
+        // localCheckpoint, so earlyStop's adaptive round count (stop as
+        // soon as labels stabilize) beats any conservative fixed
+        // budget; the probe is one aggregate scan (Σcomp monotone-sum).
+        // dedupe=false: shifted-coordinate equi-joins over a distinct
+        // cell set cannot emit duplicate pairs, so the edge-list
+        // distinct would be a pure full-shuffle tax (772 s of the 4732 s
+        // sf10 executor profile that motivated this restructure).
+        // CC runs over CONNECTED cells only (labels init from edge
+        // endpoints — at sf1.0 ~0.7 M of 5.6 M cells); isolated cells
+        // self-label once in the left-join coalesce below. Seeding CC
+        // with the full cell set instead was tried and REVERTED: it
+        // dragged the 5.6 M isolated cells through every round's joins
+        // and checkpoints — 1.8× the whole query (976 vs 541 s sf1.0
+        // executor).
         val comp = GraphOps.connectedComponents(
-          shiftEdges(1, 0).union(shiftEdges(0, 1)))
-        vox.join(comp, Seq("id"), "left")
-          .select(col("ix"), col("iy"),
-            coalesce(col("comp"), col("id")).as("comp"))
+          shiftEdges(1000000L, guardWrap = false)
+            .union(shiftEdges(1L, guardWrap = true)),
+          dedupe = false)
+        // Isolated cells (the ~88% majority of this sparse grid) are
+        // each their own single-cell instance — a pure per-row
+        // PROJECTION, not an aggregation. Aggregating them anyway was
+        // the old plan's deepest sf10 cost (a 60 M-row groupBy whose
+        // partial aggregation combines nothing because ~90% of groups
+        // are singletons: a 639 s executor stage shuffling 1.2 GB);
+        // the split aggregates only the CC-labeled connected cells and
+        // anti-joins the rest straight into output rows.
+        val ix = expr("id div 1000000")
+        val iy = col("id") % 1000000L
+        val connected = comp
+          .select(ix.as("ix"), iy.as("iy"), col("comp"))
           .groupBy(col("comp").as("instance"))
           .agg(count(lit(1)).as("n_vox"),
             min("ix").as("min_ix"), max("ix").as("max_ix"),
             min("iy").as("min_iy"), max("iy").as("max_iy"))
-          .orderBy("instance")
+        val isolated = vox
+          .join(comp.select("id"), Seq("id"), "left_anti")
+          .select(col("id").as("instance"), lit(1L).as("n_vox"),
+            ix.as("min_ix"), ix.as("max_ix"), iy.as("min_iy"), iy.as("max_iy"))
+        connected.unionByName(isolated).orderBy("instance")
       }),
 
     // v8 — the §3.3 FLOOD-FILL grain, driver-oracled (VERDICT r8 #6):

@@ -39,9 +39,28 @@ object GraphOps extends OpModule {
     *   split clusters. Off by default so fixed-budget callers keep their
     *   cost bound: earlyStop=false && verify=false runs EXACTLY maxIter
     *   rounds and returns best-effort labels.
+    * @param dedupe distinct() the symmetrized edge list before iterating.
+    *   Duplicate edges are SEMANTICALLY harmless to min-propagation (a
+    *   min over a multiset ignores multiplicity) — this is purely a
+    *   performance trade. LSH-style pair generators (dd6/dd7) emit the
+    *   same pair from many bands and the dedup pays for itself each
+    *   round; grid adjacency from shifted-coordinate equi-joins (v7/v8)
+    *   is duplicate-free by construction, where the distinct is a pure
+    *   full-edge-list shuffle + hash-agg wasted (measured: 772 s of
+    *   v7's 4732 s sf10 executor profile).
+    *
+    * Labels deliberately initialize from the EDGE ENDPOINTS (one
+    * distinct over the edge list), never from a caller-supplied full
+    * vertex set: in sparse grids most vertices are isolated (v7 at
+    * sf1.0: ~0.7 M connected of 5.6 M cells), their labels can never
+    * change, and dragging them through every round's joins and
+    * checkpoints was measured at 1.8× the whole query (976 vs 541 s
+    * executor, sf1.0) against the callers' one-time final
+    * left-join + coalesce for isolated vertices.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      earlyStop: Boolean = true, verify: Boolean = false): DataFrame = {
+      earlyStop: Boolean = true, verify: Boolean = false,
+      dedupe: Boolean = true): DataFrame = {
     // localCheckpoint (not cache): each round's plan must be TRUNCATED,
     // or the logical plan doubles every iteration and analysis time
     // explodes — the standard iterative-DataFrame trap. The INPUT pair
@@ -51,9 +70,13 @@ object GraphOps extends OpModule {
     // the cut, that subtree executes once per union branch (measured as
     // two full ~4 s pair-generation stages in dd6's sf1.0 profile).
     val sym = pairs.select(col("a"), col("b")).localCheckpoint(true)
-    val edges = sym
+    val symmetrized = sym
       .union(sym.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+    // dedupe=false also skips the edge MATERIALIZATION: the union over
+    // the sym checkpoint re-reads it twice per consumer — the same bytes
+    // a deduped-checkpoint read would cost, minus one full write.
+    val edges = if (dedupe) symmetrized.distinct().localCheckpoint(true)
+      else symmetrized
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
 
@@ -62,10 +85,16 @@ object GraphOps extends OpModule {
         .join(cur.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id"))
         .agg(min("comp").as("ncomp"))
+      // truncated BEFORE the pointer-jump self-join: its two sides
+      // shuffle on different keys (comp vs id), so exchange reuse cannot
+      // merge them and the edge join + aggregation above — the expensive
+      // half of the round — would execute twice (measured as two full
+      // label-size scans per round in v7's sf10 profile)
       val stepped = cur
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       // pointer jumping: adopt the label's own label too — chains collapse
       // in O(log diameter) rounds instead of O(diameter)
       stepped.as("x")
@@ -75,7 +104,28 @@ object GraphOps extends OpModule {
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
         .localCheckpoint(true)
     }
-    def changed(next: DataFrame, cur: DataFrame): Boolean =
+    // Convergence probe: labels are MONOTONE — every round maps comp to
+    // least(comp, …) over a fixed id set — so for INTEGRAL ids Σcomp
+    // strictly decreases iff any label changed, and an exact decimal
+    // sum-equality replaces a changed-row join (two full label scans +
+    // a shuffle) with one aggregate scan of the new checkpoint; the
+    // previous round's sum is remembered, so each round pays exactly
+    // one probe. Non-numeric ids (EntityOps clusters string keys) have
+    // no sum — they keep the join probe.
+    val numericIds = labels.schema("comp").dataType match {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    def sumEq(x: java.math.BigDecimal, y: java.math.BigDecimal): Boolean =
+      (x == null && y == null) || // null ⇔ empty label set: trivially stable
+        (x != null && y != null && x.compareTo(y) == 0)
+    def joinChanged(next: DataFrame, cur: DataFrame): Boolean =
       next.as("u")
         .join(cur.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.comp") =!= col("l.comp"))
@@ -83,9 +133,16 @@ object GraphOps extends OpModule {
 
     var converged = false
     var i = 0
+    var curSum = if (earlyStop && numericIds) labelSum(labels) else null
     while (!converged && i < maxIter) {
       val updated = step(labels)
-      if (earlyStop) converged = !changed(updated, labels)
+      if (earlyStop) {
+        if (numericIds) {
+          val nextSum = labelSum(updated)
+          converged = sumEq(nextSum, curSum)
+          curSum = nextSum
+        } else converged = !joinChanged(updated, labels)
+      }
       labels = updated
       i += 1
     }
@@ -101,9 +158,14 @@ object GraphOps extends OpModule {
       // the tiny representative graph, so extra rounds are cheap too)
       var extra = 0
       var stable = false
+      var vSum = if (numericIds) labelSum(labels) else null
       while (!stable && extra < 16) {
         val updated = step(labels)
-        stable = !changed(updated, labels)
+        if (numericIds) {
+          val nextSum = labelSum(updated)
+          stable = sumEq(nextSum, vSum)
+          vSum = nextSum
+        } else stable = !joinChanged(updated, labels)
         labels = updated
         extra += 1
       }

@@ -37,10 +37,11 @@ import org.apache.spark.sql.types.DecimalType
   * carrying a subquery — still disqualifies, as do joins and
   * projections, because the partials answer only per-key questions
   * whose row population is the full base. The recognized
-  * partial vocabulary is ivm1's: `count(1)`, `sum(cast(src as
-  * DECIMAL(18,4)))`, `min(src)`, `max(src)`. No match → the plan is
-  * untouched, so the rule is sound by construction: it can only ever
-  * substitute the view where the view IS the query.
+  * partial vocabulary is DECLARED per view ([[graft.etl.ViewSpec]]):
+  * `count(1)`, `sum(cast(src as DECIMAL(18,4)))` for each declared sum
+  * source, `min(src)`/`max(src)` for each declared extremum. No match →
+  * the plan is untouched, so the rule is sound by construction: it can
+  * only ever substitute the view where the view IS the query.
   *
   * Freshness is the registrar's contract (the same posture as every
   * MV system's staleness window): [[MvRegistry.register]] is called
@@ -54,10 +55,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MvRegistry {
 
-  /** One registered view: `basePath`'s per-`groupCol` partials of
-    * `srcCol` live at `viewRelation` under the ivm1 column names.
+  /** One registered view: `basePath`'s partials under the declared
+    * [[graft.etl.ViewSpec]] (group key, aggregate list, store column
+    * names) live at `viewRelation`. The registry is keyed by base path,
+    * so several views over DIFFERENT base tables coexist and a read
+    * routes to exactly the view of the table it scans (MvRewriteSpec's
+    * multi-view case pins this).
     */
-  final case class MvDef(basePath: String, groupCol: String, srcCol: String,
+  final case class MvDef(basePath: String, spec: graft.etl.ViewSpec,
       viewRelation: LogicalRelation)
 
   private val defs = new ConcurrentHashMap[String, MvDef]()
@@ -68,12 +73,12 @@ object MvRegistry {
     * relation is fresh by construction.
     */
   def register(spark: SparkSession, basePath: String, viewPath: String,
-      groupCol: String = "o_custkey", srcCol: String = "o_totalprice"): Unit = {
+      spec: graft.etl.ViewSpec = graft.etl.ViewSpec.Orders): Unit = {
     val analyzed = spark.read.parquet(viewPath).queryExecution.analyzed
     val rel = analyzed.collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalArgumentException(
         s"view at $viewPath did not analyze to a file relation"))
-    defs.put(normalize(basePath), MvDef(normalize(basePath), groupCol, srcCol, rel)): Unit
+    defs.put(normalize(basePath), MvDef(normalize(basePath), spec, rel)): Unit
   }
 
   def clear(): Unit = defs.clear()
@@ -115,27 +120,31 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Map one aggregate output onto a view column name; None disqualifies
-    * the whole rewrite.
+  /** Map one aggregate output onto a view column name via the view's
+    * declared aggregate list; None disqualifies the whole rewrite.
     */
-  private def partialFor(ne: NamedExpression, d: MvRegistry.MvDef): Option[String] =
+  private def partialFor(ne: NamedExpression, d: MvRegistry.MvDef): Option[String] = {
+    val spec = d.spec
     ne match {
-      case a: AttributeReference if a.name == d.groupCol => Some(d.groupCol)
+      case a: AttributeReference if a.name == spec.groupCol => Some(spec.groupCol)
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
-        case Count(Seq(Literal(1, _))) => Some("n_orders")
+        case Count(Seq(Literal(1, _))) => Some(spec.countOut)
         case s: Sum => s.child match {
           case c: Cast if c.dataType == PartialSum => c.child match {
-            case a: AttributeReference if a.name == d.srcCol => Some("sum_dec")
+            case a: AttributeReference => spec.sums.find(_.src == a.name).map(_.out)
             case _ => None
           }
           case _ => None
         }
-        case Min(a: AttributeReference) if a.name == d.srcCol => Some("min_price")
-        case Max(a: AttributeReference) if a.name == d.srcCol => Some("max_price")
+        case Min(a: AttributeReference) =>
+          spec.exts.find(e => e.isMin && e.src == a.name).map(_.out)
+        case Max(a: AttributeReference) =>
+          spec.exts.find(e => !e.isMin && e.src == a.name).map(_.out)
         case _ => None
       }
       case _ => None
     }
+  }
 
   /** Split one optional GROUP-KEY-ONLY filter off the aggregate's child.
     * Returns (predicate if one was split, the plan beneath it). A filter
@@ -163,8 +172,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def filterEligible(filt: Option[Expression], d: MvRegistry.MvDef,
       viewAttr: Map[String, Attribute]): Boolean =
     filt.forall(c => c.references.forall(a =>
-      a.name == d.groupCol &&
-        viewAttr.get(d.groupCol).exists(_.dataType == a.dataType)))
+      a.name == d.spec.groupCol &&
+        viewAttr.get(d.spec.groupCol).exists(_.dataType == a.dataType)))
 
   /** The split predicate re-anchored on the view's own group-key
     * attribute — sound only under [[splitKeyFilter]]'s guarantee that
@@ -180,22 +189,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     AggregateExpression(fn, Complete, isDistinct = false, filter = None,
       resultId = NamedExpression.newExprId)
 
-  /** The GLOBAL (grouping-free) re-aggregation of one mapped partial:
-    * count re-sums the stored counts (coalesced to 0 so an empty view
-    * answers an empty base's global count correctly — sum over nothing
-    * is null, count over nothing is 0), sum re-sums the stored sums
-    * (cast back to the width the original aggregate promised), min/max
-    * fold their partials.
+  /** The GLOBAL (grouping-free) re-aggregation of one mapped partial,
+    * by its declared KIND: count re-sums the stored counts (coalesced to
+    * 0 so an empty view answers an empty base's global count correctly —
+    * sum over nothing is null, count over nothing is 0), a sum re-sums
+    * its stored sums (cast back to the width the original aggregate
+    * promised), min/max fold their partials.
     */
   private def rollupFor(col: String, origType: org.apache.spark.sql.types.DataType,
-      viewAttr: Map[String, Attribute]): Expression = col match {
-    case "n_orders" => Coalesce(Seq(mkAgg(Sum(viewAttr("n_orders"))), Literal(0L)))
-    case "sum_dec" =>
-      Cast(mkAgg(Sum(viewAttr("sum_dec"))), origType, None, EvalMode.LEGACY)
-    case "min_price" => mkAgg(Min(viewAttr("min_price")))
-    case "max_price" => mkAgg(Max(viewAttr("max_price")))
-    case other => viewAttr(other) // unreachable for Nil grouping
-  }
+      viewAttr: Map[String, Attribute], spec: graft.etl.ViewSpec): Expression =
+    if (col == spec.countOut)
+      Coalesce(Seq(mkAgg(Sum(viewAttr(col))), Literal(0L)))
+    else if (spec.sums.exists(_.out == col))
+      Cast(mkAgg(Sum(viewAttr(col))), origType, None, EvalMode.LEGACY)
+    else spec.exts.find(_.out == col) match {
+      case Some(e) if e.isMin => mkAgg(Min(viewAttr(col)))
+      case Some(_) => mkAgg(Max(viewAttr(col)))
+      case None => viewAttr(col) // unreachable for Nil grouping
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty) return plan
@@ -212,7 +223,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           // through Project/Join from remapping a same-named outer column
           if filt.forall(_.references.subsetOf(below.outputSet))
           d <- MvRegistry.lookup(path)
-          if g.name == d.groupCol
+          if g.name == d.spec.groupCol
           mapped <- {
             val m = aggExprs.map(ne => partialFor(ne, d))
             if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
@@ -227,7 +238,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
               viewAttr(col).dataType == ne.dataType }
         } yield {
           val scan = filt match {
-            case Some(c) => Filter(remapOntoView(c, viewAttr(d.groupCol)), view)
+            case Some(c) => Filter(remapOntoView(c, viewAttr(d.spec.groupCol)), view)
             case None => view
           }
           val projections = aggExprs.zip(mapped).map { case (ne, col) =>
@@ -251,20 +262,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             val m = aggExprs.map(ne => partialFor(ne, d))
             if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
           }
-          if !mapped.contains(d.groupCol) // key passthrough needs grouping
+          if !mapped.contains(d.spec.groupCol) // key passthrough needs grouping
           view = d.viewRelation.newInstance()
           viewAttr = view.output.map(a => a.name -> a).toMap
           if filterEligible(filt, d, viewAttr)
           if mapped.forall(viewAttr.contains)
           rolled = aggExprs.zip(mapped).map { case (ne, col) =>
-            Alias(rollupFor(col, ne.dataType, viewAttr), ne.name)(
+            Alias(rollupFor(col, ne.dataType, viewAttr, d.spec), ne.name)(
               exprId = ne.exprId, qualifier = ne.qualifier)
           }
           // the re-aggregated outputs must carry the promised types
           if rolled.zip(aggExprs).forall { case (r, ne) => r.dataType == ne.dataType }
         } yield {
           val scan = filt match {
-            case Some(c) => Filter(remapOntoView(c, viewAttr(d.groupCol)), view)
+            case Some(c) => Filter(remapOntoView(c, viewAttr(d.spec.groupCol)), view)
             case None => view
           }
           Aggregate(Nil, rolled, scan)

@@ -291,6 +291,50 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("generic view laws: a TWO-SUM, MAX-only declared view runs the same refresh algebra") {
+    import spark.implicits._
+    import graft.etl.{ExtAgg, SumAgg, ViewSpec}
+    // a spec shaped like NEITHER built-in view: two sums with their own
+    // delta columns, one max (no min) — exercises the Seq-generality of
+    // the lifted operators beyond the Orders/PartItems instances
+    val v = ViewSpec(groupCol = "k", countOut = "n",
+      sums = Seq(SumAgg("x", "sum_x", "dx"), SumAgg("y", "sum_y", "dy")),
+      exts = Seq(ExtAgg(isMin = false, "x", "max_x")))
+    val base = Seq((1L, 2.0, 10.0), (1L, 5.0, 20.0), (2L, 3.0, 30.0))
+      .toDF("k", "x", "y")
+    val store = IvmOps.partials(base, v)
+    // delete g1's MAX x (5.0) → recompute gate; insert (2, 4.0, 40.0)
+    // (no removal → g2 merges)
+    val changes = Seq(
+      (1L, -1L, "-5.0000", "-20.0000", Some(5.0), None: Option[Double]),
+      (2L, 1L, "4.0000", "40.0000", None: Option[Double], Some(4.0)))
+      .toDF("k", "dn", "dx", "dy", "v_removed", "v_added")
+      .select(col("k"), col("dn"),
+        col("dx").cast(DecimalType(28, 4)).as("dx"),
+        col("dy").cast(DecimalType(28, 4)).as("dy"),
+        col("v_removed"), col("v_added"))
+    val current = Seq((1L, 2.0), (2L, 3.0), (2L, 4.0)).toDF("k", "v")
+    assert(IvmOps.extremumTouchedGroups(store, changes, v)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "only the max-deleting group must recompute under the declared spec")
+    val got = IvmOps.refreshWithRetractionsFull(store, changes, current, v)
+      .select(col("k"), col("n"), col("sum_x").cast("double").as("sx"),
+        col("sum_y").cast("double").as("sy"), col("max_x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 2.0, 10.0, 2.0),   // recomputed max from the group's rows
+      (2L, 2L, 7.0, 70.0, 4.0)),  // merged: greatest(store 3.0, add 4.0)
+      s"declared-spec refresh diverged: $got")
+    // insert-only law under the same spec: refresh equals full recompute
+    val d2 = Seq((2L, 1.0, 5.0), (3L, 9.0, 9.0)).toDF("k", "x", "y")
+    val refreshed = IvmOps.refreshInsertOnly(store, d2, v)
+    val full = IvmOps.partials(base.unionByName(d2), v)
+    assert(refreshed.exceptAll(full).count() == 0 &&
+      full.exceptAll(refreshed).count() == 0,
+      "declared-spec insert-only refresh differs from full recompute")
+  }
+
   test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
     import spark.implicits._
     def snap(rows: Seq[(Long, Double)]) =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.etl.IvmOps
+import graft.etl.{IvmOps, ViewSpec}
 import graft.plans.MvRegistry
 
 /** Materialized-view rewrite: a matching per-custkey aggregate over the
@@ -231,6 +231,114 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
       assert(rolled.collect().toSeq == want.toSeq,
         s"empty-base rollup diverged: ${rolled.collect().toSeq} vs ${want.toSeq}")
     } finally MvRegistry.unregister(emptyBase)
+  }
+
+  test("an IN-LIST group-key filter routes to the view (the verdict's literal warehouse read)") {
+    withView { storeDir =>
+      def inList = spark.read.parquet(basePath)
+        .filter(col("o_custkey").isin(1L, 2L, 3L, 5L, 8L))
+        .groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).as("sum_dec"))
+        .orderBy("o_custkey")
+      val want = inList.collect() // before registration → base plan
+      assert(want.nonEmpty, "IN-list selected no groups — test is vacuous")
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = inList
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"IN-list group-key read must be answered from the view:\n$plan")
+      assert(rewritten.collect().toSeq == want.toSeq,
+        "IN-list substitution changed the answer")
+    }
+  }
+
+  test("a RANGE group-key filter routes to the view") {
+    withView { storeDir =>
+      def range = spark.read.parquet(basePath)
+        .filter(col("o_custkey") >= 10L && col("o_custkey") <= 200L)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+      val want = range.collect()
+      assert(want.nonEmpty, "range selected no groups — test is vacuous")
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = range
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"range group-key read must be answered from the view:\n$plan")
+      assert(rewritten.collect().toSeq == want.toSeq,
+        "range substitution changed the answer")
+    }
+  }
+
+  // second base table for the multi-view cases: a private lineitem copy
+  private lazy val liBasePath = {
+    val d = java.nio.file.Files.createTempDirectory("mv_libase").toString + "/base"
+    Tables(spark, sf, "lineitem").write.mode("overwrite").parquet(d)
+    d
+  }
+  private def liBaseDirName = new java.io.File(liBasePath).getParentFile.getName
+
+  test("multi-view: each base routes to ITS OWN store; the other registration never captures it") {
+    withView { ordersStore =>
+      val liStore = java.nio.file.Files.createTempDirectory("mv_liview").toString
+      IvmOps.partials(spark.read.parquet(liBasePath), ViewSpec.PartItems)
+        .write.mode("overwrite").parquet(liStore)
+      def liAgg = spark.read.parquet(liBasePath)
+        .filter(col("l_partkey").isin(2L, 3L, 5L, 7L, 11L))
+        .groupBy("l_partkey").agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(D)).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_eprice"))
+        .orderBy("l_partkey")
+      val wantLi = liAgg.collect() // before registration → base plan
+      val wantOrders = baseAgg.collect()
+      MvRegistry.register(spark, basePath, ordersStore)
+      MvRegistry.register(spark, liBasePath, liStore, ViewSpec.PartItems)
+      try {
+        val liPlan = liAgg.queryExecution.executedPlan.toString
+        assert(liPlan.contains(new java.io.File(liStore).getName) &&
+          !liPlan.contains(liBaseDirName) &&
+          !liPlan.contains(new java.io.File(ordersStore).getName),
+          s"lineitem read must route to the lineitem store only:\n$liPlan")
+        assert(liAgg.collect().toSeq == wantLi.toSeq,
+          "multi-view lineitem substitution changed the answer")
+        // the orders view stays live and still answers its own reads
+        val oPlan = baseAgg.queryExecution.executedPlan.toString
+        assert(oPlan.contains(new java.io.File(ordersStore).getName) &&
+          !oPlan.contains(baseDirName),
+          s"orders read must still route to the orders store:\n$oPlan")
+        assert(baseAgg.collect().toSeq == wantOrders.toSeq,
+          "orders substitution changed under multi-view registration")
+      } finally MvRegistry.unregister(liBasePath)
+    }
+  }
+
+  test("an aggregate outside the DECLARED vocabulary disqualifies under the declared spec") {
+    val liStore = java.nio.file.Files.createTempDirectory("mv_livoc").toString
+    IvmOps.partials(spark.read.parquet(liBasePath), ViewSpec.PartItems)
+      .write.mode("overwrite").parquet(liStore)
+    MvRegistry.register(spark, liBasePath, liStore, ViewSpec.PartItems)
+    try {
+      // sum over a column the spec never declared as a sum source
+      val foreignSum = spark.read.parquet(liBasePath)
+        .groupBy("l_partkey").agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(D)).as("sum_eprice"))
+      val p1 = foreignSum.queryExecution.executedPlan.toString
+      assert(p1.contains(liBaseDirName) &&
+        !p1.contains(new java.io.File(liStore).getName),
+        s"an undeclared sum source must not rewrite:\n$p1")
+      // max over the declared min-only extremum source
+      val foreignMax = spark.read.parquet(liBasePath)
+        .groupBy("l_partkey").agg(max(col("l_extendedprice")).as("max_eprice"))
+      val p2 = foreignMax.queryExecution.executedPlan.toString
+      assert(p2.contains(liBaseDirName) &&
+        !p2.contains(new java.io.File(liStore).getName),
+        s"max over a min-only declared extremum must not rewrite:\n$p2")
+    } finally MvRegistry.unregister(liBasePath)
   }
 
   test("a different grouping key disqualifies") {
