@@ -44,17 +44,20 @@ object DedupOps extends OpModule {
 
   /** In-expression pair-expansion threshold on dd2/dd6's banded rep-LSH
     * buckets: a bucket up to this size expands its candidate pairs inside
-    * one expression evaluation (≤ ~500k structs in one row — the shape
-    * that benched fastest for the common case). Buckets DENSER than this
-    * are no longer dropped — round 11 measured that dropping them cost
-    * 9.3% of shard-0's true candidate pairs at sf10 cross-copy density —
-    * they take the CHUNKED enumeration path instead (see [[repPairs]]),
-    * which emits the IDENTICAL pair set with per-row memory bounded at
-    * [[PairChunk]]² structs. The threshold is therefore an execution
-    * boundary, not a semantic one: the result set only depends on
-    * [[MinhashBucketHardCap]].
+    * one expression evaluation (≤ ~32k structs in one row). Buckets
+    * DENSER than this are no longer dropped — round 11 measured that
+    * dropping them cost 9.3% of shard-0's true candidate pairs at sf10
+    * cross-copy density — they take the CHUNKED enumeration path instead
+    * (see [[repPairs]]), which emits the IDENTICAL pair set with per-row
+    * memory bounded at [[PairChunk]]² structs. The threshold is
+    * therefore an execution boundary, not a semantic one: the result set
+    * only depends on [[MinhashBucketHardCap]]. Lowered 1000 → 256 in
+    * round 12: one ~990-member cross-copy bucket expanded inline is an
+    * indivisible ~490k-pair task (an 8.4 s max-task straggler in the
+    * sf10 stage profile), while the chunked path cuts it into ten
+    * spreadable slice-pairs.
     */
-  val MinhashBucketCap = 1000
+  val MinhashBucketCap = 256
 
   /** Recall-preserving admit ceiling on dd2/dd6's rep buckets (one shared
     * constant for Spark and the oracle SQL — a drift would silently
@@ -74,7 +77,7 @@ object DedupOps extends OpModule {
     * materializes more than PairChunk² ≈ 262k pair structs regardless of
     * bucket size.
     */
-  private[graft] val PairChunk = 512
+  private[graft] val PairChunk = 256
 
   /** Seeded affine constants (a in [1, M−1], b in [0, M−1]). */
   private def affineSeeds(n: Int, seed: Long): Seq[(Long, Long)] = {
@@ -132,15 +135,25 @@ object DedupOps extends OpModule {
 
   /** As [[minhashSignatures]] but over an arbitrary (doc_id, text, …)
     * frame (snapshot slices in [[incrementalVerdicts]]).
+    *
+    * One codegen [[graft.tensor.MinHashSig]] kernel evaluation per
+    * document — no explode, no aggregation, NO EXCHANGE: the former
+    * explode → 32-min groupBy manufactured a (doc, token) row per token
+    * just to reduce it straight back down, and its doc-keyed shuffle was
+    * a full-corpus exchange the per-row kernel simply does not have.
+    * Bit-identical output (same PolyHash31 codes, same affine seeds, in
+    * seed order; DedupSpec pins the signature law), and the null-text
+    * edge keeps the explode path's semantics: such docs are absent from
+    * the signature table.
     */
   def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val toks = tokenCodesOf(s, docs)
-    val minCols: Seq[Column] = MinhashSeeds.zipWithIndex.map { case (ab, i) =>
-      min(affine(col("t"), ab)).as(s"m$i")
-    }
-    toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    graft.tensor.TextFunctions.register(s)
+    docs.select(col("doc_id"),
+      call_function("minhash_sig",
+        array_distinct(split(trim(col("text")), "\\s+")),
+        array(MinhashSeeds.map(x => lit(x._1)): _*),
+        array(MinhashSeeds.map(x => lit(x._2)): _*)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Near-dup pairs via MinHash. Two tiers, both linear where the data is
@@ -204,7 +217,16 @@ object DedupOps extends OpModule {
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, hardCap)) // audited skew guard
+    // EXPLICIT partition counts on both expansion inputs: the bucket
+    // lists are BYTE-small (16 MB at sf10) but expand quadratically, and
+    // AQE coalesces by bytes — it squeezed the agg exchange to 12
+    // partitions and one task ate 26.5 s of the query's wall expanding
+    // the dense buckets (sf10 stage profile, round 12). A pinned-count
+    // repartition of ~8 KB rows is the cheapest possible insurance that
+    // expansion work, not exchange bytes, sets the parallelism.
+    val shufN = cliques.sparkSession.sessionState.conf.numShufflePartitions
     val small = buckets.filter(size(col("ids")) <= expandCap)
+      .repartition(shufN, col("band"), col("bkey"))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
       )).as("p"))
@@ -216,7 +238,7 @@ object DedupOps extends OpModule {
            |    struct(i AS ci, j AS cj,
            |           slice(ids, i * $chunk + 1, $chunk) AS la,
            |           slice(ids, j * $chunk + 1, $chunk) AS lb))))""".stripMargin)).as("cp"))
-      .repartition(col("band"), col("bkey"), col("cp.ci"), col("cp.cj"))
+      .repartition(shufN, col("band"), col("bkey"), col("cp.ci"), col("cp.cj"))
       .select(explode(expr(
         """IF(cp.ci = cp.cj,
           |  flatten(transform(cp.la, (x, i) -> transform(slice(cp.la, i + 2, size(cp.la)), y -> struct(x AS a, y AS b)))),
@@ -445,30 +467,24 @@ object DedupOps extends OpModule {
     */
   val IncrementalBucketCap = 8192
 
-  /** Per-ROW MinHash signatures — bit-identical to
-    * [[minhashSignaturesOf]] but computed as ONE higher-order fold per
-    * document: no explode, no aggregation. This is the STREAMING-safe
-    * form ([[graft.streaming.IncrementalStream]] verdicts arriving docs
-    * against a static store, where the batch explode+groupBy would be a
-    * stateful streaming aggregation needing its own watermark). The
-    * token array is traversed once; the fold accumulator carries all 32
-    * running minima, so tokenization is never repeated per hash
-    * function. Interpreted-HOF cost per row — right for per-micro-batch
-    * arrival rates; the batch corpus scan keeps the codegen
-    * min-aggregate form.
+  /** Per-ROW MinHash signatures for the STREAMING path
+    * ([[graft.streaming.IncrementalStream]] verdicts arriving docs
+    * against a static store, where an explode+groupBy would be a
+    * stateful streaming aggregation needing its own watermark). Since
+    * round 12 this is the SAME [[graft.tensor.MinHashSig]] kernel the
+    * batch scan runs — one implementation, so batch and stream cannot
+    * compute different signatures against the same persisted band store
+    * (the former interpreted HOF fold was a second spelling of the same
+    * math). Null-text docs keep their row with a null sig here (the
+    * stream decides how to verdict them); the batch path filters them.
     */
   def minhashSigsPerRow(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.tensor.TextFunctions.register(s)
-    val aArr = array(MinhashSeeds.map(x => lit(x._1)): _*)
-    val bArr = array(MinhashSeeds.map(x => lit(x._2)): _*)
-    val tc = transform(array_distinct(split(trim(col("text")), "\\s+")),
-      t => call_function("poly_hash31", t))
-    // min-identity Mod: every code is < Mod, so any token beats it
-    val sig = aggregate(tc, array_repeat(lit(Mod), NumHashes),
-      (acc, t) => transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-        least(element_at(acc, i + 1),
-          (t * element_at(aArr, i + 1) + element_at(bArr, i + 1)) % Mod)))
-    docs.select(col("doc_id"), sig.as("sig"))
+    docs.select(col("doc_id"),
+      call_function("minhash_sig",
+        array_distinct(split(trim(col("text")), "\\s+")),
+        array(MinhashSeeds.map(x => lit(x._1)): _*),
+        array(MinhashSeeds.map(x => lit(x._2)): _*)).as("sig"))
   }
 
   /** As [[bandKeysOf]] but KEEPING the signature column — the streaming

@@ -36,7 +36,15 @@ object QueryStageProfile {
         .write.format("noop").mode("overwrite").save()
       run() // warm-up, unrecorded
       val stages = mutable.ArrayBuffer[(Int, Double, Double, Long, Long, Long, String)]()
+      // per-stage task skew: count + max single-task runtime (a stage
+      // whose wall ≈ its max task is a straggler, not a volume problem)
+      val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Double)]()
       val listener = new SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val dt = Option(e.taskMetrics).map(_.executorRunTime / 1e3).getOrElse(0.0)
+          taskMax.merge(e.stageId, (1, dt),
+            (a, b) => (a._1 + b._1, math.max(a._2, b._2))): Unit
+        }
         override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
           val i = e.stageInfo
           val m = i.taskMetrics
@@ -59,11 +67,12 @@ object QueryStageProfile {
       Thread.sleep(500) // listener bus drains asynchronously
       spark.sparkContext.removeSparkListener(listener)
       println(f"[stageprof] $name wall=${wall}%.2f s (1 instrumented run after warm-up)")
-      println("[stageprof] stage  execRun(s)  wall(s)  input(MB)  shufRead(MB)  shufWrite(MB)  name")
+      println("[stageprof] stage  execRun(s)  wall(s)  input(MB)  shufRead(MB)  shufWrite(MB)  tasks  maxTask(s)  name")
       val snap = stages.synchronized(stages.sortBy(_._1).toVector)
       snap.foreach { case (id, er, w, in, sr, sw, nm) =>
+        val (nt, mx) = Option(taskMax.get(id)).getOrElse((0, 0.0))
         println(f"[stageprof] $id%5d  ${er}%9.2f  ${w}%7.2f  ${in / 1e6}%9.1f  " +
-          f"${sr / 1e6}%12.1f  ${sw / 1e6}%13.1f  $nm")
+          f"${sr / 1e6}%12.1f  ${sw / 1e6}%13.1f  $nt%5d  ${mx}%9.2f  $nm")
       }
       val totalExec = snap.map(_._2).sum
       val shuffleExec = snap.filter(t => t._5 > 0).map(_._2).sum
