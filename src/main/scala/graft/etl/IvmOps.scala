@@ -521,6 +521,26 @@ object IvmOps extends OpModule {
       .orderBy("o_custkey")
   }
 
+  /** The banded rollup: `GROUP BY o_custkey % 10` is a deterministic
+    * function of the view key, so [[graft.plans.MvRewriteRule]] answers
+    * it by re-aggregating the store's per-key partials by the band —
+    * ten result rows from a group-cardinality-sized scan, the fact
+    * never touched (MvRewriteSpec pins the plan).
+    */
+  private def ivm3e(s: SparkSession, dir: String): DataFrame = {
+    rebuildAndRegister(s, dir)
+    Tables(s, dir, "orders")
+      .groupBy((col("o_custkey") % 10).as("cust_band")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).as("sum_dec"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(col("cust_band"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("cust_band")
+  }
+
   private def ivm5(s: SparkSession, dir: String): DataFrame =
     ivm5At(s, dir, ScratchDirs.keyed("ivm5_view", dir))
 
@@ -700,6 +720,20 @@ object IvmOps extends OpModule {
         |FROM orders WHERE o_custkey % 5 = 2
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
       ivm3c),
+
+    // KEY-FUNCTIONAL regroup answered from the registered view: grouping
+    // by a deterministic function of the view key partitions the key
+    // space, so the rewrite re-aggregates the stored partials BY that
+    // function (count -> sum of counts, sum -> sum of exact decimal
+    // sums, min/max -> fold of per-key extrema) — the banded warehouse
+    // read (`GROUP BY custkey % N`) at view cost. The oracle is the
+    // full recompute it must be indistinguishable from.
+    Q("ivm3e_mv_regroup", Some(
+      """SELECT o_custkey % 10 AS cust_band, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey % 10 ORDER BY cust_band""".stripMargin),
+      ivm3e),
 
     // The second DECLARED view (lineitem by l_partkey, count/sum/min)
     // through the same generic refresh: the oracle applies the identical

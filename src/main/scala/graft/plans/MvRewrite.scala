@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scope — deliberately conservative, exactness over reach: a rewrite
   * fires only when EVERY output of the aggregate maps onto a stored
-  * partial with the IDENTICAL type, the grouping is exactly the view's
-  * key, and the aggregated relation is exactly the registered base path
+  * partial with the IDENTICAL type, the grouping is the view's key
+  * (answered by projection), empty (answered by re-aggregating the
+  * partials), or a deterministic function of ONLY the key (answered by
+  * re-aggregating the partials BY that function — the banded/bucketed
+  * rollup), and the aggregated relation is exactly the registered base path
   * (unwrapped through the test-fixture `Repartition` fan-out only). One
   * exception to the no-operators-in-between rule, because it is
   * algebraically free: a deterministic `Filter` whose predicate
@@ -105,9 +108,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private val PartialSum = DecimalType(18, 4)
 
   /** The base-relation path under the aggregate, looking through the
-    * fixture fan-out repartition only.
+    * fixture fan-out repartition and bare naming wrappers only. A
+    * SubqueryAlias is how a temp-view read arrives at this rule (it is
+    * eliminated only later, in the optimizer) — it renames qualifiers
+    * but keeps the child's output attributes (same exprIds), so every
+    * downstream reference/exprId check is unaffected by unwrapping it.
     */
   private def scannedPath(plan: LogicalPlan): Option[(String, LogicalPlan)] = plan match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      scannedPath(s.child)
+    // a temp-view read also carries a View node; unwrap ONLY when it is
+    // transparent (same output attributes as its child — a persisted
+    // view with remapped/cast output columns stays disqualified)
+    case v: org.apache.spark.sql.catalyst.plans.logical.View
+        if v.output == v.child.output =>
+      scannedPath(v.child)
     case r: RepartitionOperation => scannedPath(r.child)
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation =>
@@ -279,6 +294,80 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             case None => view
           }
           Aggregate(Nil, rolled, scan)
+        }).getOrElse(agg)
+
+      // KEY-FUNCTIONAL regroup: `GROUP BY f(key)` for a deterministic f
+      // of ONLY the view's group key. γ_{f(key)}(R) partitions the key
+      // space, and the view holds exactly one exact-partial row per key,
+      // so re-aggregating the partials BY f(view key) merges disjoint
+      // per-key populations — count → sum of counts, sum → sum of exact
+      // decimal sums (order-free), min/max → fold of per-key extrema.
+      // This generalizes the global rollup above (f = const) and answers
+      // the banded/bucketed warehouse read (`GROUP BY custkey % 100`,
+      // date-band of a key, hash-bucket rollups) at view cost. A
+      // key-only filter still commutes: filtering view rows by p(key)
+      // then regrouping equals γ_{f(key)}σ_{p(key)}(R), because p keeps
+      // or drops whole per-key populations. (Reached only when the
+      // single grouping expression is NOT a bare attribute — the
+      // exact-key case above matches those first.)
+      case agg @ Aggregate(Seq(gExpr), aggExprs, child, _) =>
+        // the grouping may arrive aliased (groupBy(expr.as("band"))) or
+        // bare (spark.sql GROUP BY expr) — normalize to the core f and,
+        // when aliased, the alias id its output attribute carries
+        val (gCore, gAliasId) = gExpr match {
+          case al @ Alias(e, _) => (e, Some(al.exprId))
+          case e => (e, None)
+        }
+        (for {
+          (filt, below) <- Some(splitKeyFilter(child))
+          (path, _) <- scannedPath(below)
+          if filt.forall(_.references.subsetOf(below.outputSet)) // see above
+          d <- MvRegistry.lookup(path)
+          // f must be deterministic, subquery-free, and reference the
+          // view's group key and NOTHING else (same exprId guard as the
+          // filter split: references must be the scanned relation's own)
+          if gCore.deterministic && !SubqueryExpression.hasSubquery(gCore) &&
+            gCore.references.nonEmpty &&
+            gCore.references.subsetOf(below.outputSet) &&
+            gCore.references.forall(_.name == d.spec.groupCol)
+          view = d.viewRelation.newInstance()
+          viewAttr = view.output.map(a => a.name -> a).toMap
+          // the view key must carry the identical type f was analyzed on
+          if viewAttr.get(d.spec.groupCol).exists(va =>
+            gCore.references.forall(_.dataType == va.dataType))
+          if filterEligible(filt, d, viewAttr)
+          outs <- {
+            val m: Seq[Option[NamedExpression]] = aggExprs.map {
+              // the grouping expression itself passes through, re-anchored
+              // on the view's key column (as a recomputed alias or as the
+              // grouping alias's own output attribute)
+              case ne @ Alias(e, name) if e.semanticEquals(gCore) =>
+                Some(Alias(remapOntoView(e, viewAttr(d.spec.groupCol)), name)(
+                  exprId = ne.exprId, qualifier = ne.qualifier))
+              case a: AttributeReference if gAliasId.contains(a.exprId) =>
+                Some(Alias(remapOntoView(gCore, viewAttr(d.spec.groupCol)),
+                  a.name)(exprId = a.exprId, qualifier = a.qualifier))
+              case ne =>
+                partialFor(ne, d).filter(_ != d.spec.groupCol).flatMap { col =>
+                  if (!viewAttr.contains(col)) None
+                  else {
+                    val rolled = Alias(
+                      rollupFor(col, ne.dataType, viewAttr, d.spec), ne.name)(
+                      exprId = ne.exprId, qualifier = ne.qualifier)
+                    // the re-aggregated output must carry the promised type
+                    if (rolled.dataType == ne.dataType) Some(rolled) else None
+                  }
+                }
+            }
+            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+          }
+        } yield {
+          val scan = filt match {
+            case Some(c) => Filter(remapOntoView(c, viewAttr(d.spec.groupCol)), view)
+            case None => view
+          }
+          Aggregate(Seq(remapOntoView(gCore, viewAttr(d.spec.groupCol))),
+            outs, scan)
         }).getOrElse(agg)
     }
   }

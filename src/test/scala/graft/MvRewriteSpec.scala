@@ -341,6 +341,88 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
     } finally MvRegistry.unregister(liBasePath)
   }
 
+  test("KEY-FUNCTIONAL regroup: GROUP BY f(key) re-aggregates the partials by f") {
+    withView { storeDir =>
+      def banded = spark.read.parquet(basePath)
+        .groupBy((col("o_custkey") % 10).as("cust_band")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).as("sum_dec"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("cust_band")
+      val want = banded.collect() // before registration → base plan
+      assert(want.length > 1, "banding produced one group — test is vacuous")
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = banded
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"banded regroup must re-aggregate the view, not the base:\n$plan")
+      assert(rewritten.collect().toSeq == want.toSeq,
+        "key-functional regroup changed the answer")
+    }
+  }
+
+  test("KEY-FUNCTIONAL regroup fires on the BARE SQL spelling too") {
+    withView { storeDir =>
+      spark.read.parquet(basePath).createOrReplaceTempView("mv_regroup_base")
+      def q = spark.sql(
+        """SELECT o_custkey % 10 AS cust_band, count(1) AS n_orders,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_dec
+          |FROM mv_regroup_base GROUP BY o_custkey % 10
+          |ORDER BY cust_band""".stripMargin)
+      val want = q.collect()
+      MvRegistry.register(spark, basePath, storeDir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"SQL-spelled regroup must be answered from the view:\n$plan")
+      assert(q.collect().toSeq == want.toSeq,
+        "SQL regroup substitution changed the answer")
+    }
+  }
+
+  test("KEY-FUNCTIONAL regroup composes with a key-only filter") {
+    withView { storeDir =>
+      def q = spark.read.parquet(basePath)
+        .filter(col("o_custkey") % 5 === 2)
+        .groupBy((col("o_custkey") % 3).as("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy("band")
+      val want = q.collect()
+      assert(want.nonEmpty, "filtered regroup selected nothing — test is vacuous")
+      MvRegistry.register(spark, basePath, storeDir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"filtered regroup must filter + re-aggregate the view:\n$plan")
+      assert(q.collect().toSeq == want.toSeq,
+        "filtered regroup substitution changed the answer")
+    }
+  }
+
+  test("a grouping function of a NON-key column disqualifies the regroup") {
+    withView { storeDir =>
+      MvRegistry.register(spark, basePath, storeDir)
+      val nonKey = spark.read.parquet(basePath)
+        .groupBy((col("o_orderkey") % 10).as("band"))
+        .agg(count(lit(1)).as("n_orders"))
+      val p1 = nonKey.queryExecution.executedPlan.toString
+      assert(p1.contains(baseDirName) &&
+        !p1.contains(new java.io.File(storeDir).getName),
+        s"f(non-key) groups ROWS the view cannot separate — must not rewrite:\n$p1")
+      // mixing the key with another column is just as unanswerable
+      val mixed = spark.read.parquet(basePath)
+        .groupBy(((col("o_custkey") + col("o_orderkey")) % 10).as("band"))
+        .agg(count(lit(1)).as("n_orders"))
+      val p2 = mixed.queryExecution.executedPlan.toString
+      assert(p2.contains(baseDirName) &&
+        !p2.contains(new java.io.File(storeDir).getName),
+        s"f(key, other) must not rewrite:\n$p2")
+    }
+  }
+
   test("a different grouping key disqualifies") {
     withView { storeDir =>
       MvRegistry.register(spark, basePath, storeDir)

@@ -354,6 +354,22 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ivm3c: group-key filter pushed onto the substituted view scan —
     // still ONE exchange (the presentation sort); the filter is map-side
     "ivm3c_mv_key_filter" -> 1,
+    // ivm3d: IN-list group-key read answered from the lineitem view —
+    // ONE exchange (the presentation sort); the IN is map-side on the
+    // substituted view scan (pins multi-view routing engaged)
+    "ivm3d_mv_inlist" -> 1,
+    // ivm3e: key-functional regroup — the band re-aggregation's hash
+    // exchange + the presentation sort; both view-sized (pins the
+    // regroup rewrite engaged — the fact-scan plan would also shuffle
+    // the full base fan-out)
+    "ivm3e_mv_regroup" -> 2,
+    // ivm5: the declared lineitem view's full CDC refresh — ivm2b's
+    // retraction algebra (count/sum retraction agg + changelog value
+    // summary + extremum gate + touched-group semi-joined recompute +
+    // view-sized merge joins + final sort) instantiated from the
+    // ViewSpec; every side changelog- or view-sized except the
+    // semi-gated recompute
+    "ivm5_declared_view" -> 9,
     // ivm4: delta-join partial agg (dim broadcast, no dim shuffle) +
     // merge re-agg + sort + the cut's single-partition exchange
     "ivm4_join_view" -> 4)
