@@ -5,14 +5,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.etl.{IvmOps, StoreFs}
+import graft.etl.{IvmOps, StoreFs, ViewSpec}
 
-/** Streaming twin of the ivm1 incremental-view refresh: order deltas
-  * arrive continuously and each micro-batch folds into the persisted
-  * per-custkey aggregate view, rolling the store forward one committed
-  * version per applied batch under the [[StoreFs]] claim→stage→marker
-  * protocol (the same object-store-safe flip the dd9/dd13 fingerprint
-  * stores use).
+/** Streaming twin of the ivm1 incremental-view refresh: deltas arrive
+  * continuously and each micro-batch folds into the persisted per-key
+  * aggregate view, rolling the store forward one committed version per
+  * applied batch under the [[StoreFs]] claim→stage→marker protocol (the
+  * same object-store-safe flip the dd9/dd13 fingerprint stores use).
+  *
+  * Every stream is a function of the DECLARED [[ViewSpec]] (round 12,
+  * completing the batch side's lift): the changelog schemas, the store
+  * schema, the canonical on-disk cast, and the registered rewrite
+  * vocabulary all derive from the spec, so maintaining a second view
+  * (ivm5's lineitem-by-partkey) as a stream is a declaration — the
+  * orders-view values below are the original spec's instances, kept as
+  * the default-parameter surface. One typing posture is assumed, the
+  * repo-wide one: BIGINT group keys, DOUBLE extremum sources
+  * (ViewSpec's own contract), exact-decimal sum partials.
   *
   * Exactly-once WITHOUT a consumer-side dedup: unlike the dd9 stream
   * (whose output is an append log, so at-least-once appends are healed
@@ -37,22 +46,62 @@ import graft.etl.{IvmOps, StoreFs}
   */
 object IvmStream {
 
-  /** Arriving order-delta schema (the insert-only changelog). */
+  private val PartialWide = DecimalType(38, 4)
+  private val DeltaDec = DecimalType(28, 4)
+
+  /** Arriving order-delta schema (the insert-only changelog) — the
+    * Orders-spec instance of an insert schema: the key, the sum/extremum
+    * source columns, plus the fact's own key the partials ignore.
+    */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_totalprice", DoubleType)))
 
-  /** Canonical on-disk view schema: the sum partial pinned at
+  /** CDC-adjustment schema for a declared view: the group key, the
+    * count-arity delta `dn`, and one exact-decimal delta column per
+    * declared sum — the ivm2 vocabulary as a stream.
+    */
+  def cdcSchemaFor(v: ViewSpec): StructType = StructType(
+    StructField(v.groupCol, LongType) +: StructField(v.dn, LongType) +:
+      v.sums.map(sc => StructField(sc.delta, DeltaDec)))
+
+  /** [[cdcSchemaFor]] plus the value-level removed/added columns MIN/MAX
+    * maintenance needs (insert (+1, +p, null, p), update (0, Δ, old,
+    * new), delete (−1, −p, p, null)) — the ivm2b vocabulary.
+    */
+  def fullCdcSchemaFor(v: ViewSpec): StructType = StructType(
+    cdcSchemaFor(v).fields.toSeq ++ Seq(
+      StructField(v.removed, DoubleType), StructField(v.added, DoubleType)))
+
+  /** The on-disk store schema a declared view maintains; `withExts`
+    * false for the count/sum-only CDC stream.
+    */
+  private def storeSchemaFor(v: ViewSpec, withExts: Boolean): StructType =
+    StructType(
+      (StructField(v.groupCol, LongType) +:
+        StructField(v.countOut, LongType) +:
+        v.sums.map(sc => StructField(sc.out, PartialWide))) ++
+        (if (withExts) v.exts.map(e => StructField(e.out, DoubleType))
+         else Nil))
+
+  /** Canonical on-disk view cast: the sum partials pinned at
     * DECIMAL(38,4) so every version carries ONE type — an uncast chain
     * would widen 28,4 → 38,4 on the first merge and drift the store
     * schema across versions.
     */
+  def canonicalFor(view: DataFrame, v: ViewSpec,
+      withExts: Boolean = true): DataFrame =
+    view.select(col(v.groupCol) +:
+      (col(v.countOut).cast("long").as(v.countOut) +:
+        (v.sums.map(sc => col(sc.out).cast(PartialWide).as(sc.out)) ++
+          (if (withExts) v.exts.map(e => col(e.out)) else Nil))): _*)
+
+  /** The Orders-spec instance (original surface, kept for callers). */
+  val cdcSchema: StructType = cdcSchemaFor(ViewSpec.Orders)
+  val fullCdcSchema: StructType = fullCdcSchemaFor(ViewSpec.Orders)
   def canonical(view: DataFrame): DataFrame =
-    view.select(col("o_custkey"),
-      col("n_orders").cast("long").as("n_orders"),
-      col("sum_dec").cast(DecimalType(38, 4)).as("sum_dec"),
-      col("min_price"), col("max_price"))
+    canonicalFor(view, ViewSpec.Orders)
 
   /** The live (highest committed) view version, if any. */
   def liveView(s: SparkSession, storePath: String): Option[(Int, DataFrame)] = {
@@ -61,61 +110,63 @@ object IvmStream {
       .map(n => (n, s.read.parquet(s"$storePath/v$n/view")))
   }
 
-  /** Arriving CDC-adjustment schema: each row is one changelog op's
-    * group-algebra contribution (insert (+1, +price), update (0, Δprice),
-    * delete (-1, -price)) — the ivm2 vocabulary as a stream.
+  private def emptyStore(s: SparkSession, v: ViewSpec,
+      withExts: Boolean): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      storeSchemaFor(v, withExts))
+
+  /** One exactly-once versioned fold: resolve the live version, skip if
+    * this batchId already committed it, else stage `next(liveStore)` as
+    * the claimed next version and flip its marker — the shared
+    * transaction skeleton of all three streams. `next` receives None
+    * when no committed version exists yet (first batch).
     */
-  val cdcSchema: StructType = StructType(Seq(
-    StructField("o_custkey", LongType),
-    StructField("dn", LongType),
-    StructField("ds", DecimalType(28, 4))))
+  private def foldVersioned(s: SparkSession, storePath: String,
+      batchId: Long, v: ViewSpec, withExts: Boolean,
+      next: Option[DataFrame] => DataFrame): Unit = {
+    val fs = StoreFs.fs(s, storePath)
+    val live = StoreFs.committedVersions(fs, storePath).lastOption
+    val alreadyApplied = live.exists(n =>
+      StoreFs.readMarker(fs, s"$storePath/v$n").contains(s"batch:$batchId"))
+    if (!alreadyApplied) {
+      val store = live.map(n => s.read.parquet(s"$storePath/v$n/view"))
+      val newView = canonicalFor(next(store), v, withExts)
+      val vn = StoreFs.claimNextVersion(fs, storePath,
+        from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
+      newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
+      StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
+    }
+  }
 
   /** The CDC twin of [[viewRefreshStream]]: micro-batches of signed
-    * (Δcount, Δsum) adjustments fold into the (o_custkey, n_orders,
-    * sum_dec) view via the ivm2 retraction algebra — groups retracting
-    * to zero membership leave the view. Same versioned store roll and
-    * marker-identity exactly-once.
-    */
-  /** @param registerBase see [[viewRefreshStream]] — the CDC view
-    *   carries (o_custkey, n_orders, sum_dec) only, so routed reads are
-    *   those the rewrite can type-match against that narrower store.
+    * (Δcount, Δsums) adjustments fold into the count/sum view via the
+    * ivm2 retraction algebra — groups retracting to zero membership
+    * leave the view. Same versioned store roll and marker-identity
+    * exactly-once.
+    *
+    * @param registerBase see [[viewRefreshStream]] — the CDC view
+    *   carries count/sum partials only, so routed reads are those the
+    *   rewrite can type-match against that narrower store.
     */
   def cdcRefreshStream(spark: SparkSession, inDir: String, storePath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       onBatchCommitted: Long => Unit = _ => (),
-      registerBase: Option[String] = None): StreamingQuery = {
+      registerBase: Option[String] = None,
+      spec: ViewSpec = ViewSpec.Orders): StreamingQuery = {
+    // count/sum only: a CDC row carries no absolute values, so extrema
+    // are not maintainable from it (that is fullCdcRefreshStream)
+    val v = spec.copy(exts = Nil)
     spark.readStream
-      .schema(cdcSchema)
+      .schema(cdcSchemaFor(v))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = StoreFs.fs(s, storePath)
-        val live = StoreFs.committedVersions(fs, storePath).lastOption
-        val alreadyApplied = live.exists(n =>
-          StoreFs.readMarker(fs, s"$storePath/v$n")
-            .contains(s"batch:$batchId"))
-        if (!alreadyApplied) {
-          val store = live match {
-            case Some(n) => s.read.parquet(s"$storePath/v$n/view")
-            case None => s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(
-                StructField("o_custkey", LongType),
-                StructField("n_orders", LongType),
-                StructField("sum_dec", DecimalType(38, 4)))))
-          }
-          val newView = IvmOps.refreshWithRetractions(store, batch)
-            .select(col("o_custkey"),
-              col("n_orders").cast("long").as("n_orders"),
-              col("sum_dec").cast(DecimalType(38, 4)).as("sum_dec"))
-          val vn = StoreFs.claimNextVersion(fs, storePath,
-            from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
-          newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
-          StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
-        }
-        reRegister(s, registerBase, storePath)
+        foldVersioned(s, storePath, batchId, v, withExts = false,
+          store => IvmOps.refreshWithRetractions(
+            store.getOrElse(emptyStore(s, v, withExts = false)), batch, v))
+        reRegister(s, registerBase, storePath, v)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -133,29 +184,17 @@ object IvmStream {
     * and the registration. Readers planned against the previous version
     * keep a complete immutable dir (never deleted under the retention
     * window), so a routed read is stale by AT MOST one version and
-    * never torn.
+    * never torn. Registers under the stream's own spec, so routed reads
+    * type-match exactly the vocabulary this stream maintains.
     */
   private def reRegister(s: SparkSession, registerBase: Option[String],
-      storePath: String): Unit =
+      storePath: String, spec: ViewSpec): Unit =
     registerBase.foreach { bp =>
       val fs = StoreFs.fs(s, storePath)
       StoreFs.committedVersions(fs, storePath).lastOption.foreach { n =>
-        graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view")
+        graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view", spec)
       }
     }
-
-  /** Arriving FULL-CDC schema: the ivm2b vocabulary as a stream — each
-    * row one changelog op's group-algebra contribution plus the
-    * value-level removed/added columns MIN/MAX maintenance needs
-    * (insert (+1, +p, null, p), update (0, Δ, old, new),
-    * delete (−1, −p, p, null)).
-    */
-  val fullCdcSchema: StructType = StructType(Seq(
-    StructField("o_custkey", LongType),
-    StructField("dn", LongType),
-    StructField("ds", DecimalType(28, 4)),
-    StructField("v_removed", DoubleType),
-    StructField("v_added", DoubleType)))
 
   /** The ivm2b twin of [[cdcRefreshStream]]: maintain the FULL view —
     * count/sum via retraction algebra AND min/max via the group-scoped
@@ -171,7 +210,9 @@ object IvmStream {
     *   the base is a versioned/snapshot table and the changelog carries
     *   the base version each batch corresponds to (the standard CDC
     *   watermark), so the provider is a time-travel read; a pipeline
-    *   whose producer NEVER runs ahead may return the live path.
+    *   whose producer NEVER runs ahead may return the live path. The
+    *   snapshot must arrive keyed (groupCol, value-col) per the spec's
+    *   changelog vocabulary.
     *   [[graft.etl.IvmOps.refreshWithRetractionsFull]] reads the
     *   snapshot ONLY through the extremum-touched-group semi-join, so a
     *   batch that never removes a stored extremum never touches the
@@ -180,63 +221,54 @@ object IvmStream {
     *
     * Same versioned store roll and marker-identity exactly-once as the
     * other twins; `registerBase` wires the read side (the full view
-    * carries every column the MvRewrite vocabulary knows, so routed
-    * reads type-match all four aggregates).
+    * carries every column the spec's MvRewrite vocabulary knows, so
+    * routed reads type-match all its aggregates).
     */
   def fullCdcRefreshStream(spark: SparkSession, inDir: String,
       storePath: String, baseSnapshotFor: Long => DataFrame,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
       onBatchCommitted: Long => Unit = _ => (),
-      registerBase: Option[String] = None): StreamingQuery = {
+      registerBase: Option[String] = None,
+      spec: ViewSpec = ViewSpec.Orders): StreamingQuery = {
     spark.readStream
-      .schema(fullCdcSchema)
+      .schema(fullCdcSchemaFor(spec))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = StoreFs.fs(s, storePath)
-        val live = StoreFs.committedVersions(fs, storePath).lastOption
-        val alreadyApplied = live.exists(n =>
-          StoreFs.readMarker(fs, s"$storePath/v$n")
-            .contains(s"batch:$batchId"))
-        if (!alreadyApplied) {
-          val store = live match {
-            case Some(n) => s.read.parquet(s"$storePath/v$n/view")
-            case None => s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(
-                StructField("o_custkey", LongType),
-                StructField("n_orders", LongType),
-                StructField("sum_dec", DecimalType(38, 4)),
-                StructField("min_price", DoubleType),
-                StructField("max_price", DoubleType))))
-          }
-          val currentRows = baseSnapshotFor(batchId)
-            .select(col("o_custkey"), col("o_totalprice").as("v"))
-          val newView = IvmOps.refreshWithRetractionsFull(store, batch, currentRows)
-            .select(col("o_custkey"),
-              col("n_orders").cast("long").as("n_orders"),
-              col("sum_dec").cast(DecimalType(38, 4)).as("sum_dec"),
-              col("min_price"), col("max_price"))
-          val vn = StoreFs.claimNextVersion(fs, storePath,
-            from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
-          newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
-          StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
-        }
-        reRegister(s, registerBase, storePath)
+        foldVersioned(s, storePath, batchId, spec, withExts = true, store => {
+          // normalize the snapshot to the changelog vocabulary: accept
+          // either a pre-normalized (groupCol, value) frame or raw base
+          // rows carrying the spec's declared extremum source column
+          val snap = baseSnapshotFor(batchId)
+          val currentRows =
+            if (snap.columns.contains(spec.value))
+              snap.select(col(spec.groupCol), col(spec.value))
+            else snap.select(col(spec.groupCol),
+              col(spec.extSrc.getOrElse(throw new IllegalArgumentException(
+                s"full-CDC stream needs a declared extremum: $spec")))
+                .as(spec.value))
+          IvmOps.refreshWithRetractionsFull(
+            store.getOrElse(emptyStore(s, spec, withExts = true)),
+            batch, currentRows, spec)
+        })
+        reRegister(s, registerBase, storePath, spec)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
   }
 
-  /** Start the continuous view-maintenance query over parquet order
+  /** Start the continuous view-maintenance query over parquet insert
     * deltas landing in `inDir`. `onBatchCommitted` fires after the
     * version-marker flip and before foreachBatch returns — the
     * crash window the spec uses to prove replay idempotence.
     *
+    * @param deltaSchema the arriving fact-row schema (must carry the
+    *   spec's group key and every declared sum/extremum source column);
+    *   defaults to the orders changelog.
     * @param registerBase base-table path to keep registered in
     *   [[graft.plans.MvRegistry]] against the live view version (see
     *   [[reRegister]]); None leaves the read side untouched. Freshness
@@ -247,31 +279,24 @@ object IvmStream {
   def viewRefreshStream(spark: SparkSession, inDir: String, storePath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       onBatchCommitted: Long => Unit = _ => (),
-      registerBase: Option[String] = None): StreamingQuery = {
+      registerBase: Option[String] = None,
+      spec: ViewSpec = ViewSpec.Orders,
+      deltaSchema: StructType = orderSchema): StreamingQuery = {
     spark.readStream
-      .schema(orderSchema)
+      .schema(deltaSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = StoreFs.fs(s, storePath)
-        val live = StoreFs.committedVersions(fs, storePath).lastOption
-        val alreadyApplied = live.exists(n =>
-          StoreFs.readMarker(fs, s"$storePath/v$n")
-            .contains(s"batch:$batchId"))
-        if (!alreadyApplied) {
-          val newView = canonical(live match {
-            case Some(n) =>
-              IvmOps.refreshInsertOnly(s.read.parquet(s"$storePath/v$n/view"), batch)
-            case None => IvmOps.orderPartials(batch)
-          })
-          val vn = StoreFs.claimNextVersion(fs, storePath,
-            from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
-          newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
-          StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
-        }
-        reRegister(s, registerBase, storePath)
+        foldVersioned(s, storePath, batchId, spec, withExts = true, {
+          // first batch: the partials themselves seed the store (the
+          // refresh over an empty store is value-identical but pays an
+          // empty-side shuffle)
+          case Some(store) => IvmOps.refreshInsertOnly(store, batch, spec)
+          case None => IvmOps.partials(batch, spec)
+        })
+        reRegister(s, registerBase, storePath, spec)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)
