@@ -423,6 +423,31 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("HAVING routes: a filter ABOVE the aggregate composes with the rewrite") {
+    // HAVING analyzes to Filter(cond, Aggregate(...)); transformUp
+    // rewrites the inner aggregate to the view projection and the
+    // outer filter applies unchanged on top — no special casing needed,
+    // this pins that it stays true
+    withView { storeDir =>
+      def having = spark.read.parquet(basePath)
+        .groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")
+      val want = having.collect()
+      assert(want.nonEmpty, "HAVING selected no groups — test is vacuous")
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = having
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"HAVING over a matching aggregate must still answer from the view:\n$plan")
+      assert(rewritten.collect().toSeq == want.toSeq,
+        "HAVING substitution changed the answer")
+    }
+  }
+
   test("a different grouping key disqualifies") {
     withView { storeDir =>
       MvRegistry.register(spark, basePath, storeDir)
