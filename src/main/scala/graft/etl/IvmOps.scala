@@ -735,6 +735,24 @@ object IvmOps extends OpModule {
         |FROM orders GROUP BY o_custkey % 10 ORDER BY cust_band""".stripMargin),
       ivm3e),
 
+    // count(DISTINCT key) answered from the registered view: the number
+    // of distinct non-null keys in the base IS the count of the view's
+    // rows (one per group), so the rewrite answers the "how many
+    // customers" read with a count over the view scan — no fact scan,
+    // no distinct machinery. Mixed with plain partials in one aggregate;
+    // the oracle is the full recompute.
+    Q("ivm3f_mv_count_distinct", Some(
+      """SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price
+        |FROM orders""".stripMargin),
+      (s, dir) => {
+        rebuildAndRegister(s, dir)
+        Tables(s, dir, "orders").agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"))
+      }),
+
     // The second DECLARED view (lineitem by l_partkey, count/sum/min)
     // through the same generic refresh: the oracle applies the identical
     // changelog row-level and fully recomputes — the declaration, not

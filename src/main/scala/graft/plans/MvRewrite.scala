@@ -42,7 +42,9 @@ import org.apache.spark.sql.types.DecimalType
   * whose row population is the full base. The recognized
   * partial vocabulary is DECLARED per view ([[graft.etl.ViewSpec]]):
   * `count(1)`, `sum(cast(src as DECIMAL(18,4)))` for each declared sum
-  * source, `min(src)`/`max(src)` for each declared extremum. No match →
+  * source, `min(src)`/`max(src)` for each declared extremum — plus, in
+  * the grouping-free and regrouped reads, `count(DISTINCT key)`, which
+  * every per-key view answers as a count of its own rows. No match →
   * the plan is untouched, so the rule is sound by construction: it can
   * only ever substitute the view where the view IS the query.
   *
@@ -223,6 +225,29 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case None => viewAttr(col) // unreachable for Nil grouping
     }
 
+  /** The re-aggregation of ONE aggregate output over the view's
+    * partials — [[rollupFor]] keyed through the declared vocabulary,
+    * plus the count-distinct-of-key special case: `count(DISTINCT key)`
+    * is the number of distinct non-null keys in the base, which is
+    * EXACTLY the count of the view's non-null-key rows (one row per
+    * group; a null-key group, if the base has null keys, is one view
+    * row that count(viewKey) skips just as count(DISTINCT key) does).
+    * A bare key passthrough maps to None here — in a grouping-free or
+    * regrouped read the key is not a legal output.
+    */
+  private def rollupExprFor(ne: NamedExpression, d: MvRegistry.MvDef,
+      viewAttr: Map[String, Attribute]): Option[Expression] = ne match {
+    case Alias(AggregateExpression(
+        Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+        if a.name == d.spec.groupCol && viewAttr.contains(d.spec.groupCol) =>
+      Some(mkAgg(Count(Seq(viewAttr(d.spec.groupCol)))))
+    case _ =>
+      partialFor(ne, d).filter(_ != d.spec.groupCol).flatMap { col =>
+        if (viewAttr.contains(col)) Some(rollupFor(col, ne.dataType, viewAttr, d.spec))
+        else None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty) return plan
     plan.transformUp {
@@ -273,18 +298,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           (path, _) <- scannedPath(below)
           if filt.forall(_.references.subsetOf(below.outputSet)) // see above
           d <- MvRegistry.lookup(path)
-          mapped <- {
-            val m = aggExprs.map(ne => partialFor(ne, d))
-            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
-          }
-          if !mapped.contains(d.spec.groupCol) // key passthrough needs grouping
           view = d.viewRelation.newInstance()
           viewAttr = view.output.map(a => a.name -> a).toMap
           if filterEligible(filt, d, viewAttr)
-          if mapped.forall(viewAttr.contains)
-          rolled = aggExprs.zip(mapped).map { case (ne, col) =>
-            Alias(rollupFor(col, ne.dataType, viewAttr, d.spec), ne.name)(
-              exprId = ne.exprId, qualifier = ne.qualifier)
+          rolled <- {
+            val m = aggExprs.map(ne => rollupExprFor(ne, d, viewAttr).map(e =>
+              Alias(e, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)))
+            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
           }
           // the re-aggregated outputs must carry the promised types
           if rolled.zip(aggExprs).forall { case (r, ne) => r.dataType == ne.dataType }
@@ -348,15 +368,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                 Some(Alias(remapOntoView(gCore, viewAttr(d.spec.groupCol)),
                   a.name)(exprId = a.exprId, qualifier = a.qualifier))
               case ne =>
-                partialFor(ne, d).filter(_ != d.spec.groupCol).flatMap { col =>
-                  if (!viewAttr.contains(col)) None
-                  else {
-                    val rolled = Alias(
-                      rollupFor(col, ne.dataType, viewAttr, d.spec), ne.name)(
-                      exprId = ne.exprId, qualifier = ne.qualifier)
-                    // the re-aggregated output must carry the promised type
-                    if (rolled.dataType == ne.dataType) Some(rolled) else None
-                  }
+                rollupExprFor(ne, d, viewAttr).flatMap { e =>
+                  val rolled = Alias(e, ne.name)(
+                    exprId = ne.exprId, qualifier = ne.qualifier)
+                  // the re-aggregated output must carry the promised type
+                  if (rolled.dataType == ne.dataType) Some(rolled) else None
                 }
             }
             if (m.forall(_.isDefined)) Some(m.map(_.get)) else None

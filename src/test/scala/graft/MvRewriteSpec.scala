@@ -423,6 +423,47 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("count(DISTINCT key) is answered as a count of the view's rows") {
+    withView { storeDir =>
+      def q = spark.read.parquet(basePath).agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"))
+      val want = q.collect()
+      MvRegistry.register(spark, basePath, storeDir)
+      val rewritten = q
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(storeDir).getName) &&
+        !plan.contains(baseDirName),
+        s"count-distinct-of-key must count the view's rows:\n$plan")
+      assert(!plan.contains("Expand"),
+        s"the rewritten plan must not carry the distinct expansion:\n$plan")
+      assert(rewritten.collect().toSeq == want.toSeq,
+        "count-distinct substitution changed the answer")
+      // per-band distinct keys through the regroup arm
+      def banded = spark.read.parquet(basePath)
+        .groupBy((col("o_custkey") % 7).as("band"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("band")
+      MvRegistry.unregister(basePath)
+      val wantBanded = banded.collect()
+      MvRegistry.register(spark, basePath, storeDir)
+      val b = banded
+      assert(b.queryExecution.executedPlan.toString
+        .contains(new java.io.File(storeDir).getName),
+        "banded count-distinct-of-key must route to the view")
+      assert(b.collect().toSeq == wantBanded.toSeq,
+        "banded count-distinct substitution changed the answer")
+      // distinct over a NON-key column cannot be answered by partials
+      val nonKey = spark.read.parquet(basePath)
+        .agg(countDistinct(col("o_totalprice")).as("n_prices"))
+      val p = nonKey.queryExecution.executedPlan.toString
+      assert(p.contains(baseDirName) &&
+        !p.contains(new java.io.File(storeDir).getName),
+        s"count(DISTINCT non-key) must not rewrite:\n$p")
+    }
+  }
+
   test("HAVING routes: a filter ABOVE the aggregate composes with the rewrite") {
     // HAVING analyzes to Filter(cond, Aggregate(...)); transformUp
     // rewrites the inner aggregate to the view projection and the

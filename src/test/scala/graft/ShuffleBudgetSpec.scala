@@ -363,6 +363,11 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // regroup rewrite engaged — the fact-scan plan would also shuffle
     // the full base fan-out)
     "ivm3e_mv_regroup" -> 2,
+    // ivm3f: count(DISTINCT key) + plain partials over the view — ONE
+    // exchange (the global re-aggregation's single-partition collect);
+    // pins the distinct-count rewrite engaged (the fact-scan plan
+    // carries the two-phase distinct expansion and shuffles the base)
+    "ivm3f_mv_count_distinct" -> 1,
     // ivm5: the declared lineitem view's full CDC refresh — ivm2b's
     // retraction algebra (count/sum retraction agg + changelog value
     // summary + extremum gate + touched-group semi-joined recompute +
