@@ -39,9 +39,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: every expression is a pure function of source rows and
   * the copy index — re-running the generator reproduces sf1.0 bit-
-  * identically. Output is one parquet FILE per table (the driver
-  * testdata layout `<dir>/<table>.parquet`, which tools/parity.py's
-  * DuckDB views read directly).
+  * identically. Output is a 32-part parquet DIRECTORY per table at the
+  * driver naming (`<dir>/<table>.parquet/`) — splittable like
+  * deployment input (see writeOne); Spark reads it transparently and
+  * tools/parity.py's DuckDB views glob it.
   */
 object GenScale {
 
@@ -141,16 +142,28 @@ object GenScale {
   private def writeOne(spark: SparkSession, df: DataFrame, out: String,
       name: String): Unit = {
     val fs = graft.etl.StoreFs.fs(spark, out)
-    val tmp = s"$out/_tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = fs.listStatus(new Path(tmp))
-      .find(st => st.getPath.getName.startsWith("part-")
-        && st.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    val dst = new Path(s"$out/$name.parquet")
-    fs.delete(dst, false): Unit
-    require(fs.rename(part.getPath, dst), s"rename failed for $name")
-    fs.delete(new Path(tmp), true): Unit
-    println(s"[genscale] $name -> $dst (${part.getLen / 1024} KiB)")
+    // 32-part DIRECTORY layout (round 12). The driver testdata ships
+    // single-row-group FILES, and the original coalesce(1) write
+    // reproduced that at scale — sf10 lineitem was 902 MB in 7 row
+    // groups and documents in ONE, so no parquet reader could give a
+    // scan more than that many tasks, and single-task scan stages were
+    // 38-45% of measured sf10 walls (COVERAGE §v7, §dd2 profiles) — an
+    // artifact of the synthetic layout, not a property of the engine
+    // under test. (A parquet.block.size knob was tried first and
+    // REJECTED: the writer flushes on encoded size, and snappy text
+    // compresses well enough that sf10 documents still landed 3 row
+    // groups at a 16 MB block.) Deployment input is many splittable
+    // files; the scale dirs now match it: `<table>.parquet/` holds 32
+    // parts (Spark reads the directory transparently; tools/parity.py
+    // globs). Content is the identical row multiset — repartition's
+    // round-robin is made deterministic by Spark's injected local sort,
+    // so regeneration remains reproducible.
+    val dst = s"$out/$name.parquet"
+    fs.delete(new Path(dst), true): Unit
+    df.repartition(32).write.mode("overwrite").parquet(dst)
+    val files = fs.listStatus(new Path(dst))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    println(s"[genscale] $name -> $dst (${files.length} parts, " +
+      s"${files.map(_.getLen).sum / 1024} KiB)")
   }
 }

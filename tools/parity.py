@@ -35,8 +35,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one FILE per table; GenScale's scale dirs
+        # (sf1.0/sf10) are 32-part DIRECTORIES at the same name
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = os.environ.get("SPARK_GRAFT_ONLY")
     only_set = {s for s in only.split(",") if s} if only else None
