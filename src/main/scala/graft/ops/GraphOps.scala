@@ -96,7 +96,31 @@ object GraphOps extends OpModule {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       // pointer jumping: adopt the label's own label too — chains collapse
-      // in O(log diameter) rounds instead of O(diameter)
+      // in O(log diameter) rounds instead of O(diameter).
+      //
+      // Two round-12 variants were measured at sf10 (dd6, 13 rounds)
+      // and BOTH reverted — recorded so they are not retried:
+      // - TWO jumps per round (to halve the edge rounds): did not
+      //   reduce the measured round count at all (the rounds are
+      //   edge-relaxation-bound, not label-chain-bound) and the extra
+      //   label-size job per round read 29.6 s vs 27.8.
+      // - RELEAFING the jump checkpoint to reset its size estimate
+      //   (localCheckpoint carries the child plan's estimate onto the
+      //   new leaf, and a self-join ~squares it, so the planner
+      //   multiplies ever-wider BigInts round over round — the
+      //   two-jump variant, a fourth power per round, hung the driver
+      //   in BigInteger.multiplyToomCook3): catastrophic, 27.8 →
+      //   123.5 s wall / 302 → 2829 s executor. The carried estimate
+      //   is LOAD-BEARING — it is what keeps the label side
+      //   broadcastable in each round's edge⋈labels join; a fresh
+      //   leaf's conservative default estimate forfeits exactly those
+      //   broadcasts and every round pays a full edge-table shuffle.
+      //   At one jump per round the estimate-width growth is ~2^rounds
+      //   digits — tens of KB of BigInt by round 13, tolerable planner
+      //   arithmetic — and the broadcasts it preserves are worth far
+      //   more. A fixed-point estimate reset (releaf with HONEST
+      //   computed stats) would need a count+size job per round, the
+      //   same cost class it saves.
       stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
