@@ -51,12 +51,44 @@ object IvmStream {
 
   /** Arriving order-delta schema (the insert-only changelog) — the
     * Orders-spec instance of an insert schema: the key, the sum/extremum
-    * source columns, plus the fact's own key the partials ignore.
+    * source columns, plus the fact's own key the partials ignore. Kept
+    * for callers; [[viewRefreshStream]] now derives its default from the
+    * spec via [[deltaSchemaFor]].
     */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_totalprice", DoubleType)))
+
+  /** The insert-delta schema a declared view implies: the group key plus
+    * every declared sum/extremum SOURCE column — exactly what
+    * [[graft.etl.IvmOps.partials]] reads, under the repo-wide typing
+    * posture (BIGINT keys, DOUBLE numeric sources). This is
+    * [[viewRefreshStream]]'s default so spec and schema cannot drift: a
+    * caller passing a non-Orders spec and forgetting the schema
+    * previously read the input under the ORDERS schema — every declared
+    * column resolved to null and the stream silently committed garbage
+    * partials. Deriving from the spec removes the failure mode; an
+    * explicitly passed schema is validated against the spec instead.
+    */
+  def deltaSchemaFor(v: ViewSpec): StructType = {
+    val srcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+    StructType(StructField(v.groupCol, LongType) +:
+      srcs.map(c => StructField(c, DoubleType)))
+  }
+
+  /** Guard for an explicitly passed delta schema: it must carry the
+    * spec's group key and every declared source column, else the scan
+    * would null-fill what the fold aggregates (see [[deltaSchemaFor]]).
+    */
+  private def requireCoversSpec(schema: StructType, v: ViewSpec): StructType = {
+    val needed = v.groupCol +: (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+    val missing = needed.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"delta schema ${schema.fieldNames.mkString("(", ",", ")")} is missing " +
+        s"columns ${missing.mkString(", ")} declared by view spec $v")
+    schema
+  }
 
   /** CDC-adjustment schema for a declared view: the group key, the
     * count-arity delta `dn`, and one exact-decimal delta column per
@@ -183,8 +215,14 @@ object IvmStream {
     * replay-skip path, which heals a crash that died between the flip
     * and the registration. Readers planned against the previous version
     * keep a complete immutable dir (never deleted under the retention
-    * window), so a routed read is stale by AT MOST one version and
-    * never torn. Registers under the stream's own spec, so routed reads
+    * window), so a routed read is never torn. With the mechanical
+    * freshness gate ([[graft.plans.MvRegistry.lookupFresh]], round 13)
+    * a routed read is never STALE either: delta files that landed after
+    * the registration move the base's epoch, disqualify the rewrite,
+    * and the read falls back to the always-fresh base scan until the
+    * next fold re-registers — a deployment preferring view-cost reads
+    * with bounded staleness sets `spark.graft.mv.freshnessIntervalMs`.
+    * Registers under the stream's own spec, so routed reads
     * type-match exactly the vocabulary this stream maintains.
     */
   private def reRegister(s: SparkSession, registerBase: Option[String],
@@ -241,15 +279,26 @@ object IvmStream {
         foldVersioned(s, storePath, batchId, spec, withExts = true, store => {
           // normalize the snapshot to the changelog vocabulary: accept
           // either a pre-normalized (groupCol, value) frame or raw base
-          // rows carrying the spec's declared extremum source column
+          // rows carrying the spec's declared extremum source column.
+          // Collision rule (documented contract): the DECLARED extremum
+          // source wins when both columns are present — a raw base
+          // snapshot that coincidentally carries a column named
+          // `spec.value` (default "v") alongside the real source must
+          // not be silently mis-normalized onto the coincidental column;
+          // a frame is treated as pre-normalized only when the declared
+          // source is absent.
           val snap = baseSnapshotFor(batchId)
+          val src = spec.extSrc.getOrElse(throw new IllegalArgumentException(
+            s"full-CDC stream needs a declared extremum: $spec"))
           val currentRows =
-            if (snap.columns.contains(spec.value))
+            if (snap.columns.contains(src))
+              snap.select(col(spec.groupCol), col(src).as(spec.value))
+            else if (snap.columns.contains(spec.value))
               snap.select(col(spec.groupCol), col(spec.value))
-            else snap.select(col(spec.groupCol),
-              col(spec.extSrc.getOrElse(throw new IllegalArgumentException(
-                s"full-CDC stream needs a declared extremum: $spec")))
-                .as(spec.value))
+            else throw new IllegalArgumentException(
+              s"base snapshot carries neither the declared extremum " +
+                s"source '$src' nor the normalized value column " +
+                s"'${spec.value}': ${snap.columns.mkString(", ")}")
           IvmOps.refreshWithRetractionsFull(
             store.getOrElse(emptyStore(s, spec, withExts = true)),
             batch, currentRows, spec)
@@ -267,23 +316,32 @@ object IvmStream {
     * crash window the spec uses to prove replay idempotence.
     *
     * @param deltaSchema the arriving fact-row schema (must carry the
-    *   spec's group key and every declared sum/extremum source column);
-    *   defaults to the orders changelog.
+    *   spec's group key and every declared sum/extremum source column —
+    *   require-checked before the stream starts); defaults to the schema
+    *   the spec itself implies ([[deltaSchemaFor]]), so spec and schema
+    *   cannot drift apart. Extra columns (a fact key the partials
+    *   ignore) are legal in an explicit schema.
     * @param registerBase base-table path to keep registered in
     *   [[graft.plans.MvRegistry]] against the live view version (see
     *   [[reRegister]]); None leaves the read side untouched. Freshness
     *   contract: a routed read reflects every batch whose foreachBatch
-    *   has completed — files landed but not yet folded are the usual MV
-    *   staleness window, identical to the batch path's.
+    *   has completed; files landed but not yet folded disqualify the
+    *   rewrite through the epoch gate and the read falls back to the
+    *   fresh base scan (see [[reRegister]]).
     */
   def viewRefreshStream(spark: SparkSession, inDir: String, storePath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       onBatchCommitted: Long => Unit = _ => (),
       registerBase: Option[String] = None,
       spec: ViewSpec = ViewSpec.Orders,
-      deltaSchema: StructType = orderSchema): StreamingQuery = {
+      deltaSchema: StructType = null): StreamingQuery = {
+    // null default (not `= deltaSchemaFor(spec)`) so the derived/explicit
+    // split stays visible at the call site in bytecode-stable form; both
+    // paths land on a spec-covering schema — the explicit one by check
+    val schema = requireCoversSpec(
+      Option(deltaSchema).getOrElse(deltaSchemaFor(spec)), spec)
     spark.readStream
-      .schema(deltaSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream

@@ -197,11 +197,20 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
         s"routed read must scan the maintained view, not the base dir:\n$plan1")
       assert(routed.collect().toSeq == recompute(batch1).collect().toSeq,
         "routed read diverges from batch-1 truth")
-      // BETWEEN batches: files landed but not folded — the routed read
-      // must serve batch-1's complete version (stale by one, never torn)
+      // BETWEEN batches: files landed but not folded — the base mutated
+      // AFTER registration, so the mechanical freshness gate (round 13)
+      // disqualifies the stale view and the read falls back to the base
+      // scan, serving the FRESH truth. (Previously it served the
+      // one-version-stale view at view cost; a deployment preferring
+      // that trade re-purchases bounded staleness with
+      // spark.graft.mv.freshnessIntervalMs.)
       val batch2 = writeDelta(inDir, 302)
-      assert(routed.collect().toSeq == recompute(batch1).collect().toSeq,
-        "between batches the read must serve the last committed version")
+      val planBetween = routed.queryExecution.executedPlan.toString
+      assert(planBetween.contains(new java.io.File(inDir).getName),
+        s"between batches the stale view must disqualify:\n$planBetween")
+      assert(routed.collect().toSeq ==
+        recompute(batch1 ++ batch2).collect().toSeq,
+        "between batches the fallback must serve the fresh base truth")
       // resume: the next fold re-registers and the read advances to v2
       val q2 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
         registerBase = Some(inDir))

@@ -500,4 +500,49 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
         s"wrong grouping key must not rewrite:\n$plan")
     }
   }
+
+  test("base mutation after registration disqualifies the rewrite until re-registration") {
+    // the MECHANICAL freshness gate (round 13): registration captures the
+    // base's file-population epoch; a base mutated afterwards must fall
+    // back to the base scan (fresh answer), and re-registering a rebuilt
+    // view re-arms the rewrite. Private base — this test mutates it.
+    val d = java.nio.file.Files.createTempDirectory("mv_fresh").toString + "/base"
+    Tables(spark, sf, "orders").write.mode("overwrite").parquet(d)
+    val storeDir = java.nio.file.Files.createTempDirectory("mv_fresh_view").toString
+    IvmOps.orderPartials(spark.read.parquet(d))
+      .write.mode("overwrite").parquet(storeDir)
+    val viewName = new java.io.File(storeDir).getName
+    val baseName = new java.io.File(d).getParentFile.getName
+    def agg = spark.read.parquet(d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+    try {
+      MvRegistry.register(spark, d, storeDir)
+      val p1 = agg.queryExecution.executedPlan.toString
+      assert(p1.contains(viewName) && !p1.contains(baseName),
+        s"fresh registration must rewrite:\n$p1")
+
+      // mutate the base AFTER registration: append 50 rows
+      Tables(spark, sf, "orders").limit(50).write.mode("append").parquet(d)
+      val stale = agg
+      val p2 = stale.queryExecution.executedPlan.toString
+      assert(!p2.contains(viewName) && p2.contains(baseName),
+        s"a mutated base must DISQUALIFY the stale view:\n$p2")
+      // and the fallback answers the FRESH base, appended rows included
+      val totalRows = stale.collect().map(_.getLong(1)).sum
+      assert(totalRows == spark.read.parquet(d).count(),
+        "fallback answer does not reflect the base mutation")
+
+      // rebuild + re-register → the rewrite re-arms and matches the fallback
+      IvmOps.orderPartials(spark.read.parquet(d))
+        .write.mode("overwrite").parquet(storeDir)
+      MvRegistry.register(spark, d, storeDir)
+      val rearmed = agg
+      val p3 = rearmed.queryExecution.executedPlan.toString
+      assert(p3.contains(viewName) && !p3.contains(baseName),
+        s"re-registration must re-arm the rewrite:\n$p3")
+      assert(rearmed.collect().map(_.getLong(1)).sum == totalRows,
+        "re-armed view answer disagrees with the fresh fallback")
+    } finally MvRegistry.unregister(d)
+  }
 }
