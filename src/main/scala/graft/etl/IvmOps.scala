@@ -157,11 +157,15 @@ object IvmOps extends OpModule {
     require(v.exts.nonEmpty, "extremum gate on a view with no min/max")
     val sPrefixed = store.select(col(v.groupCol) +:
       v.exts.map(e => col(e.out).as(s"s_${e.out}")): _*)
+    // per-SOURCE removal column: each extremum is gated on removals of
+    // ITS OWN value population (multi-source views carry one
+    // removed/added pair per source — ViewSpec.removedFor's naming)
     val hits = v.exts.map { e =>
+      val rem = col(v.removedFor(e.src))
       val reaches =
-        if (e.isMin) col(v.removed) <= col(s"s_${e.out}")
-        else col(v.removed) >= col(s"s_${e.out}")
-      max(when(col(v.removed).isNotNull &&
+        if (e.isMin) rem <= col(s"s_${e.out}")
+        else rem >= col(s"s_${e.out}")
+      max(when(rem.isNotNull &&
         (col(s"s_${e.out}").isNull || reaches), 1)
         .otherwise(0)).as(s"hit_${e.out}")
     }
@@ -180,11 +184,13 @@ object IvmOps extends OpModule {
     * actually removed a stored extremum.
     *
     * `valueChanges` rows are one per changelog op, in the view's declared
-    * changelog vocabulary: (groupCol, dn, sum deltas, removed, added) —
+    * changelog vocabulary: (groupCol, dn, sum deltas, then one
+    * removed/added pair PER extremum source — [[ViewSpec.removedFor]]) —
     * insert (+1, +p, null, p), update (0, Δsum, old, new — or null/null
-    * when the update leaves the extremum source untouched), delete
-    * (−1, −p, p, null).
-    * `currentRows` is the post-changelog base state (groupCol, value) —
+    * when the update leaves that extremum source untouched), delete
+    * (−1, −p, p, null), each pair tracking its own source's population.
+    * `currentRows` is the post-changelog base state (groupCol, one
+    * [[ViewSpec.valueFor]] column per extremum source) —
     * it is read ONLY through a left-semi join on
     * [[extremumTouchedGroups]], so untouched groups never re-read the
     * base (IvmSpec pins both the semi-join in the plan and that a
@@ -206,11 +212,15 @@ object IvmOps extends OpModule {
       valueChanges.select(col(v.groupCol) +:
         (col(v.dn) +: v.sums.map(sc => col(sc.delta))): _*), v)
     val touched = extremumTouchedGroups(store, valueChanges, v)
+    // per-source added/value columns (ViewSpec.addedFor/valueFor): each
+    // extremum merges additions to and recomputes from its OWN population
     val addAggs = v.exts.map(e =>
-      (if (e.isMin) min(col(v.added)) else max(col(v.added))).as(s"add_${e.out}"))
+      (if (e.isMin) min(col(v.addedFor(e.src)))
+       else max(col(v.addedFor(e.src)))).as(s"add_${e.out}"))
     val adds = valueChanges.groupBy(v.groupCol).agg(addAggs.head, addAggs.tail: _*)
     val recAggs = v.exts.map(e =>
-      (if (e.isMin) min(col(v.value)) else max(col(v.value))).as(s"r_${e.out}"))
+      (if (e.isMin) min(col(v.valueFor(e.src)))
+       else max(col(v.valueFor(e.src)))).as(s"r_${e.out}"))
     val rec = currentRows.join(touched, Seq(v.groupCol), "left_semi")
       .groupBy(v.groupCol).agg(recAggs.head, recAggs.tail: _*)
     cs // survivors only: groups retracted to zero already dropped here
@@ -597,6 +607,95 @@ object IvmOps extends OpModule {
       .orderBy("l_partkey")
   }
 
+  private def ivm6(s: SparkSession, dir: String): DataFrame =
+    ivm6At(s, dir, ScratchDirs.keyed("ivm6_view", dir))
+
+  /** ivm6: the TWO-SOURCE-extrema view (round-13 #4's "done" gate) —
+    * lineitem by l_suppkey with count / exact quantity sum /
+    * `min(l_quantity)` / `max(l_extendedprice)` ([[ViewSpec.LineStats]]),
+    * maintained under a full CDC changelog through the SAME generic
+    * functions every other view runs. The changelog carries one
+    * removed/added pair PER source: the quantity update (keys ≡3 mod 7,
+    * +1) REPLACES a quantity value (removed=q, added=q+1) while leaving
+    * the extended-price population untouched (null pair) — so one op
+    * can trip the min_qty recompute gate while max_eprice merges, the
+    * cross-source independence the lifted restriction must preserve.
+    * Deletes (keys ≡5 mod 13 not updated) remove BOTH sources' values.
+    */
+  def ivm6At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val v = ViewSpec.LineStats
+    val li = Tables(s, dir, "lineitem")
+    val withCut = li.crossJoin(
+      broadcast(li.agg(expr("(max(l_orderkey) + 1) div 2").as("cut"))))
+    partials(withCut.filter(col("l_orderkey") < col("cut")), v)
+      .write.mode("overwrite").parquet(storeDir)
+    val k = col("l_orderkey")
+    val q = col("l_quantity")
+    val qd = q.cast(D)
+    val ep = col("l_extendedprice")
+    val changes = withCut.select(col("l_suppkey"),
+      when(k >= col("cut"), lit(1L))                          // insert
+        .when(k % 7 === 3, lit(0L))                           // update
+        .when(k % 13 === 5, lit(-1L))                         // delete
+        .as("dn"),
+      when(k >= col("cut"), qd)
+        .when(k % 7 === 3, lit(new java.math.BigDecimal("1.0000")).cast(D))
+        .when(k % 13 === 5, -qd)
+        .cast(DecimalType(28, 4)).as("ds"),
+      // quantity population: the update REPLACES q with q+1; the
+      // delete removes q; the insert adds q
+      when(k < col("cut") && (k % 7 === 3 || k % 13 === 5), q)
+        .as(v.removedFor("l_quantity")),
+      when(k >= col("cut"), q)
+        .when(k % 7 === 3, q + lit(1.0))
+        .as(v.addedFor("l_quantity")),
+      // extended-price population: the quantity update leaves it
+      // untouched (null/null) — only inserts/deletes move it
+      when(k < col("cut") && k % 7 =!= 3 && k % 13 === 5, ep)
+        .as(v.removedFor("l_extendedprice")),
+      when(k >= col("cut"), ep).as(v.addedFor("l_extendedprice")))
+      .filter(col("dn").isNotNull)
+    // post-changelog truth for BOTH extremum sources, read only through
+    // the touched-group semi-join inside the refresh
+    val currentRows = withCut
+      .filter(!(k < col("cut") && k % 13 === 5 && k % 7 =!= 3))
+      .select(col("l_suppkey"),
+        when(k < col("cut") && k % 7 === 3, q + lit(1.0)).otherwise(q)
+          .as(v.valueFor("l_quantity")),
+        ep.as(v.valueFor("l_extendedprice")))
+    refreshWithRetractionsFull(s.read.parquet(storeDir), changes,
+      currentRows, v)
+      .select(col("l_suppkey"), col("n_lines"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("min_qty"), col("max_eprice"))
+      .orderBy("l_suppkey")
+  }
+
+  private def ivm7(s: SparkSession, dir: String): DataFrame =
+    ivm7At(s, dir, ScratchDirs.keyed("ivm7_view", dir))
+
+  /** ivm7: the events-vocabulary view (round-13 #6) — per-user activity
+    * stats over the NON-warehouse events feed ([[ViewSpec.Events]]),
+    * split at the median event id and folded through the insert-only
+    * refresh: the append-only regime an activity feed actually runs
+    * (events are immutable facts; the streaming twin is
+    * IvmStreamSpec's events case over the SAME spec).
+    */
+  def ivm7At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val v = ViewSpec.Events
+    val ev = Tables(s, dir, "events")
+    val withCut = ev.crossJoin(
+      broadcast(ev.agg(expr("(max(event_id) + 1) div 2").as("cut"))))
+    partials(withCut.filter(col("event_id") < col("cut")), v)
+      .write.mode("overwrite").parquet(storeDir)
+    refreshInsertOnly(s.read.parquet(storeDir),
+      withCut.filter(col("event_id") >= col("cut")), v)
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("user_id")
+  }
+
   /** ivm3d: MULTI-VIEW routing + an IN-list group-key read (verdict r11
     * #7) — with BOTH the orders view and the lineitem view registered,
     * a partkey-IN-list aggregate over lineitem must route to the
@@ -789,6 +888,46 @@ object IvmOps extends OpModule {
         |FROM lineitem WHERE l_partkey IN (2,3,5,7,11,13,17,19)
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
       ivm3d),
+
+    // TWO-SOURCE extrema through the generic refresh: min(quantity) and
+    // max(extended price) in ONE view, each source gated and recomputed
+    // against its OWN removed/added population. The oracle applies the
+    // identical changelog row-level and fully recomputes all four
+    // aggregates — cross-source independence must be invisible in the
+    // answer.
+    Q("ivm6_multi_ext", Some(
+      """WITH cutv AS (SELECT (max(l_orderkey) + 1) // 2 AS cut FROM lineitem),
+        |survivors AS (
+        |  SELECT l_suppkey,
+        |    CAST(l_quantity AS DECIMAL(18,4)) +
+        |      CASE WHEN l_orderkey % 7 = 3 THEN CAST(1.0000 AS DECIMAL(18,4))
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END AS qd,
+        |    CASE WHEN l_orderkey % 7 = 3 THEN l_quantity + 1.0
+        |         ELSE l_quantity END AS q,
+        |    l_extendedprice AS ep
+        |  FROM lineitem, cutv
+        |  WHERE l_orderkey < cut
+        |    AND NOT (l_orderkey % 13 = 5 AND l_orderkey % 7 <> 3)),
+        |ins AS (
+        |  SELECT l_suppkey, CAST(l_quantity AS DECIMAL(18,4)) AS qd,
+        |         l_quantity AS q, l_extendedprice AS ep
+        |  FROM lineitem, cutv WHERE l_orderkey >= cut),
+        |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |SELECT l_suppkey, count(*) AS n_lines, CAST(sum(qd) AS DOUBLE) AS sum_qty,
+        |  min(q) AS min_qty, max(ep) AS max_eprice
+        |FROM final GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      ivm6),
+
+    // The events-vocabulary view: per-user count / exact value sum /
+    // value extrema maintained by the insert-only refresh over the
+    // median-split feed — the refreshed view must equal the full
+    // recompute over all events.
+    Q("ivm7_events_view", Some(
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      ivm7),
 
     // IVM over a JOIN view (star-schema delta-join: static dim,
     // insert-only fact) — the refreshed per-nation view must equal the

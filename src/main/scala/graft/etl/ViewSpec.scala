@@ -19,13 +19,17 @@ package graft.etl
   * sum's signed delta (`dn` is the count-arity column every changelog
   * shares).
   *
-  * One deliberate restriction, checked at construction: all min/max
-  * aggregates share ONE source column. Extremum maintenance under
-  * retractions is per-source (the changelog's removed/added pair and the
-  * recompute's value column track one value population); a view needing
-  * extrema of two different columns is two views over two stores — or
-  * this type grows per-extremum removed/added columns, a mechanical
-  * extension no current view needs.
+  * Extremum maintenance under retractions is PER-SOURCE (a
+  * removed/added pair and a recompute value column track one value
+  * population), so the changelog vocabulary carries one
+  * (removed, added, value) triple per DISTINCT extremum source column
+  * ([[removedFor]]/[[addedFor]]/[[valueFor]]): the first declared
+  * source keeps the bare view-level names — every single-source
+  * changelog is unchanged — and further sources suffix them with the
+  * source column. (Round 13: this lifts the earlier
+  * construction-checked single-source restriction; one view now
+  * carries `min(a), max(b)` through the same refresh/stream/rewrite
+  * paths — [[ViewSpec.LineStats]] is the instance.)
   */
 final case class SumAgg(src: String, out: String, delta: String = "ds")
 
@@ -50,11 +54,37 @@ final case class ViewSpec(
     1 + sums.size + exts.size, s"view output columns must be distinct: $this")
   require(sums.map(_.delta).distinct.size == sums.size,
     s"sum delta columns must be distinct: $this")
-  require(exts.map(_.src).distinct.size <= 1,
-    "extremum aggregates share one source column per view (see scaladoc)")
 
-  /** The single extremum source column, if the view carries min/max. */
-  def extSrc: Option[String] = exts.headOption.map(_.src)
+  /** Distinct extremum source columns, in declaration order — the
+    * changelog carries one removed/added/value triple per entry.
+    */
+  def extSrcs: Seq[String] = exts.map(_.src).distinct
+
+  /** The first extremum source column, if the view carries min/max
+    * (kept for single-source callers; multi-source paths iterate
+    * [[extSrcs]]).
+    */
+  def extSrc: Option[String] = extSrcs.headOption
+
+  /** Changelog column carrying the value an op REMOVES from source
+    * `src`'s population: the bare view-level name for the first
+    * declared source (single-source changelogs unchanged), suffixed
+    * with the source column for the rest.
+    */
+  def removedFor(src: String): String =
+    if (extSrcs.headOption.contains(src)) removed else s"${removed}_$src"
+
+  /** Changelog column carrying the value an op ADDS to source `src`'s
+    * population (naming rule of [[removedFor]]).
+    */
+  def addedFor(src: String): String =
+    if (extSrcs.headOption.contains(src)) added else s"${added}_$src"
+
+  /** currentRows column carrying source `src`'s post-changelog value
+    * for the recompute branch (naming rule of [[removedFor]]).
+    */
+  def valueFor(src: String): String =
+    if (extSrcs.headOption.contains(src)) value else s"${value}_$src"
 }
 
 object ViewSpec {
@@ -78,4 +108,32 @@ object ViewSpec {
     countOut = "n_items",
     sums = Seq(SumAgg(src = "l_quantity", out = "sum_qty")),
     exts = Seq(ExtAgg(isMin = true, src = "l_extendedprice", out = "min_eprice")))
+
+  /** ivm6's view: extrema over TWO different source columns —
+    * `min(l_quantity), max(l_extendedprice)` per supplier — the common
+    * warehouse shape the lifted single-source restriction now admits.
+    * The changelog carries a removed/added pair per source
+    * ([[ViewSpec.removedFor]]); the same generic refresh gates each
+    * group on whether ANY source's removal reached ITS stored extremum.
+    */
+  val LineStats: ViewSpec = ViewSpec(
+    groupCol = "l_suppkey",
+    countOut = "n_lines",
+    sums = Seq(SumAgg(src = "l_quantity", out = "sum_qty")),
+    exts = Seq(ExtAgg(isMin = true, src = "l_quantity", out = "min_qty"),
+      ExtAgg(isMin = false, src = "l_extendedprice", out = "max_eprice")))
+
+  /** ivm7's view, on a NON-warehouse vocabulary: the events activity
+    * feed per user — count, exact value sum, value extrema — proving
+    * the declaration generalizes past the TPC-H shape it was lifted
+    * from, and giving the streaming IVM a realistic append-only feed
+    * (events arrive in ts order; the per-user view folds each
+    * micro-batch through the same generic machinery).
+    */
+  val Events: ViewSpec = ViewSpec(
+    groupCol = "user_id",
+    countOut = "n_events",
+    sums = Seq(SumAgg(src = "value", out = "sum_value")),
+    exts = Seq(ExtAgg(isMin = true, src = "value", out = "min_value"),
+      ExtAgg(isMin = false, src = "value", out = "max_value")))
 }

@@ -100,11 +100,14 @@ object IvmStream {
 
   /** [[cdcSchemaFor]] plus the value-level removed/added columns MIN/MAX
     * maintenance needs (insert (+1, +p, null, p), update (0, Δ, old,
-    * new), delete (−1, −p, p, null)) — the ivm2b vocabulary.
+    * new), delete (−1, −p, p, null)) — the ivm2b vocabulary, one
+    * removed/added pair PER extremum source ([[ViewSpec.removedFor]];
+    * single-source views keep the bare pair unchanged).
     */
   def fullCdcSchemaFor(v: ViewSpec): StructType = StructType(
-    cdcSchemaFor(v).fields.toSeq ++ Seq(
-      StructField(v.removed, DoubleType), StructField(v.added, DoubleType)))
+    cdcSchemaFor(v).fields.toSeq ++ v.extSrcs.flatMap(s => Seq(
+      StructField(v.removedFor(s), DoubleType),
+      StructField(v.addedFor(s), DoubleType))))
 
   /** The on-disk store schema a declared view maintains; `withExts`
     * false for the count/sum-only CDC stream.
@@ -277,28 +280,29 @@ object IvmStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         foldVersioned(s, storePath, batchId, spec, withExts = true, store => {
-          // normalize the snapshot to the changelog vocabulary: accept
-          // either a pre-normalized (groupCol, value) frame or raw base
-          // rows carrying the spec's declared extremum source column.
-          // Collision rule (documented contract): the DECLARED extremum
-          // source wins when both columns are present — a raw base
-          // snapshot that coincidentally carries a column named
-          // `spec.value` (default "v") alongside the real source must
-          // not be silently mis-normalized onto the coincidental column;
-          // a frame is treated as pre-normalized only when the declared
-          // source is absent.
+          // normalize the snapshot to the changelog vocabulary, PER
+          // extremum source: accept the declared raw source column or
+          // its pre-normalized valueFor name. Collision rule (documented
+          // contract): the DECLARED source wins when both are present —
+          // a raw base snapshot that coincidentally carries a column
+          // named `spec.valueFor(src)` (default "v") alongside the real
+          // source must not be silently mis-normalized onto the
+          // coincidental column; a frame is treated as pre-normalized
+          // for a source only when that source's raw column is absent.
           val snap = baseSnapshotFor(batchId)
-          val src = spec.extSrc.getOrElse(throw new IllegalArgumentException(
-            s"full-CDC stream needs a declared extremum: $spec"))
-          val currentRows =
-            if (snap.columns.contains(src))
-              snap.select(col(spec.groupCol), col(src).as(spec.value))
-            else if (snap.columns.contains(spec.value))
-              snap.select(col(spec.groupCol), col(spec.value))
-            else throw new IllegalArgumentException(
-              s"base snapshot carries neither the declared extremum " +
-                s"source '$src' nor the normalized value column " +
-                s"'${spec.value}': ${snap.columns.mkString(", ")}")
+          require(spec.extSrcs.nonEmpty,
+            s"full-CDC stream needs a declared extremum: $spec")
+          val currentRows = snap.select(col(spec.groupCol) +:
+            spec.extSrcs.map { src =>
+              if (snap.columns.contains(src))
+                col(src).as(spec.valueFor(src))
+              else if (snap.columns.contains(spec.valueFor(src)))
+                col(spec.valueFor(src))
+              else throw new IllegalArgumentException(
+                s"base snapshot carries neither the declared extremum " +
+                  s"source '$src' nor the normalized value column " +
+                  s"'${spec.valueFor(src)}': ${snap.columns.mkString(", ")}")
+            }: _*)
           IvmOps.refreshWithRetractionsFull(
             store.getOrElse(emptyStore(s, spec, withExts = true)),
             batch, currentRows, spec)

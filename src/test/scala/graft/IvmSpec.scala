@@ -335,6 +335,56 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       "declared-spec insert-only refresh differs from full recompute")
   }
 
+  test("multi-source extrema: each source gates and recomputes against its OWN population") {
+    import spark.implicits._
+    import graft.etl.{ExtAgg, SumAgg, ViewSpec}
+    // round-13 lift: min(x), max(y) in ONE view — x's changelog pair is
+    // the bare (v_removed, v_added), y's is suffixed (ViewSpec.removedFor)
+    val v = ViewSpec(groupCol = "k", countOut = "n",
+      sums = Seq(SumAgg("x", "sum_x", "dx")),
+      exts = Seq(ExtAgg(isMin = true, "x", "min_x"),
+        ExtAgg(isMin = false, "y", "max_y")))
+    assert(v.removedFor("x") == "v_removed" && v.valueFor("x") == "v",
+      "first source must keep the bare single-source names")
+    assert(v.removedFor("y") == "v_removed_y" && v.addedFor("y") == "v_added_y",
+      "further sources must carry suffixed changelog columns")
+    val base = Seq((1L, 2.0, 10.0), (1L, 5.0, 20.0), (2L, 3.0, 30.0))
+      .toDF("k", "x", "y")
+    val store = IvmOps.partials(base, v)
+    // g1: delete the row holding min x (2.0) AND max y (20.0)? No —
+    // delete (1, 2.0, 10.0): removes g1's min_x (gate for x) but NOT
+    // its max_y (10.0 < 20.0, y merges). g2: insert (2, 1.0, 5.0):
+    // no removal anywhere, both sources merge.
+    val changes = Seq(
+      (1L, -1L, "-2.0000", Some(2.0), None: Option[Double],
+        Some(10.0), None: Option[Double]),
+      (2L, 1L, "1.0000", None: Option[Double], Some(1.0),
+        None: Option[Double], Some(5.0)))
+      .toDF("k", "dn", "dx", "v_removed", "v_added",
+        "v_removed_y", "v_added_y")
+      .select(col("k"), col("dn"),
+        col("dx").cast(DecimalType(28, 4)).as("dx"),
+        col("v_removed"), col("v_added"),
+        col("v_removed_y"), col("v_added_y"))
+    // the delete touches g1 ONLY via the x gate: its removed y (10.0)
+    // does not reach the stored max_y (20.0)
+    assert(IvmOps.extremumTouchedGroups(store, changes, v)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "only the min_x-deleting group must recompute")
+    // post-changelog truth with BOTH value columns
+    val current = Seq((1L, 5.0, 20.0), (2L, 3.0, 30.0), (2L, 1.0, 5.0))
+      .toDF("k", "v", "v_y")
+    val got = IvmOps.refreshWithRetractionsFull(store, changes, current, v)
+      .select(col("k"), col("n"), col("sum_x").cast("double").as("sx"),
+        col("min_x"), col("max_y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 5.0, 5.0, 20.0),   // min_x recomputed; max_y from recompute too (touched group)
+      (2L, 2L, 4.0, 1.0, 30.0)),  // both sources merged: least(3,1), greatest(30,5)
+      s"multi-source refresh diverged: $got")
+  }
+
   test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
     import spark.implicits._
     def snap(rows: Seq[(Long, Double)]) =

@@ -280,6 +280,100 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("events view streams by declaration: the delta schema derives from the spec") {
+    import spark.implicits._
+    val spec = graft.etl.ViewSpec.Events
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_ev_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_ev_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ev_ckpt").toString
+    def evRows(seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(60)((rng.nextInt(25).toLong, (rng.nextInt(10000) + 1) / 100.0))
+    }
+    val all = (1 to 3).flatMap { i =>
+      val d = evRows(400 + i)
+      d.toDF("user_id", "value").coalesce(1).write.mode("append").parquet(inDir)
+      d
+    }
+    // NO deltaSchema argument: the stream derives (user_id, value) from
+    // the spec — the drift hazard the round-12 advice flagged is gone
+    val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt, spec = spec)
+    try {
+      q.processAllAvailable()
+      val Some((_, view)) = IvmStream.liveView(spark, store)
+      val want = IvmStream.canonicalFor(
+        IvmOps.partials(all.toDF("user_id", "value"), spec), spec)
+      assertViewEquals(view, want, "events declared-view stream")
+    } finally q.stop()
+    // an explicit schema that does NOT cover the spec is refused before
+    // the stream starts, not silently null-filled
+    val err = intercept[IllegalArgumentException] {
+      IvmStream.viewRefreshStream(spark, inDir, store,
+        java.nio.file.Files.createTempDirectory("ivm_ev_ckpt2").toString,
+        spec = spec, deltaSchema = IvmStream.orderSchema)
+    }
+    assert(err.getMessage.contains("user_id"),
+      s"schema-coverage error must name the missing columns: ${err.getMessage}")
+  }
+
+  test("two-source extrema stream: each source normalizes and recomputes independently") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val spec = graft.etl.ViewSpec.LineStats
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_ls_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_ls_store").toString
+    val base = java.nio.file.Files.createTempDirectory("ivm_ls_base").toString + "/li"
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ls_ckpt").toString
+    def writeBase(rows: Seq[(Long, Double, Double)], batchId: Long): Unit =
+      rows.toDF("l_suppkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$base/b$batchId")
+    // changelog vocabulary: quantity gets the bare pair, extended price
+    // the suffixed pair (ViewSpec.removedFor naming)
+    def writeBatch(ops: Seq[(Long, Long, String, Option[Double], Option[Double],
+        Option[Double], Option[Double])]): Unit =
+      ops.toDF("l_suppkey", "dn", "ds", "v_removed", "v_added",
+        "v_removed_l_extendedprice", "v_added_l_extendedprice")
+        .select(col("l_suppkey"), col("dn"),
+          col("ds").cast(DecimalType(28, 4)).as("ds"),
+          col("v_removed"), col("v_added"),
+          col("v_removed_l_extendedprice"), col("v_added_l_extendedprice"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def view() = {
+      val Some((_, v)) = IvmStream.liveView(spark, store)
+      v.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    }
+    // batch 0: inserts — g1 rows (qty, eprice): (5, 100), (9, 50);
+    // g2: (3, 70)
+    val rows0 = Seq((1L, 5.0, 100.0), (1L, 9.0, 50.0), (2L, 3.0, 70.0))
+    writeBase(rows0, 0L)
+    writeBatch(rows0.map { case (k, q, ep) =>
+      (k, 1L, f"$q%.4f", None: Option[Double], Some(q),
+        None: Option[Double], Some(ep)) })
+    val q = IvmStream.fullCdcRefreshStream(spark, inDir, store,
+      bid => spark.read.parquet(s"$base/b$bid"), ckpt, spec = spec)
+    try {
+      q.processAllAvailable()
+      assert(view() == Map(
+        1L -> ((2L, 14.0, 5.0, 100.0)),
+        2L -> ((1L, 3.0, 3.0, 70.0))), s"after batch 0: ${view()}")
+      // batch 1: delete g1's (5, 100) row — it holds g1's min QUANTITY
+      // and its max EPRICE, so BOTH sources' gates fire for g1; insert
+      // an interior row into g2 (pure merge on both sources)
+      val rows1 = Seq((1L, 9.0, 50.0), (2L, 3.0, 70.0), (2L, 4.0, 60.0))
+      writeBase(rows1, 1L)
+      writeBatch(Seq(
+        (1L, -1L, "-5.0000", Some(5.0), None, Some(100.0), None),
+        (2L, 1L, "4.0000", None, Some(4.0), None, Some(60.0))))
+      q.processAllAvailable()
+      assert(view() == Map(
+        1L -> ((1L, 9.0, 9.0, 50.0)),   // both extrema recomputed
+        2L -> ((2L, 7.0, 3.0, 70.0))),  // both merged
+        s"after batch 1: ${view()}")
+    } finally q.stop()
+  }
+
   test("old versions stay immutable as the view rolls forward") {
     val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
     val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString

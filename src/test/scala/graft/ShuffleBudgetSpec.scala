@@ -375,6 +375,16 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // ViewSpec; every side changelog- or view-sized except the
     // semi-gated recompute
     "ivm5_declared_view" -> 9,
+    // ivm6: the two-source-extrema view's full CDC refresh — the same
+    // ivm5/ivm2b retraction skeleton (the per-source removed/added pairs
+    // ride the SAME changelog aggregations, adding columns not
+    // exchanges); every side changelog- or view-sized except the
+    // semi-gated recompute
+    "ivm6_multi_ext" -> 9,
+    // ivm7: events insert-only refresh — ivm1's shape on the events
+    // vocabulary: delta partial agg + merge re-agg + presentation sort +
+    // the broadcast-scalar cut's single-partition exchange
+    "ivm7_events_view" -> 4,
     // ivm4: delta-join partial agg (dim broadcast, no dim shuffle) +
     // merge re-agg + sort + the cut's single-partition exchange
     "ivm4_join_view" -> 4)
