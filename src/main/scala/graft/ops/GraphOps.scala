@@ -79,8 +79,25 @@ object GraphOps extends OpModule {
       else symmetrized
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
+    var obsId = 0
 
-    def step(cur: DataFrame): DataFrame = {
+    /** One propagation round. With `probe` set, the new labels'
+      * Σcomp rides the SAME job that materializes the round's
+      * checkpoint, via `observe` (a CollectMetrics node over the final
+      * projection): round 12 measured dd6's residual as per-job
+      * scheduling cost × rounds, and the separate labelSum aggregate
+      * scan was exactly one such job per round (round-13 #8). The
+      * observed sum is exact decimal, collected from the single eager
+      * materialization; failed tasks' updates are excluded by the
+      * accumulator contract, and any inflation a stage RETRY could
+      * theoretically add only ever delays convergence detection by a
+      * round (sums are compared for equality, and a real label change
+      * strictly DECREASES the true sum) — the failure mode is an extra
+      * round or the loud maxIter throw, never silently split
+      * components.
+      */
+    def step(cur: DataFrame, probe: Boolean = false)
+        : (DataFrame, java.math.BigDecimal) = {
       val neighborMin = edges
         .join(cur.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id"))
@@ -121,21 +138,37 @@ object GraphOps extends OpModule {
       //   more. A fixed-point estimate reset (releaf with HONEST
       //   computed stats) would need a count+size job per round, the
       //   same cost class it saves.
-      stepped.as("x")
+      val jumped = stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
-        .localCheckpoint(true)
+      if (probe) {
+        obsId += 1
+        val obs = org.apache.spark.sql.Observation(s"cc_sum_$obsId")
+        val out = jumped.observe(obs,
+          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sumcomp"))
+          .localCheckpoint(true)
+        val s = obs.get("sumcomp") match {
+          case null => null
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+          case other => throw new IllegalStateException(
+            s"unexpected observed Σcomp type: $other")
+        }
+        (out, s)
+      } else (jumped.localCheckpoint(true), null)
     }
     // Convergence probe: labels are MONOTONE — every round maps comp to
     // least(comp, …) over a fixed id set — so for INTEGRAL ids Σcomp
     // strictly decreases iff any label changed, and an exact decimal
     // sum-equality replaces a changed-row join (two full label scans +
-    // a shuffle) with one aggregate scan of the new checkpoint; the
-    // previous round's sum is remembered, so each round pays exactly
-    // one probe. Non-numeric ids (EntityOps clusters string keys) have
-    // no sum — they keep the join probe.
+    // a shuffle) with an observed aggregate riding the checkpoint
+    // materialization itself (zero extra jobs — see step's scaladoc);
+    // the previous round's sum is remembered, so each round pays
+    // exactly one probe. Non-numeric ids (EntityOps clusters string
+    // keys) have no sum — they keep the join probe.
     val numericIds = labels.schema("comp").dataType match {
       case org.apache.spark.sql.types.LongType |
         org.apache.spark.sql.types.IntegerType |
@@ -159,10 +192,9 @@ object GraphOps extends OpModule {
     var i = 0
     var curSum = if (earlyStop && numericIds) labelSum(labels) else null
     while (!converged && i < maxIter) {
-      val updated = step(labels)
+      val (updated, nextSum) = step(labels, probe = earlyStop && numericIds)
       if (earlyStop) {
         if (numericIds) {
-          val nextSum = labelSum(updated)
           converged = sumEq(nextSum, curSum)
           curSum = nextSum
         } else converged = !joinChanged(updated, labels)
@@ -184,9 +216,8 @@ object GraphOps extends OpModule {
       var stable = false
       var vSum = if (numericIds) labelSum(labels) else null
       while (!stable && extra < 16) {
-        val updated = step(labels)
+        val (updated, nextSum) = step(labels, probe = numericIds)
         if (numericIds) {
-          val nextSum = labelSum(updated)
           stable = sumEq(nextSum, vSum)
           vSum = nextSum
         } else stable = !joinChanged(updated, labels)

@@ -67,6 +67,44 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       s"only $reused ReusedExchange nodes — iteration rounds are re-shuffling")
   }
 
+  test("CC convergence probe rides the checkpoint job: zero extra jobs per round") {
+    import spark.implicits._
+    // a 5-node chain converges in exactly THREE rounds (hand-traced in
+    // the scaladoc history: r1 collapses to {1,1,1,2,3}, r2 to all-1, r3
+    // detects no change), so the earlyStop run and a fixed maxIter=3 run
+    // execute the same label-step jobs; the observed-Σcomp probe
+    // (round-13 #8) must add only a constant job overhead (the one-time
+    // initial sum, plus at most one AQE stage-boundary artifact) — the
+    // pre-fold protocol paid one aggregate-scan job PER ROUND on top
+    // (fixed + 4 here), which this bound excludes
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store registers jobs from the listener bus
+      // asynchronously — poll until the count is stable
+      var last = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var waited = 0
+      while (cur != last && waited < 3000) {
+        last = cur; Thread.sleep(100); waited += 100
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    val fixed = jobsIn("cc_jobs_fixed") {
+      GraphOps.connectedComponents(pairs, maxIter = 3, earlyStop = false,
+        dedupe = false).collect(): Unit
+    }
+    val probed = jobsIn("cc_jobs_probed") {
+      GraphOps.connectedComponents(pairs, maxIter = 10, earlyStop = true,
+        dedupe = false).collect(): Unit
+    }
+    assert(probed <= fixed + 2,
+      s"convergence probe must ride the checkpoint materialization: " +
+        s"fixed-budget run $fixed jobs, earlyStop run $probed (> $fixed + 2)")
+  }
+
   test("g1: integer arithmetic makes reruns bit-identical") {
     val a = SparkEntry.queries("g1_pagerank")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
