@@ -224,7 +224,14 @@ object DedupOps extends OpModule {
     // the dense buckets (sf10 stage profile, round 12). A pinned-count
     // repartition of ~8 KB rows is the cheapest possible insurance that
     // expansion work, not exchange bytes, sets the parallelism.
-    val shufN = cliques.sparkSession.sessionState.conf.numShufflePartitions
+    // 4× the session shuffle parallelism for the expansion stages: a
+    // partition's cost is the SUM of its buckets' quadratic expansions,
+    // and at 32 partitions the bucket→partition hash assignment left one
+    // task at 2× the mean (4.4 s of the sf10 stage wall, round-13
+    // profile). Thinner partitions cap how much quadratic work one hash
+    // bin can accumulate; the rows being spread are ~8 KB bucket lists,
+    // so the extra exchange fan-out is noise.
+    val shufN = cliques.sparkSession.sessionState.conf.numShufflePartitions * 4
     val small = buckets.filter(size(col("ids")) <= expandCap)
       .repartition(shufN, col("band"), col("bkey"))
       .select(explode(expr(
