@@ -213,6 +213,38 @@ object DedupOps extends OpModule {
       expandCap: Int = MinhashBucketCap, hardCap: Int = MinhashBucketHardCap,
       chunk: Int = PairChunk): DataFrame = {
     val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
+    val cand = repCandidates(cliques, minBands, expandCap, hardCap, chunk)
+    // SHUFFLE_HASH, not sort-merge, for the signature attachment: the
+    // pair side is |pairs| rows and the SECOND join's input carries the
+    // first signature (~0.5 KB/row), so a sort-merge plan must
+    // EXTERNALLY SORT |pairs| × sig_bytes — ~75 GB of sort spill at
+    // sf100 (140 M pairs), which exceeded the sandbox disk outright.
+    // Hash-building the doc-count-sized signature table instead streams
+    // the pair side with zero sorts, the right shape at every scale
+    // (huge probe side, bounded build side, no ordering requirement).
+    cand
+      .join(reps.select(col("doc_id").as("a"), col("sig").as("siga"))
+        .hint("shuffle_hash"), "a")
+      .join(reps.select(col("doc_id").as("b"), col("sig").as("sigb"))
+        .hint("shuffle_hash"), "b")
+      .withColumn("est_jaccard",
+        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** [[repPairs]] up to (and excluding) the signature-attachment joins —
+    * the tier-2 candidate-pair population the verification stage takes
+    * as input. Split out so probes can measure the candidate work unit
+    * without the |pairs| × sig_bytes attachment shuffle (deployment-
+    * trivial — ~70 MB per executor at sf100 across 1000 nodes — but
+    * beyond a SINGLE node's disk; `tools/PairCount candidates`).
+    */
+  private[graft] def repCandidates(cliques: DataFrame, minBands: Int,
+      expandCap: Int = MinhashBucketCap, hardCap: Int = MinhashBucketHardCap,
+      chunk: Int = PairChunk): DataFrame = {
+    val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
     val buckets = bandKeysOf(reps)
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -250,19 +282,27 @@ object DedupOps extends OpModule {
         """IF(cp.ci = cp.cj,
           |  flatten(transform(cp.la, (x, i) -> transform(slice(cp.la, i + 2, size(cp.la)), y -> struct(x AS a, y AS b)))),
           |  flatten(transform(cp.la, x -> transform(cp.lb, y -> struct(x AS a, y AS b)))))""".stripMargin)).as("p"))
-    val cand = small.unionByName(big)
+    small.unionByName(big)
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= minBands)
       .select("a", "b")
-    cand
-      .join(reps.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
-      .join(reps.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
-      .withColumn("est_jaccard",
-        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / NumHashes)
-      .filter(col("est_jaccard") >= minEstJaccard)
-      .select("a", "b", "est_jaccard")
+  }
+
+  /** Tier-1 within-clique pairs plus the tier-2 rep-rep candidates —
+    * dd2's full candidate population, the input row count of the
+    * signature-verification stage (the µs/pair denominator at scales
+    * where the verified population itself is probe-measurable only on
+    * a cluster).
+    */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val cliques = minhashCliques(s, dir)
+    val tier1 = cliques
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS a, x AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+    tier1.unionByName(repCandidates(cliques, minBands = 1))
   }
 
   /** RETURN CONTRACT — canonicalized pairs, not the full edge list: every
