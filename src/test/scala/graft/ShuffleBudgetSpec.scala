@@ -63,7 +63,14 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "a8b_vector_sum_typed" -> 2,
     "a9_running_sum" -> 2,
     "dd1_exact_dedup" -> 2,
-    "dd2_minhash_lsh" -> 11,
+    // dd2: +4 over the pre-r13 budget of 11 — the signature-attachment
+    // joins are HINTED shuffle_hash (both sides exchange by key), where
+    // toy-scale AQE used to broadcast the reps side. Deliberate trade:
+    // the hint's two key-exchanges of a doc-count-sized table are
+    // microseconds here, while the sort-merge plan the hint forbids
+    // externally sorts |pairs| x sig_bytes (~75 GB at sf100) — the
+    // first thing to die on a single node's disk (DedupOps.repPairs).
+    "dd2_minhash_lsh" -> 15,
     "dd3_simhash" -> 3,
     "dd3b_simhash_lsh" -> 14,
     "dd4_ngram_jaccard" -> 1,
