@@ -980,7 +980,21 @@ object DedupOps extends OpModule {
     val nearScored =
       if (broadcastStore)
         // pair-shuffle-free: the band row carries sigb, the broadcast
-        // attaches siga, and score/filter/partial-min stay in one stage
+        // attaches siga, and score/filter/partial-min stay in one stage.
+        //
+        // A dd2-style 4× expansion-spread repartition on (band, bkey)
+        // was tried here (round 13, after the sf100 profile showed one
+        // 32-partition stage carrying 86% of dd13's wall at 1.6×
+        // max/mean task skew) and REVERTED with measurements: sf10
+        // 9.67 → 22.28 s, sf100 neutral (112.5 → 123.7, inside the
+        // ±noise band). Unlike dd2's expansion (8 KB bucket lists),
+        // the rows being repartitioned HERE carry full signatures, and
+        // the explicit exchange replaces the plan where the band join
+        // needs NO shuffle of the sig side at all — the verification
+        // stage's cost is its mean work (Σ bucket products / threads),
+        // not its 1.6× skew, so the forced sig-row shuffle buys
+        // nothing and costs a full exchange of the widest rows in the
+        // query.
         bandedSigs(sigsNew).withColumnRenamed("sig", "sigb")
           .join(admitted.select(col("band"), col("bkey"), col("doc_id").as("a_id")),
             Seq("band", "bkey"))
