@@ -249,6 +249,17 @@ object StoreFs {
     s"${java.net.InetAddress.getLocalHost.getHostName}:" +
       s"${ProcessHandle.current().pid()}:t${Thread.currentThread().getId}"
 
+  /** Auxiliary small-object write riding a version commit (e.g. the
+    * stream maintainer's epoch-state sidecar, [[graft.streaming
+    * .IvmStream]]) — written into the staged `v<N>` dir strictly BEFORE
+    * its marker, so the marker flip publishes them together.
+    */
+  def writeAux(fs: FileSystem, dir: String, name: String,
+      payload: String): Unit = writeSmall(fs, new Path(dir, name), payload)
+
+  def readAux(fs: FileSystem, dir: String, name: String): Option[String] =
+    readSmall(fs, new Path(dir, name))
+
   private def writeSmall(fs: FileSystem, p: Path, payload: String): Unit = {
     val out = fs.create(p, true)
     try out.write(payload.getBytes(StandardCharsets.UTF_8))

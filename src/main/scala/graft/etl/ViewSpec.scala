@@ -36,11 +36,31 @@ final case class SumAgg(src: String, out: String, delta: String = "ds")
 /** One min/max aggregate: `min(src) AS out` when `isMin`, else max. */
 final case class ExtAgg(isMin: Boolean, src: String, out: String)
 
+/** One `count(DISTINCT src) AS out` aggregate (round 14, verdict #5 —
+  * the most common warehouse aggregate the vocabulary couldn't carry).
+  * Distinct counts are NOT self-maintainable from the per-group row
+  * alone (per-batch distinct counts overlap, and a retraction can't
+  * know whether the removed value was the last of its kind), so a
+  * declared distinct aggregate implies a keyed PAIR STORE — per
+  * (group, src-value) multiplicities, the retraction-safe analog of the
+  * extremum recompute store — maintained through the same
+  * union-fold-filter algebra ([[IvmOps.refreshPairsInsertOnly]] /
+  * [[IvmOps.refreshPairsWithRetractions]]); the view's `out` column is
+  * the pair store's per-group surviving-row count. Exact under inserts
+  * AND retractions; store size is Σ|distinct values per group| — the
+  * same asymptotic class as the view a DISTINCT query would answer
+  * from, never the fact table. The changelog vocabulary reuses the
+  * per-source value columns ([[ViewSpec.removedFor]]/[[ViewSpec.addedFor]]):
+  * a dist source that is also an extremum source shares its pair.
+  */
+final case class DistAgg(src: String, out: String)
+
 final case class ViewSpec(
     groupCol: String,
     countOut: String,
     sums: Seq[SumAgg] = Nil,
     exts: Seq[ExtAgg] = Nil,
+    dists: Seq[DistAgg] = Nil,
     // CDC changelog vocabulary (refreshWithRetractions/...Full contract):
     // dn ∈ {+1, 0, −1} per op; removed/added carry the extremum-source
     // value an op takes out of / puts into its group (null otherwise);
@@ -50,8 +70,10 @@ final case class ViewSpec(
     added: String = "v_added",
     value: String = "v") {
 
-  require((countOut +: (sums.map(_.out) ++ exts.map(_.out))).distinct.size ==
-    1 + sums.size + exts.size, s"view output columns must be distinct: $this")
+  require((countOut +: (sums.map(_.out) ++ exts.map(_.out) ++
+    dists.map(_.out))).distinct.size ==
+    1 + sums.size + exts.size + dists.size,
+    s"view output columns must be distinct: $this")
   require(sums.map(_.delta).distinct.size == sums.size,
     s"sum delta columns must be distinct: $this")
 
@@ -59,6 +81,14 @@ final case class ViewSpec(
     * changelog carries one removed/added/value triple per entry.
     */
   def extSrcs: Seq[String] = exts.map(_.src).distinct
+
+  /** All VALUE-tracked source columns — extremum sources first, then
+    * distinct-count sources not already tracked — each carrying one
+    * removed/added/value triple in the changelog. Extrema lead so
+    * every pre-dists changelog keeps its column names byte-identical
+    * (the bare-name rule keys off this sequence's head).
+    */
+  def valueSrcs: Seq[String] = (exts.map(_.src) ++ dists.map(_.src)).distinct
 
   /** The first extremum source column, if the view carries min/max
     * (kept for single-source callers; multi-source paths iterate
@@ -72,19 +102,19 @@ final case class ViewSpec(
     * with the source column for the rest.
     */
   def removedFor(src: String): String =
-    if (extSrcs.headOption.contains(src)) removed else s"${removed}_$src"
+    if (valueSrcs.headOption.contains(src)) removed else s"${removed}_$src"
 
   /** Changelog column carrying the value an op ADDS to source `src`'s
     * population (naming rule of [[removedFor]]).
     */
   def addedFor(src: String): String =
-    if (extSrcs.headOption.contains(src)) added else s"${added}_$src"
+    if (valueSrcs.headOption.contains(src)) added else s"${added}_$src"
 
   /** currentRows column carrying source `src`'s post-changelog value
     * for the recompute branch (naming rule of [[removedFor]]).
     */
   def valueFor(src: String): String =
-    if (extSrcs.headOption.contains(src)) value else s"${value}_$src"
+    if (valueSrcs.headOption.contains(src)) value else s"${value}_$src"
 }
 
 object ViewSpec {
@@ -136,4 +166,16 @@ object ViewSpec {
     sums = Seq(SumAgg(src = "value", out = "sum_value")),
     exts = Seq(ExtAgg(isMin = true, src = "value", out = "min_value"),
       ExtAgg(isMin = false, src = "value", out = "max_value")))
+
+  /** ivm8's view (round-14 #5): per-supplier line count, exact quantity
+    * sum, and `count(DISTINCT l_partkey)` — the distinct-count
+    * vocabulary, maintained exactly via the keyed pair store (per
+    * (suppkey, partkey) multiplicities ride refresh alongside the
+    * view).
+    */
+  val SupplierParts: ViewSpec = ViewSpec(
+    groupCol = "l_suppkey",
+    countOut = "n_lines",
+    sums = Seq(SumAgg(src = "l_quantity", out = "sum_qty")),
+    dists = Seq(DistAgg(src = "l_partkey", out = "n_parts")))
 }

@@ -89,11 +89,13 @@ object GraphOps extends OpModule {
       * scan was exactly one such job per round (round-13 #8). The
       * observed sum is exact decimal, collected from the single eager
       * materialization; failed tasks' updates are excluded by the
-      * accumulator contract, and any inflation a stage RETRY could
-      * theoretically add only ever delays convergence detection by a
-      * round (sums are compared for equality, and a real label change
-      * strictly DECREASES the true sum) — the failure mode is an extra
-      * round or the loud maxIter throw, never silently split
+      * accumulator contract, but a stage RETRY can double-count — and
+      * inflation exactly offsetting a real decrease would fake
+      * equality. The loop therefore treats the observation as a screen
+      * only: any observed non-decrease is confirmed with one
+      * authoritative aggregate before convergence is declared (see
+      * sumDiffChanged in the loop body), so the failure mode of a bad
+      * observation is one extra confirm job, never silently split
       * components.
       */
     def step(cur: DataFrame, probe: Boolean = false)
@@ -187,6 +189,23 @@ object GraphOps extends OpModule {
         .join(cur.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.comp") =!= col("l.comp"))
         .limit(1).count() > 0
+    // Authoritative change detector for the NUMERIC path, one aggregate
+    // query over the two checkpointed label tables (cheaper than the
+    // join: no shuffle on id, final round only). Soundness is the same
+    // monotonicity that powers the probe, applied POINTWISE: each round
+    // maps comp(v) to least(comp(v), …) over a fixed id set, so
+    // cur(v) − next(v) ≥ 0 for every v and Σ(cur − next) = 0 ⇔ no label
+    // changed — a plain exact-decimal aggregate, no accumulators, so no
+    // retry-inflation caveat.
+    def sumDiffChanged(next: DataFrame, cur: DataFrame): Boolean = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      cur.select((col("comp").cast(dec)).as("t"))
+        .union(next.select((-col("comp").cast(dec)).as("t")))
+        .agg(sum(col("t"))).head().getDecimal(0) match {
+          case null => false // empty label set: trivially stable
+          case d => d.signum != 0
+        }
+    }
 
     var converged = false
     var i = 0
@@ -195,8 +214,23 @@ object GraphOps extends OpModule {
       val (updated, nextSum) = step(labels, probe = earlyStop && numericIds)
       if (earlyStop) {
         if (numericIds) {
-          converged = sumEq(nextSum, curSum)
-          curSum = nextSum
+          // The observed sum is a SCREEN, not the verdict: accumulators
+          // can double-count on stage retries, and inflation that
+          // exactly offsets a real decrease would fake equality while
+          // labels still change — so observed equality (or any
+          // non-decrease, impossible for true monotone sums) is
+          // CONFIRMED with one authoritative aggregate (sumDiffChanged)
+          // before declaring convergence. The extra job is paid only at
+          // the final round (and on retry-inflated rounds), preserving
+          // the zero-extra-jobs steady state; a confirmed-unconverged
+          // round resyncs curSum authoritatively so a poisoned
+          // observation cannot propagate through the chain.
+          val suspicious = sumEq(nextSum, curSum) ||
+            (nextSum != null && curSum != null && nextSum.compareTo(curSum) >= 0)
+          if (suspicious) {
+            converged = !sumDiffChanged(updated, labels)
+            curSum = if (converged) nextSum else labelSum(updated)
+          } else curSum = nextSum
         } else converged = !joinChanged(updated, labels)
       }
       labels = updated

@@ -78,30 +78,89 @@ object MvRegistry {
   private val defs = new ConcurrentHashMap[String, MvDef]()
 
   /** Order-insensitive fingerprint of the file population under `path`:
-    * a commutative fold of (name, mtime, length) per file, so two
-    * listings of an unchanged tree agree regardless of enumeration
-    * order. Any mutation a Spark write can make — overwrite (new part
-    * names), append (new files), compaction (fewer files), delete —
-    * moves the fingerprint; an untouched table keeps it. Cost is ONE
-    * recursive listing, the same metadata read planning the base scan
-    * would do — paid per rewrite attempt, which replaces a full fact
-    * scan, so the check is always cheaper than the plan it guards.
+    * each file's (full path, mtime, length) is first driven through a
+    * 64-bit avalanche finalizer (splitmix64's mixer — every input bit
+    * flips ~half the output bits), and the per-file terms are combined
+    * with XOR plus a file count, so two listings of an unchanged tree
+    * agree regardless of enumeration order. The avalanche step is what
+    * makes the combine collision-resistant in practice: a commutative
+    * fold of RAW (name.##, mtime, len) products — the round-13 shape —
+    * admitted offsetting mutations (two files swapping mtimes/lengths
+    * cancel in a linear sum; a same-name same-length overwrite within
+    * one mtime granule lands on the same term). Mixed terms carry no
+    * linear structure for mutations to cancel against, and the count
+    * term catches the add/remove pair whose XOR terms would collide.
+    * Cost is ONE recursive listing, the same metadata read planning the
+    * base scan would do — paid per rewrite attempt, which replaces a
+    * full fact scan, so the check is always cheaper than the plan it
+    * guards.
     */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The avalanche-mixed term ONE data file contributes to an epoch.
+    * Public so a stream maintainer can accumulate the same fingerprint
+    * incrementally from its micro-batches' own input files
+    * ([[graft.streaming.IvmStream]]) — the XOR combine makes the fold
+    * associative/commutative, so batch-wise accumulation over the
+    * lifetime of the stream lands on the same value a one-shot listing
+    * of the same files would.
+    */
+  def fileTerm(uriPath: String, mtime: Long, len: Long): Long =
+    mix64(mix64(uriPath.##.toLong) ^ mix64(mtime) ^
+      mix64(len + 0x632be59bd9b4e019L))
+
+  /** Finalize an accumulated (XOR-of-terms, file-count) state into the
+    * epoch [[lookupFresh]] compares; the count term catches add/remove
+    * pairs whose XOR terms collide, and the outer mix keeps
+    * `(0, 0)` (an existing empty dir) distinct from the missing-dir 0.
+    */
+  def epochFromState(h: Long, n: Long): Long = mix64(h ^ mix64(n))
+
+  /** True for the files an epoch fingerprints: Spark's data-file
+    * universe. Names starting with `_` or `.` (_SUCCESS, _metadata,
+    * hidden temporaries) are invisible to a parquet scan — Spark's own
+    * InMemoryFileIndex filters them — so they must be invisible to the
+    * freshness gate too, or a bookkeeping file would permanently
+    * disqualify a perfectly fresh view maintained from data files alone.
+    */
+  def isDataFile(name: String): Boolean =
+    !(name.startsWith("_") || name.startsWith("."))
+
   private def epochOf(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0L
     else {
       var h = 0L
+      var n = 0L
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
-        h += st.getPath.getName.## * 1000003L +
-          st.getModificationTime * 31L + st.getLen
+        // full path (not base name) so a file MOVED between partition
+        // directories — same name, same stats — still moves the epoch
+        if (isDataFile(st.getPath.getName)) {
+          h ^= fileTerm(st.getPath.toUri.getPath, st.getModificationTime,
+            st.getLen)
+          n += 1
+        }
       }
-      h
+      epochFromState(h, n)
     }
   }
+
+  /** The base path's live epoch — public so a maintainer can capture it
+    * BEFORE a fold reads the base ([[graft.streaming.IvmStream]]'s CDC
+    * twins): registering with a pre-fold epoch means a base file landing
+    * mid-fold makes the live listing disagree with the registration, so
+    * drift can only DISQUALIFY the rewrite, never falsely qualify it.
+    */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    epochOf(spark, normalize(path))
 
   /** Register (or refresh) the view for `basePath`. Analyzes the view
     * relation ONCE here — file listing and schema are pinned at
@@ -112,14 +171,23 @@ object MvRegistry {
     * rewrite to it.
     */
   def register(spark: SparkSession, basePath: String, viewPath: String,
-      spec: graft.etl.ViewSpec = graft.etl.ViewSpec.Orders): Unit = {
+      spec: graft.etl.ViewSpec = graft.etl.ViewSpec.Orders,
+      baseEpoch: Option[Long] = None): Unit = {
     val analyzed = spark.read.parquet(viewPath).queryExecution.analyzed
     val rel = analyzed.collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalArgumentException(
         s"view at $viewPath did not analyze to a file relation"))
+    // baseEpoch override: a stream maintainer passes the epoch of the
+    // file population it actually FOLDED (accumulated from its own
+    // micro-batch inputs, or listed before the fold read the base) —
+    // listing here, after the fold, would bake a file that landed
+    // mid-fold into the registration without its rows in the view, and
+    // lookupFresh would then falsely report the view fresh (the round-13
+    // TOCTOU). The default (list now) remains correct for the batch
+    // path, where registration directly follows the view write.
     defs.put(normalize(basePath),
       MvDef(normalize(basePath), spec, rel,
-        epochOf(spark, normalize(basePath)))): Unit
+        baseEpoch.getOrElse(epochOf(spark, normalize(basePath))))): Unit
     // a cached freshness verdict (under a nonzero check interval) must
     // not outlive the registration it judged
     freshCache.remove(normalize(basePath)): Unit
@@ -155,8 +223,10 @@ object MvRegistry {
     */
   def lookupFresh(spark: SparkSession, path: String): Option[MvDef] =
     lookup(path).filter { d =>
+      // a malformed perf knob must degrade to the safe default (check
+      // every attempt), not throw from inside an optimizer rule
       val intervalMs = spark.conf.getOption("spark.graft.mv.freshnessIntervalMs")
-        .map(_.toLong).getOrElse(0L)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
       val now = System.nanoTime()
       val cached = Option(freshCache.get(d.basePath))
         .filter { case (at, _) => (now - at) / 1000000L < intervalMs }

@@ -87,6 +87,22 @@ object IvmStream {
     require(missing.isEmpty,
       s"delta schema ${schema.fieldNames.mkString("(", ",", ")")} is missing " +
         s"columns ${missing.mkString(", ")} declared by view spec $v")
+    // the typing posture is a CONTRACT, not a convention: the store
+    // schema is derived as BIGINT key / DOUBLE sources (ViewSpec's
+    // repo-wide posture), so a delta schema typing a declared column
+    // differently would fold mistyped partials — fail loudly at stream
+    // start instead (the type-mismatch cousin of the null-fill drift
+    // deltaSchemaFor eliminated)
+    val badKey = schema(v.groupCol).dataType != LongType
+    val badSrcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+      .filter(c => schema(c).dataType != DoubleType)
+    require(!badKey && badSrcs.isEmpty,
+      s"view spec $v requires the repo-wide typing posture — BIGINT group " +
+        s"key, DOUBLE sum/extremum sources; got " +
+        (if (badKey) s"${v.groupCol}: ${schema(v.groupCol).dataType.sql} " else "") +
+        badSrcs.map(c => s"$c: ${schema(c).dataType.sql}").mkString(", ") +
+        ". Declare differently-typed columns via a pre-cast on the delta " +
+        "producer, or extend ViewSpec with per-column types.")
     schema
   }
 
@@ -158,7 +174,8 @@ object IvmStream {
     */
   private def foldVersioned(s: SparkSession, storePath: String,
       batchId: Long, v: ViewSpec, withExts: Boolean,
-      next: Option[DataFrame] => DataFrame): Unit = {
+      next: Option[DataFrame] => DataFrame,
+      aux: Option[Int] => Map[String, String] = _ => Map.empty): Unit = {
     val fs = StoreFs.fs(s, storePath)
     val live = StoreFs.committedVersions(fs, storePath).lastOption
     val alreadyApplied = live.exists(n =>
@@ -169,8 +186,111 @@ object IvmStream {
       val vn = StoreFs.claimNextVersion(fs, storePath,
         from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
       newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
+      // sidecars ride the version: written into the staged dir strictly
+      // before its marker, so the flip publishes view + sidecars together
+      aux(live).foreach { case (name, payload) =>
+        StoreFs.writeAux(fs, s"$storePath/v$vn", name, payload) }
       StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
     }
+  }
+
+  /** Sidecar carrying the epoch state of the base files FOLDED into a
+    * version (insert-only stream, base == delta dir): `"<xorOfTerms>
+    * <fileCount>"` per [[graft.plans.MvRegistry.fileTerm]] /
+    * `epochFromState`. Accumulated per batch from the micro-batch's OWN
+    * input-file set — never from a directory listing — so the
+    * registered epoch reflects exactly the files whose rows are in the
+    * view. A file that lands between the batch's source snapshot and
+    * registration is then NOT in the registered epoch; the live listing
+    * disagrees and the rewrite disqualifies (falls back to the fresh
+    * base scan) instead of serving a view missing that file's rows —
+    * the round-13 TOCTOU, closed structurally: drift can only
+    * disqualify, never falsely qualify.
+    */
+  private val EpochStateAux = "epochstate"
+
+  private def parseEpochState(s: String): Option[(Long, Long)] =
+    s.trim.split("\\s+") match {
+      case Array(h, n) =>
+        scala.util.Try((h.toLong, n.toLong)).toOption
+      case _ => None
+    }
+
+  /** The micro-batch's own input-file PATHS, from the checkpoint's
+    * file-source write-ahead log (`<ckpt>/sources/0/<batchId>`, written
+    * at batch construction, strictly before foreachBatch runs). This is
+    * the authoritative record — the batch DataFrame foreachBatch hands
+    * over is a LogicalRDD whose file identity is erased, so
+    * `inputFiles` is empty there. Format: a `v1` version line then one
+    * JSON entry per file; every compact-interval batches the log writes
+    * `<id>.compact` carrying ALL entries so far tagged with their
+    * batchId, so both layouts filter on `"batchId":<id>`. Returns None
+    * when neither file exists (not yet written, or a non-file source) —
+    * callers then skip the sidecar and the registration falls back to
+    * the pre-fold-listing epoch.
+    */
+  private def batchInputPaths(s: SparkSession, checkpointDir: String,
+      batchId: Long): Option[Seq[String]] = {
+    val fs = StoreFs.fs(s, checkpointDir)
+    val plain = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0/$batchId")
+    val compact =
+      new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0/$batchId.compact")
+    val p = if (fs.exists(plain)) Some(plain)
+      else if (fs.exists(compact)) Some(compact) else None
+    p.map { path =>
+      val in = fs.open(path)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
+      text.linesIterator
+        .filter(l => l.startsWith("{") && l.contains(s""""batchId":$batchId"""))
+        .flatMap(l => pathRe.findFirstMatchIn(l).map(_.group(1)))
+        .toSeq
+    }
+  }
+
+  /** Fold this micro-batch's input files into the live version's epoch
+    * state (see [[EpochStateAux]]); returns the sidecar payload for the
+    * version this batch commits, or empty when the chain cannot be
+    * maintained exactly (source log unavailable, a batch file already
+    * deleted, or a live version missing its sidecar — e.g. a store that
+    * predates the sidecar): a broken chain must surface as NO sidecar,
+    * never as a wrong epoch, because registration then degrades to the
+    * pre-fold-listing epoch instead of silently mis-fingerprinting.
+    * Cost: one small sidecar read + one source-log read + one
+    * getFileStatus per batch file — metadata-only, no data I/O.
+    */
+  private def epochStateAux(s: SparkSession, checkpointDir: String,
+      batchId: Long, storePath: String,
+      live: Option[Int]): Map[String, String] = {
+    val fs = StoreFs.fs(s, storePath)
+    val prev: Option[(Long, Long)] =
+      if (live.isEmpty) Some((0L, 0L))
+      else StoreFs.readAux(fs, s"$storePath/v${live.get}", EpochStateAux)
+        .flatMap(parseEpochState)
+    val folded = for {
+      (h0, n0) <- prev
+      paths <- batchInputPaths(s, checkpointDir, batchId)
+      state <- scala.util.Try {
+        var h = h0; var n = n0
+        paths.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          if (graft.plans.MvRegistry.isDataFile(p.getName)) {
+            val st = p.getFileSystem(s.sessionState.newHadoopConf())
+              .getFileStatus(p)
+            h ^= graft.plans.MvRegistry.fileTerm(p.toUri.getPath,
+              st.getModificationTime, st.getLen)
+            n += 1
+          }
+        }
+        (h, n)
+      }.toOption
+    } yield state
+    folded.map { case (h, n) => Map(EpochStateAux -> s"$h $n") }
+      .getOrElse(Map.empty)
   }
 
   /** The CDC twin of [[viewRefreshStream]]: micro-batches of signed
@@ -198,10 +318,13 @@ object IvmStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // pre-fold epoch capture: see reRegister (TOCTOU direction)
+        val preEpoch = registerBase.map(bp =>
+          graft.plans.MvRegistry.currentEpoch(s, bp))
         foldVersioned(s, storePath, batchId, v, withExts = false,
           store => IvmOps.refreshWithRetractions(
             store.getOrElse(emptyStore(s, v, withExts = false)), batch, v))
-        reRegister(s, registerBase, storePath, v)
+        reRegister(s, registerBase, storePath, v, inDir, preEpoch)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -220,20 +343,44 @@ object IvmStream {
     * keep a complete immutable dir (never deleted under the retention
     * window), so a routed read is never torn. With the mechanical
     * freshness gate ([[graft.plans.MvRegistry.lookupFresh]], round 13)
-    * a routed read is never STALE either: delta files that landed after
-    * the registration move the base's epoch, disqualify the rewrite,
-    * and the read falls back to the always-fresh base scan until the
-    * next fold re-registers — a deployment preferring view-cost reads
-    * with bounded staleness sets `spark.graft.mv.freshnessIntervalMs`.
-    * Registers under the stream's own spec, so routed reads
-    * type-match exactly the vocabulary this stream maintains.
+    * a routed read is never STALE either — and as of round 14 that
+    * claim has no TOCTOU residue: the registered epoch is NEVER taken
+    * from a post-fold listing of the live base dir (which would bake a
+    * delta file landing mid-fold into the registration without its
+    * rows in the view — lookupFresh would then falsely report the view
+    * fresh). When the registered base IS the delta dir (the insert-only
+    * stream), the epoch comes from the version's [[EpochStateAux]]
+    * sidecar — exactly the files folded, accumulated from the
+    * micro-batches' own input sets. When the base is a separate table
+    * (the CDC twins), the epoch is the one captured BEFORE the fold
+    * read the base (`preEpoch`). Either way a file landing after the
+    * epoch's horizon makes the live listing disagree and DISQUALIFIES
+    * the rewrite — the read falls back to the always-fresh base scan
+    * until the next fold re-registers; a deployment preferring
+    * view-cost reads with bounded staleness sets
+    * `spark.graft.mv.freshnessIntervalMs`. Registers under the
+    * stream's own spec, so routed reads type-match exactly the
+    * vocabulary this stream maintains.
     */
   private def reRegister(s: SparkSession, registerBase: Option[String],
-      storePath: String, spec: ViewSpec): Unit =
+      storePath: String, spec: ViewSpec, inDir: String,
+      preEpoch: Option[Long]): Unit =
     registerBase.foreach { bp =>
       val fs = StoreFs.fs(s, storePath)
       StoreFs.committedVersions(fs, storePath).lastOption.foreach { n =>
-        graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view", spec)
+        val baseIsDeltaDir =
+          new org.apache.hadoop.fs.Path(bp).toUri.getPath ==
+            new org.apache.hadoop.fs.Path(inDir).toUri.getPath
+        val epoch =
+          if (baseIsDeltaDir)
+            StoreFs.readAux(fs, s"$storePath/v$n", EpochStateAux)
+              .flatMap(parseEpochState)
+              .map { case (h, cnt) =>
+                graft.plans.MvRegistry.epochFromState(h, cnt) }
+              .orElse(preEpoch) // legacy store without the sidecar
+          else preEpoch
+        graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view", spec,
+          baseEpoch = epoch)
       }
     }
 
@@ -279,6 +426,9 @@ object IvmStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // pre-fold epoch capture: see reRegister (TOCTOU direction)
+        val preEpoch = registerBase.map(bp =>
+          graft.plans.MvRegistry.currentEpoch(s, bp))
         foldVersioned(s, storePath, batchId, spec, withExts = true, store => {
           // normalize the snapshot to the changelog vocabulary, PER
           // extremum source: accept the declared raw source column or
@@ -307,7 +457,7 @@ object IvmStream {
             store.getOrElse(emptyStore(s, spec, withExts = true)),
             batch, currentRows, spec)
         })
-        reRegister(s, registerBase, storePath, spec)
+        reRegister(s, registerBase, storePath, spec, inDir, preEpoch)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -351,14 +501,20 @@ object IvmStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // pre-fold epoch capture — the fallback when the registered
+        // base is NOT the delta dir; the delta-dir case registers from
+        // the exact folded-file state instead (see reRegister)
+        val preEpoch = registerBase.map(bp =>
+          graft.plans.MvRegistry.currentEpoch(s, bp))
         foldVersioned(s, storePath, batchId, spec, withExts = true, {
           // first batch: the partials themselves seed the store (the
           // refresh over an empty store is value-identical but pays an
           // empty-side shuffle)
           case Some(store) => IvmOps.refreshInsertOnly(store, batch, spec)
           case None => IvmOps.partials(batch, spec)
-        })
-        reRegister(s, registerBase, storePath, spec)
+        }, aux = live =>
+          epochStateAux(s, checkpointDir, batchId, storePath, live))
+        reRegister(s, registerBase, storePath, spec, inDir, preEpoch)
         onBatchCommitted(batchId)
       }
       .option("checkpointLocation", checkpointDir)

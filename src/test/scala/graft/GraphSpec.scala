@@ -73,10 +73,14 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     // the scaladoc history: r1 collapses to {1,1,1,2,3}, r2 to all-1, r3
     // detects no change), so the earlyStop run and a fixed maxIter=3 run
     // execute the same label-step jobs; the observed-Σcomp probe
-    // (round-13 #8) must add only a constant job overhead (the one-time
-    // initial sum, plus at most one AQE stage-boundary artifact) — the
-    // pre-fold protocol paid one aggregate-scan job PER ROUND on top
-    // (fixed + 4 here), which this bound excludes
+    // (round-13 #8) must add only a constant job overhead: the one-time
+    // initial sum (~2 jobs under AQE) plus the FINAL round's
+    // authoritative confirm aggregate (~2 jobs — round 14: observed
+    // equality is a screen, convergence is declared only after
+    // sumDiffChanged, so retry-inflated observations can never fake
+    // it). The pre-fold protocol paid one aggregate-scan job PER ROUND
+    // on top (≥ fixed + 7 at this round count), which this bound
+    // excludes
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     def jobsIn(group: String)(body: => Unit): Int = {
       spark.sparkContext.setJobGroup(group, group)
@@ -100,9 +104,9 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       GraphOps.connectedComponents(pairs, maxIter = 10, earlyStop = true,
         dedupe = false).collect(): Unit
     }
-    assert(probed <= fixed + 2,
+    assert(probed <= fixed + 4,
       s"convergence probe must ride the checkpoint materialization: " +
-        s"fixed-budget run $fixed jobs, earlyStop run $probed (> $fixed + 2)")
+        s"fixed-budget run $fixed jobs, earlyStop run $probed (> $fixed + 4)")
   }
 
   test("g1: integer arithmetic makes reruns bit-identical") {

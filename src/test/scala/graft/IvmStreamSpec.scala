@@ -374,6 +374,53 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("TOCTOU closed: a landed-but-unfolded file disqualifies EVEN AT registration time") {
+    // Two delta files land BEFORE the stream starts; maxFilesPerTrigger=1
+    // folds them one batch each. At batch 0's registration the second
+    // file is already in the base dir — the round-13 registration listed
+    // the dir at that moment and baked the unfolded file into the epoch,
+    // so a routed read between the batches served a view missing its
+    // rows while lookupFresh reported it fresh. Round 14 registers from
+    // the version's own folded-file epoch state, so the live listing
+    // disagrees and the read must fall back to the fresh base scan.
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_toctou_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_toctou_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_toctou_ckpt").toString
+    val b1 = writeDelta(inDir, 501)
+    val b2 = writeDelta(inDir, 502)
+    def routed = spark.read.parquet(inDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val storeName = new java.io.File(store).getName
+    val inName = new java.io.File(inDir).getName
+    // (plan, rowTotal) observed INSIDE the commit callback, per batch
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+    try {
+      val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+        maxFilesPerTrigger = 1, registerBase = Some(inDir),
+        onBatchCommitted = { id =>
+          val r = routed
+          seen.put(id, (r.queryExecution.executedPlan.toString,
+            r.collect().map(_.getLong(1)).sum)): Unit
+        })
+      q.processAllAvailable(); q.stop()
+      assert(seen.containsKey(0L) && seen.containsKey(1L),
+        s"expected two observed batches, got ${seen.keySet()}")
+      val (plan0, total0) = seen.get(0L)
+      assert(!plan0.contains(storeName) && plan0.contains(inName),
+        s"batch 0's registration must NOT qualify while an unfolded file " +
+          s"sits in the base dir (the TOCTOU):\n$plan0")
+      assert(total0 == (b1 ++ b2).size.toLong,
+        "the disqualified read must serve the fresh base truth")
+      val (plan1, total1) = seen.get(1L)
+      assert(plan1.contains(storeName) && !plan1.contains(inName),
+        s"after the last landed file folds, the read must route:\n$plan1")
+      assert(total1 == (b1 ++ b2).size.toLong, "routed answer wrong")
+      // steady state after the stream: still routed, still right
+      val p = routed.queryExecution.executedPlan.toString
+      assert(p.contains(storeName), s"steady-state read must route:\n$p")
+    } finally graft.plans.MvRegistry.unregister(inDir)
+  }
+
   test("old versions stay immutable as the view rolls forward") {
     val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
     val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString

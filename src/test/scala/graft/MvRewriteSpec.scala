@@ -545,4 +545,56 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
         "re-armed view answer disagrees with the fresh fallback")
     } finally MvRegistry.unregister(d)
   }
+
+  test("epoch hardening: swapping two files' mtimes moves the epoch (no linear cancellation)") {
+    // round-13's epoch was a commutative SUM of weak per-file products:
+    // mtime terms were additive and name-independent, so two files
+    // SWAPPING mtimes left the sum — and thus the freshness verdict —
+    // unchanged. The round-14 avalanche fold must catch exactly that.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("mv_epoch").toString
+    Files.write(Paths.get(dir, "part-a.parquet"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(dir, "part-b.parquet"), Array[Byte](4, 5, 6))
+    val ta = java.nio.file.attribute.FileTime.fromMillis(1700000001000L)
+    val tb = java.nio.file.attribute.FileTime.fromMillis(1700000002000L)
+    Files.setLastModifiedTime(Paths.get(dir, "part-a.parquet"), ta)
+    Files.setLastModifiedTime(Paths.get(dir, "part-b.parquet"), tb)
+    val before = MvRegistry.currentEpoch(spark, dir)
+    assert(before == MvRegistry.currentEpoch(spark, dir),
+      "epoch of an untouched tree must be stable")
+    // the offsetting mutation: a↔b swap their modification times
+    Files.setLastModifiedTime(Paths.get(dir, "part-a.parquet"), tb)
+    Files.setLastModifiedTime(Paths.get(dir, "part-b.parquet"), ta)
+    assert(MvRegistry.currentEpoch(spark, dir) != before,
+      "swapped mtimes must move the epoch — linear terms cancelled")
+  }
+
+  test("epoch hardening: an add/remove pair cannot cancel — count rides the fold") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("mv_epoch2").toString
+    Files.write(Paths.get(dir, "part-a.parquet"), Array[Byte](1, 2, 3))
+    val one = MvRegistry.currentEpoch(spark, dir)
+    Files.write(Paths.get(dir, "part-b.parquet"), Array[Byte](1, 2, 3))
+    val two = MvRegistry.currentEpoch(spark, dir)
+    assert(two != one, "an added file must move the epoch")
+    Files.delete(Paths.get(dir, "part-b.parquet"))
+    assert(MvRegistry.currentEpoch(spark, dir) == one,
+      "returning to the original population must return the epoch")
+    // bookkeeping files are invisible to a scan, so also to the epoch
+    Files.write(Paths.get(dir, "_SUCCESS"), Array[Byte]())
+    assert(MvRegistry.currentEpoch(spark, dir) == one,
+      "a non-data file must not move the epoch")
+  }
+
+  test("malformed freshnessIntervalMs degrades to check-always, not a throw") {
+    withView { storeDir =>
+      spark.conf.set("spark.graft.mv.freshnessIntervalMs", "not-a-number")
+      try {
+        MvRegistry.register(spark, basePath, storeDir)
+        val plan = baseAgg.queryExecution.executedPlan.toString
+        assert(plan.contains(new java.io.File(storeDir).getName),
+          s"a malformed perf knob must not disable (or crash) the rewrite:\n$plan")
+      } finally spark.conf.unset("spark.graft.mv.freshnessIntervalMs")
+    }
+  }
 }
