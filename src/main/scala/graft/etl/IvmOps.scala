@@ -68,8 +68,119 @@ object IvmOps extends OpModule {
     val aggs = count(lit(1)).as(v.countOut) +:
       (v.sums.map(sc => sum(col(sc.src).cast(D)).as(sc.out)) ++
         v.exts.map(e =>
-          (if (e.isMin) min(col(e.src)) else max(col(e.src))).as(e.out)))
+          (if (e.isMin) min(col(e.src)) else max(col(e.src))).as(e.out)) ++
+        // exact at snapshot grain; REFRESH reads these from the pair
+        // store instead (per-batch distinct counts don't merge)
+        v.dists.map(dc => count_distinct(col(dc.src)).as(dc.out)))
     snapshot.groupBy(v.groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The keyed PAIR STORE seeding one declared `count(DISTINCT src)`:
+    * per (group, src-value) multiplicities over a snapshot — the
+    * retraction-safe sidecar a distinct count maintains
+    * ([[graft.etl.DistAgg]]'s scaladoc). Null source values are
+    * excluded, matching count(DISTINCT …)'s null semantics.
+    */
+  def pairPartials(snapshot: DataFrame, v: ViewSpec, dc: DistAgg): DataFrame =
+    snapshot.filter(col(dc.src).isNotNull)
+      .groupBy(col(v.groupCol), col(dc.src))
+      .agg(count(lit(1)).as("n_dup"))
+
+  /** Insert-only pair-store refresh: the [[refreshInsertOnly]] algebra
+    * at pair grain — union + one keyed aggregation, SUM-of-counts
+    * associative, so the multiplicities are independent of batch
+    * boundaries.
+    */
+  def refreshPairsInsertOnly(pairStore: DataFrame, delta: DataFrame,
+      v: ViewSpec, dc: DistAgg): DataFrame =
+    pairStore.unionByName(pairPartials(delta, v, dc))
+      .groupBy(col(v.groupCol), col(dc.src))
+      .agg(sum("n_dup").as("n_dup"))
+
+  /** Retraction pair-store refresh: the [[refreshWithRetractions]]
+    * algebra at pair grain. The changelog's per-source value columns
+    * ([[ViewSpec.removedFor]]/[[ViewSpec.addedFor]] — the SAME pair the
+    * extremum recompute gate reads) explode to signed multiplicity
+    * deltas: an added value is +1 on its (group, value), a removed
+    * value −1; pairs retracting to zero leave the store, so the
+    * surviving-row count per group IS the exact distinct count under
+    * arbitrary insert/update/delete changelogs.
+    */
+  def refreshPairsWithRetractions(pairStore: DataFrame, changes: DataFrame,
+      v: ViewSpec, dc: DistAgg): DataFrame = {
+    val adds = changes.filter(col(v.addedFor(dc.src)).isNotNull)
+      .select(col(v.groupCol), col(v.addedFor(dc.src)).as(dc.src),
+        lit(1L).as("n_dup"))
+    val removes = changes.filter(col(v.removedFor(dc.src)).isNotNull)
+      .select(col(v.groupCol), col(v.removedFor(dc.src)).as(dc.src),
+        lit(-1L).as("n_dup"))
+    pairStore.unionByName(adds).unionByName(removes)
+      .groupBy(col(v.groupCol), col(dc.src))
+      .agg(sum("n_dup").as("n_dup"))
+      .filter(col("n_dup") > 0)
+  }
+
+  /** Attach the declared distinct-count columns to a refreshed
+    * count/sum/extrema view from the (already refreshed) pair stores —
+    * one view-key aggregation per distinct source over a store of
+    * Σ|distinct values per group| rows, then a left join (a group can
+    * exist with zero non-null source values → coalesce 0).
+    */
+  def withDistincts(view: DataFrame,
+      pairStores: Seq[(DistAgg, DataFrame)], v: ViewSpec): DataFrame =
+    pairStores.foldLeft(view) { case (acc, (dc, pairs)) =>
+      acc.join(
+        pairs.groupBy(v.groupCol).agg(count(lit(1)).as(dc.out)),
+        Seq(v.groupCol), "left")
+        .withColumn(dc.out, coalesce(col(dc.out), lit(0L)))
+    }
+
+  /** Insert-only refresh of a view DECLARING distinct counts: the core
+    * count/sum/extrema fold runs unchanged (under the dist-stripped
+    * spec), each pair store folds its own delta pairs, and the dist
+    * outputs re-derive from the refreshed pair stores. Returns the new
+    * view and the new pair stores — both must commit together (the
+    * versioned-store transaction the streams/ivm8 use).
+    */
+  def refreshInsertOnlyDistinct(store: DataFrame,
+      pairStores: Seq[(DistAgg, DataFrame)], delta: DataFrame,
+      v: ViewSpec): (DataFrame, Seq[(DistAgg, DataFrame)]) = {
+    require(v.dists.map(_.out).toSet == pairStores.map(_._1.out).toSet,
+      s"pair stores ${pairStores.map(_._1.out)} do not match the declared " +
+        s"distinct aggregates ${v.dists.map(_.out)}")
+    val core = refreshInsertOnly(
+      store.drop(v.dists.map(_.out): _*), delta, v.copy(dists = Nil))
+    val newPairs = pairStores.map { case (dc, ps) =>
+      dc -> refreshPairsInsertOnly(ps, delta, v, dc) }
+    (withDistincts(core, newPairs, v), newPairs)
+  }
+
+  /** Retraction refresh of a view DECLARING distinct counts — the CDC
+    * twin of [[refreshInsertOnlyDistinct]]: core count/sums via the
+    * retraction algebra, pair multiplicities via the signed value
+    * deltas the changelog already carries for each tracked source
+    * ([[refreshPairsWithRetractions]]). A group retracting to zero
+    * membership leaves the core view; a consistent changelog retracts
+    * its pairs with it, and pairs orphaned by an INCONSISTENT changelog
+    * are invisible anyway (dist outputs attach by left join from the
+    * view side).
+    */
+  def refreshWithRetractionsDistinct(store: DataFrame,
+      pairStores: Seq[(DistAgg, DataFrame)], changes: DataFrame,
+      v: ViewSpec): (DataFrame, Seq[(DistAgg, DataFrame)]) = {
+    require(v.dists.map(_.out).toSet == pairStores.map(_._1.out).toSet,
+      s"pair stores ${pairStores.map(_._1.out)} do not match the declared " +
+        s"distinct aggregates ${v.dists.map(_.out)}")
+    // extrema need the currentRows recompute contract — compose
+    // refreshWithRetractionsFull + refreshPairsWithRetractions +
+    // withDistincts at the call site for a view declaring both
+    require(v.exts.isEmpty, "a view declaring extrema AND distinct counts " +
+      "composes refreshWithRetractionsFull with the pair refreshes directly")
+    val core = refreshWithRetractions(
+      store.drop(v.dists.map(_.out): _*), changes, v.copy(dists = Nil))
+    val newPairs = pairStores.map { case (dc, ps) =>
+      dc -> refreshPairsWithRetractions(ps, changes, v, dc) }
+    (withDistincts(core, newPairs, v), newPairs)
   }
 
   /** The orders instance of [[partials]] (ivm1/ivm2/ivm3's view). */
@@ -84,6 +195,9 @@ object IvmOps extends OpModule {
     */
   def refreshInsertOnly(store: DataFrame, delta: DataFrame,
       v: ViewSpec = ViewSpec.Orders): DataFrame = {
+    require(v.dists.isEmpty, "declared distinct counts refresh through " +
+      "the pair-store composition (refreshInsertOnlyDistinct) — per-batch " +
+      "distinct counts do not merge")
     val merges = sum(v.countOut).as(v.countOut) +:
       (v.sums.map(sc => sum(sc.out).as(sc.out)) ++
         v.exts.map(e =>
@@ -104,6 +218,8 @@ object IvmOps extends OpModule {
     */
   def refreshInsertOnlyMerged(store: DataFrame, delta: DataFrame,
       v: ViewSpec = ViewSpec.Orders): DataFrame = {
+    require(v.dists.isEmpty, "declared distinct counts refresh through " +
+      "the pair-store composition (refreshInsertOnlyDistinct)")
     val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 4))
     val d = partials(delta, v).select(col(v.groupCol) +:
       (col(v.countOut).as(s"d_${v.countOut}") +:
@@ -128,6 +244,8 @@ object IvmOps extends OpModule {
     */
   def refreshWithRetractions(store: DataFrame, adjustments: DataFrame,
       v: ViewSpec = ViewSpec.Orders): DataFrame = {
+    require(v.dists.isEmpty, "declared distinct counts refresh through " +
+      "the pair-store composition (refreshWithRetractionsDistinct)")
     val storeSide = store.select(col(v.groupCol) +:
       (col(v.countOut).as(v.dn) +: v.sums.map(sc => col(sc.out).as(sc.delta))): _*)
     val adjSide = adjustments.select(col(v.groupCol) +:
@@ -508,6 +626,31 @@ object IvmOps extends OpModule {
       .orderBy("o_custkey")
   }
 
+  /** ivm3g: the AVG read answered from count+sum partials (round-14
+    * #8) — `avg(cast(o_totalprice as DECIMAL(18,4)))` routes through
+    * the MV rewrite as the view's sum/count division (Spark's own
+    * Average.evaluateExpression with the store attributes spliced in,
+    * so scale/rounding semantics are Spark-identical; MvRewriteSpec
+    * pins plan + exact values). Emission is the two-stage decimal
+    * HALF_UP Spark's avg defines — the scale-8 quotient re-rounded to
+    * scale 4 — NOT a round on the double: quotients land EXACTLY on the
+    * half grid (n=8 orders sum to a .5 at scale 5 three times at
+    * sf0.01), where decimal HALF_UP and binary-double rounding disagree
+    * by one quantum. The oracle replicates both stages in exact HUGEINT
+    * arithmetic (the ⌊(2a+b)/2b⌋ half-up form), so the grids coincide
+    * by construction.
+    */
+  private def ivm3g(s: SparkSession, dir: String): DataFrame = {
+    rebuildAndRegister(s, dir)
+    Tables(s, dir, "orders")
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        avg(col("o_totalprice").cast(D)).as("avg_dec"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("avg_dec").cast(DecimalType(22, 4)).cast("double").as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
   /** The most common warehouse read against a maintained view: a filter
     * on the VIEW'S OWN GROUP KEY above the base scan. The predicate is
     * constant within each group, so it commutes with the grouping and
@@ -696,6 +839,80 @@ object IvmOps extends OpModule {
       .orderBy("user_id")
   }
 
+  private def ivm8(s: SparkSession, dir: String): DataFrame =
+    ivm8At(s, dir, ScratchDirs.keyed("ivm8_view", dir))
+
+  /** ivm8: the DISTINCT-COUNT vocabulary (round-14 #5) — per-supplier
+    * line count, exact quantity sum, and `count(DISTINCT l_partkey)`
+    * ([[ViewSpec.SupplierParts]]) maintained EXACTLY under a full
+    * insert/update/delete changelog via the keyed pair store: per
+    * (suppkey, partkey) multiplicities fold the changelog's signed
+    * value deltas (the same removed/added columns the extremum gate
+    * reads), pairs retracting to zero leave the store, and the view's
+    * distinct count is the per-group surviving-pair count
+    * ([[refreshWithRetractionsDistinct]]). The changelog mirrors ivm5's
+    * op assignment on the order key: inserts = the second half; updates
+    * (keys ≡3 mod 7) bump quantity — touching the sum but NOT the
+    * partkey population (null value pair, the no-op branch); deletes
+    * (keys ≡5 mod 13 not updated) retract quantity AND the line's
+    * partkey multiplicity — only a supplier losing its LAST line of a
+    * part loses a distinct part.
+    */
+  def ivm8At(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val v = ViewSpec.SupplierParts
+    val dc = v.dists.head
+    val li = Tables(s, dir, "lineitem")
+    val withCut = li.crossJoin(
+      broadcast(li.agg(expr("(max(l_orderkey) + 1) div 2").as("cut"))))
+    val seed = withCut.filter(col("l_orderkey") < col("cut"))
+    partials(seed, v).write.mode("overwrite").parquet(storeDir)
+    pairPartials(seed, v, dc)
+      .write.mode("overwrite").parquet(s"${storeDir}_pairs")
+    val k = col("l_orderkey")
+    val q = col("l_quantity").cast(D)
+    val changes = withCut.select(col("l_suppkey"),
+      when(k >= col("cut"), lit(1L))                          // insert
+        .when(k % 7 === 3, lit(0L))                           // update
+        .when(k % 13 === 5, lit(-1L))                         // delete
+        .as("dn"),
+      when(k >= col("cut"), q)
+        .when(k % 7 === 3, lit(new java.math.BigDecimal("1.0000")).cast(D))
+        .when(k % 13 === 5, -q)
+        .cast(DecimalType(28, 4)).as("ds"),
+      // partkey population: the quantity update leaves it untouched
+      when(k < col("cut") && k % 7 =!= 3 && k % 13 === 5, col("l_partkey"))
+        .as(v.removedFor(dc.src)),
+      when(k >= col("cut"), col("l_partkey")).as(v.addedFor(dc.src)))
+      .filter(col("dn").isNotNull)
+    val (view, _) = refreshWithRetractionsDistinct(
+      s.read.parquet(storeDir),
+      Seq(dc -> s.read.parquet(s"${storeDir}_pairs")), changes, v)
+    view.select(col("l_suppkey"), col("n_lines"),
+      col("sum_qty").cast("double").as("sum_qty"), col("n_parts"))
+      .orderBy("l_suppkey")
+  }
+
+  /** ivm8b: the distinct-count READ routed through the MV rewrite — a
+    * per-supplier `count(DISTINCT l_partkey)` over lineitem answers
+    * from the registered SupplierParts store's n_parts column
+    * (MvRewriteSpec pins the plan; this query pins the values against
+    * the full recompute). Distinct counts route on the KEYED read only:
+    * they do not re-aggregate, so regrouped/global reads correctly
+    * disqualify (also spec-pinned).
+    */
+  private def ivm8b(s: SparkSession, dir: String): DataFrame = {
+    rebuildAndRegisterView(s, dir, "lineitem", ViewSpec.SupplierParts,
+      "ivm8b_view")
+    Tables(s, dir, "lineitem")
+      .groupBy("l_suppkey").agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(D)).as("sum_dec_q"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+      .select(col("l_suppkey"), col("n_lines"),
+        col("sum_dec_q").cast("double").as("sum_qty"), col("n_parts"))
+      .orderBy("l_suppkey")
+  }
+
   /** ivm3d: MULTI-VIEW routing + an IN-list group-key read (verdict r11
     * #7) — with BOTH the orders view and the lineitem view registered,
     * a partkey-IN-list aggregate over lineitem must route to the
@@ -852,6 +1069,18 @@ object IvmOps extends OpModule {
           min(col("o_totalprice")).as("min_price"))
       }),
 
+    // The AVG read from count+sum partials: Spark executes the view
+    // division (MvRewriteSpec pins the plan and exact decimal values);
+    // the oracle recomputes from the base with the same exact decimal
+    // sum, divided in double and rounded on the shared scale-4 grid.
+    Q("ivm3g_mv_avg", Some(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(((2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |               * 100000000 AS HUGEINT) + count(*)) // (2 * count(*))
+        |        * 2 + 10000) // 20000 AS DOUBLE) / 10000 AS avg_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      ivm3g),
+
     // The second DECLARED view (lineitem by l_partkey, count/sum/min)
     // through the same generic refresh: the oracle applies the identical
     // changelog row-level and fully recomputes — the declaration, not
@@ -928,6 +1157,43 @@ object IvmOps extends OpModule {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       ivm7),
+
+    // The distinct-count vocabulary maintained EXACTLY under a full
+    // insert/update/delete changelog via the keyed pair store: the
+    // oracle applies the same changelog row-level and fully recomputes
+    // count / exact sum / count(DISTINCT l_partkey) — a supplier loses
+    // a distinct part only when its LAST line of that part retracts,
+    // which is precisely what the pair multiplicities encode.
+    Q("ivm8_distinct_view", Some(
+      """WITH cutv AS (SELECT (max(l_orderkey) + 1) // 2 AS cut FROM lineitem),
+        |survivors AS (
+        |  SELECT l_suppkey,
+        |    CAST(l_quantity AS DECIMAL(18,4)) +
+        |      CASE WHEN l_orderkey % 7 = 3 THEN CAST(1.0000 AS DECIMAL(18,4))
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END AS qd,
+        |    l_partkey AS pk
+        |  FROM lineitem, cutv
+        |  WHERE l_orderkey < cut
+        |    AND NOT (l_orderkey % 13 = 5 AND l_orderkey % 7 <> 3)),
+        |ins AS (
+        |  SELECT l_suppkey, CAST(l_quantity AS DECIMAL(18,4)) AS qd,
+        |         l_partkey AS pk
+        |  FROM lineitem, cutv WHERE l_orderkey >= cut),
+        |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |SELECT l_suppkey, count(*) AS n_lines, CAST(sum(qd) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT pk) AS n_parts
+        |FROM final GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      ivm8),
+
+    // The distinct-count READ through the MV rewrite: Spark executes
+    // the SupplierParts store substitution (MvRewriteSpec pins the
+    // plan), the oracle is the full recompute it must match.
+    Q("ivm8b_mv_distinct", Some(
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      ivm8b),
 
     // IVM over a JOIN view (star-schema delta-join: static dim,
     // insert-only fact) — the refreshed per-nation view must equal the

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EvalMode, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, RepartitionOperation}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -285,6 +285,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val spec = d.spec
     ne match {
       case a: AttributeReference if a.name == spec.groupCol => Some(spec.groupCol)
+      // count(DISTINCT src) over a DECLARED dist source: the pair-store
+      // maintained n_parts-style column IS the per-group answer. Keyed
+      // reads only — dist counts do not re-aggregate, so the regroup /
+      // global paths reject these outputs (rollupExprFor).
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, true, None, _), _) =>
+        spec.dists.find(_.src == a.name).map(_.out)
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
         case Count(Seq(Literal(1, _))) => Some(spec.countOut)
         case s: Sum => s.child match {
@@ -302,6 +309,47 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+  }
+
+  /** Map one aggregate output onto an EXPRESSION over the view's
+    * columns — the keyed-read generalization of [[partialFor]] (round-14
+    * #8): most outputs are a pure column projection, but
+    * `avg(cast(src as DECIMAL(18,4)))` over a declared sum source is
+    * answered from the count+sum partials the view already stores. The
+    * substitution reuses Spark's OWN [[Average.evaluateExpression]] with
+    * the view's sum/count attributes spliced in for the aggregation
+    * buffer's — semantics (decimal division, result scale, HALF_UP
+    * rounding, null-on-empty) are identical by construction, gated on
+    * the buffer/view types matching EXACTLY (they do: Average's decimal
+    * sum buffer is precision+10, which is precisely the store's
+    * SUM-widened DECIMAL(28,4) for the (18,4) cast posture). A bare
+    * double `avg(src)` does NOT route: its double-accumulated sum is a
+    * different number than the exact decimal partial, and the rewrite
+    * never substitutes an inexact answer.
+    */
+  private def partialExprFor(ne: NamedExpression, d: MvRegistry.MvDef,
+      viewAttr: Map[String, Attribute]): Option[Expression] = ne match {
+    case Alias(AggregateExpression(avg: Average, Complete, false, None, _), _) =>
+      avg.child match {
+        case c: Cast if c.dataType == PartialSum => c.child match {
+          case a: AttributeReference =>
+            for {
+              sc <- d.spec.sums.find(_.src == a.name)
+              sumAttr <- viewAttr.get(sc.out)
+              cntAttr <- viewAttr.get(d.spec.countOut)
+              if sumAttr.dataType == avg.sum.dataType
+              if cntAttr.dataType == avg.count.dataType
+            } yield avg.evaluateExpression.transform {
+              case ar: AttributeReference if ar.exprId == avg.sum.exprId =>
+                sumAttr
+              case ar: AttributeReference if ar.exprId == avg.count.exprId =>
+                cntAttr
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    case _ => partialFor(ne, d).flatMap(viewAttr.get)
   }
 
   /** Split one optional GROUP-KEY-ONLY filter off the aggregate's child.
@@ -384,7 +432,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       Some(mkAgg(Count(Seq(viewAttr(d.spec.groupCol)))))
     case _ =>
       partialFor(ne, d).filter(_ != d.spec.groupCol).flatMap { col =>
-        if (viewAttr.contains(col)) Some(rollupFor(col, ne.dataType, viewAttr, d.spec))
+        // distinct counts are NOT re-aggregable: Σ per-group distincts
+        // double-counts values shared across groups, so a dist output
+        // disqualifies every grouping-free / regrouped read
+        if (d.spec.dists.exists(_.out == col)) None
+        else if (viewAttr.contains(col))
+          Some(rollupFor(col, ne.dataType, viewAttr, d.spec))
         else None
       }
   }
@@ -413,25 +466,25 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           if aggExprs.forall(_.references.subsetOf(below.outputSet))
           d <- MvRegistry.lookupFresh(SparkSession.active, path)
           if g.name == d.spec.groupCol
-          mapped <- {
-            val m = aggExprs.map(ne => partialFor(ne, d))
-            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
-          }
           view = d.viewRelation.newInstance()
           viewAttr = view.output.map(a => a.name -> a).toMap
           if filterEligible(filt, d, viewAttr)
-          // every mapped partial must exist on the view with the exact
-          // output type the aggregate promised its parents
-          if mapped.forall(viewAttr.contains) &&
-            aggExprs.zip(mapped).forall { case (ne, col) =>
-              viewAttr(col).dataType == ne.dataType }
+          // every output must map onto an expression over the view
+          // (usually a pure column projection; avg = the count+sum
+          // division) carrying the exact type the aggregate promised
+          mapped <- {
+            val m = aggExprs.map(ne => partialExprFor(ne, d, viewAttr))
+            if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+          }
+          if mapped.zip(aggExprs).forall { case (e, ne) =>
+            e.dataType == ne.dataType }
         } yield {
           val scan = filt match {
             case Some(c) => Filter(remapOntoView(c, viewAttr(d.spec.groupCol)), view)
             case None => view
           }
-          val projections = aggExprs.zip(mapped).map { case (ne, col) =>
-            Alias(viewAttr(col), ne.name)(exprId = ne.exprId,
+          val projections = aggExprs.zip(mapped).map { case (ne, e) =>
+            Alias(e, ne.name)(exprId = ne.exprId,
               qualifier = ne.qualifier)
           }
           Project(projections, scan)

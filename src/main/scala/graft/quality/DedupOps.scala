@@ -214,19 +214,33 @@ object DedupOps extends OpModule {
       chunk: Int = PairChunk): DataFrame = {
     val reps = cliques.select(element_at(col("ids"), 1).as("doc_id"), col("sig"))
     val cand = repCandidates(cliques, minBands, expandCap, hardCap, chunk)
-    // SHUFFLE_HASH, not sort-merge, for the signature attachment: the
-    // pair side is |pairs| rows and the SECOND join's input carries the
-    // first signature (~0.5 KB/row), so a sort-merge plan must
-    // EXTERNALLY SORT |pairs| × sig_bytes — ~75 GB of sort spill at
-    // sf100 (140 M pairs), which exceeded the sandbox disk outright.
-    // Hash-building the doc-count-sized signature table instead streams
-    // the pair side with zero sorts, the right shape at every scale
-    // (huge probe side, bounded build side, no ordering requirement).
+    // NEVER sort-merge for the signature attachment: the pair side is
+    // |pairs| rows and the SECOND join's input carries the first
+    // signature (~0.5 KB/row), so a sort-merge plan must EXTERNALLY
+    // SORT |pairs| × sig_bytes — ~75 GB of sort spill at sf100 (140 M
+    // pairs), which exceeded the sandbox disk outright (round 13).
+    // WHICH non-sorting join is size-gated (round 14, verdict #6): the
+    // unconditional shuffle_hash hint foreclosed AQE's broadcast of the
+    // small reps table at toy scale — the r13 sweep's one real mover
+    // (dd2 sf0.1 norm 1.06 → 1.52, two avoidable pair-side exchanges).
+    // Below the session broadcast threshold (by the optimizer's own
+    // static estimate, the same input a static BHJ decision would use)
+    // the reps side broadcasts and the pair side is never exchanged at
+    // all; above it, hash-building the doc-count-sized signature table
+    // streams the pair side with zero sorts — the right shape at every
+    // large scale (huge probe side, bounded build side, no ordering
+    // requirement). Measured round 14: the gate returns dd2 sf0.1 to
+    // the broadcast plan (1.60 → 1.13 s, pair set bit-identical) and
+    // leaves the sf1.0/sf10 shuffle-hash plans untouched (estimates
+    // 1.7/17 MB vs the 10 MB threshold; sf10 17.8 s unchanged).
+    val attach: DataFrame => DataFrame = {
+      val est = reps.queryExecution.optimizedPlan.stats.sizeInBytes
+      val thr = cliques.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (thr > 0 && est <= thr) broadcast _ else (df: DataFrame) => df.hint("shuffle_hash")
+    }
     cand
-      .join(reps.select(col("doc_id").as("a"), col("sig").as("siga"))
-        .hint("shuffle_hash"), "a")
-      .join(reps.select(col("doc_id").as("b"), col("sig").as("sigb"))
-        .hint("shuffle_hash"), "b")
+      .join(attach(reps.select(col("doc_id").as("a"), col("sig").as("siga"))), "a")
+      .join(attach(reps.select(col("doc_id").as("b"), col("sig").as("sigb"))), "b")
       .withColumn("est_jaccard",
         expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / NumHashes)

@@ -385,6 +385,75 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       s"multi-source refresh diverged: $got")
   }
 
+  test("distinct-count law: pair multiplicities keep count(DISTINCT src) exact under retractions") {
+    import spark.implicits._
+    import graft.etl.{DistAgg, SumAgg, ViewSpec}
+    // round-14 #5. The hinge case: a value held TWICE in a group loses
+    // one holder — the naive set-store would drop the value; the pair
+    // multiplicity (2 → 1) keeps it, and only the LAST holder's
+    // retraction removes the distinct.
+    val v = ViewSpec(groupCol = "k", countOut = "n",
+      sums = Seq(SumAgg("x", "sum_x", "dx")),
+      dists = Seq(DistAgg("p", "n_p")))
+    val base = Seq((1L, 2.0, 10L), (1L, 3.0, 10L), (1L, 4.0, 20L),
+      (2L, 5.0, 30L)).toDF("k", "x", "p")
+    val store = IvmOps.partials(base, v)
+    assert(store.filter(col("k") === 1L).head().getAs[Long]("n_p") == 2L,
+      "seed partials must count distinct sources")
+    val pairs = IvmOps.pairPartials(base, v, v.dists.head)
+    // changelog: delete ONE of g1's two p=10 lines (distinct survives),
+    // delete g1's only p=20 line (distinct drops), insert p=40 into g2
+    val changes = Seq(
+      (1L, -1L, "-2.0000", Some(10L), None: Option[Long]),
+      (1L, -1L, "-4.0000", Some(20L), None: Option[Long]),
+      (2L, 1L, "7.0000", None: Option[Long], Some(40L)))
+      .toDF("k", "dn", "dx", "v_removed", "v_added")
+      .select(col("k"), col("dn"),
+        col("dx").cast(DecimalType(28, 4)).as("dx"),
+        col("v_removed"), col("v_added"))
+    val (got, newPairs) = IvmOps.refreshWithRetractionsDistinct(
+      store, Seq(v.dists.head -> pairs), changes, v)
+    val rows = got.select(col("k"), col("n"),
+      col("sum_x").cast("double").as("sx"), col("n_p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, 1L, 3.0, 1L),  // p=10 survives via multiplicity; p=20 gone
+      (2L, 2L, 12.0, 2L)),
+      s"retraction distinct refresh diverged: $rows")
+    // the refreshed pair store equals the post-changelog recompute —
+    // the subset law that makes further folds exact
+    val after = Seq((1L, 3.0, 10L), (2L, 5.0, 30L), (2L, 7.0, 40L))
+      .toDF("k", "x", "p")
+    val pairsWant = IvmOps.pairPartials(after, v, v.dists.head)
+    val pairsGot = newPairs.head._2
+    assert(pairsGot.exceptAll(pairsWant).count() == 0 &&
+      pairsWant.exceptAll(pairsGot).count() == 0,
+      "refreshed pair store differs from the post-changelog recompute")
+    // insert-only branch: refresh equals full recompute, and two
+    // sequential folds equal one (batch-boundary independence)
+    val d1 = Seq((1L, 1.0, 20L), (3L, 2.0, 10L)).toDF("k", "x", "p")
+    val d2 = Seq((3L, 3.0, 10L), (3L, 4.0, 50L)).toDF("k", "x", "p")
+    val (one, onePairs) = IvmOps.refreshInsertOnlyDistinct(
+      store, Seq(v.dists.head -> pairs), d1.unionByName(d2), v)
+    val (s1, p1) = IvmOps.refreshInsertOnlyDistinct(
+      store, Seq(v.dists.head -> pairs), d1, v)
+    val (two, _) = IvmOps.refreshInsertOnlyDistinct(s1, p1, d2, v)
+    val full = IvmOps.withDistincts(
+      IvmOps.partials(base.unionByName(d1).unionByName(d2), v.copy(dists = Nil)),
+      Seq(v.dists.head ->
+        IvmOps.pairPartials(base.unionByName(d1).unionByName(d2), v, v.dists.head)),
+      v)
+    for ((name, got) <- Seq(("one-fold", one), ("two-fold", two))) {
+      assert(got.exceptAll(full).count() == 0 &&
+        full.exceptAll(got).count() == 0,
+        s"$name insert-only distinct refresh differs from full recompute")
+    }
+    assert(onePairs.head._2.exceptAll(
+      IvmOps.pairPartials(base.unionByName(d1).unionByName(d2), v, v.dists.head))
+      .count() == 0, "insert-only pair fold differs from recompute")
+  }
+
   test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
     import spark.implicits._
     def snap(rows: Seq[(Long, Double)]) =

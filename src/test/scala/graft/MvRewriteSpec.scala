@@ -546,6 +546,86 @@ class MvRewriteSpec extends AnyFunSuite with SparkSuite {
     } finally MvRegistry.unregister(d)
   }
 
+  test("avg(cast src) answers from count+sum partials; bare double avg does NOT route") {
+    // round-14 #8: the view stores sum(cast(src AS DECIMAL(18,4))) and
+    // count — avg of the SAME cast is their division, substituted via
+    // Spark's own Average.evaluateExpression so the semantics (result
+    // scale, HALF_UP, null-on-empty) are identical by construction. The
+    // bare double avg(src) accumulates in double — a DIFFERENT number —
+    // and must keep scanning the base.
+    withView { storeDir =>
+      def decAvg = spark.read.parquet(basePath)
+        .groupBy("o_custkey").agg(
+          avg(col("o_totalprice").cast(D)).as("avg_dec"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+      val want = decAvg.collect()
+      MvRegistry.register(spark, basePath, storeDir)
+      val routed = decAvg
+      val p1 = routed.queryExecution.executedPlan.toString
+      assert(p1.contains(new java.io.File(storeDir).getName) &&
+        !p1.contains(baseDirName),
+        s"decimal avg must route to the view partials:\n$p1")
+      assert(routed.collect().toSeq == want.toSeq,
+        "avg substitution changed the answer")
+      val bare = spark.read.parquet(basePath)
+        .groupBy("o_custkey").agg(avg(col("o_totalprice")).as("avg_d"))
+      val p2 = bare.queryExecution.executedPlan.toString
+      assert(!p2.contains(new java.io.File(storeDir).getName),
+        s"bare double avg must NOT route (different accumulation):\n$p2")
+    }
+  }
+
+  test("count(DISTINCT src) over a DECLARED dist source routes on the keyed read; regroup/global disqualify") {
+    // round-14 #5: the SupplierParts view stores the pair-store-derived
+    // n_parts column; a per-suppkey count(DISTINCT l_partkey) is a pure
+    // projection of it. Distinct counts do NOT re-aggregate (summing
+    // per-group distincts double-counts parts shared across suppliers),
+    // so the grouping-free and regrouped reads must fall back.
+    val spec = graft.etl.ViewSpec.SupplierParts
+    val d = java.nio.file.Files.createTempDirectory("mv_dist").toString + "/li"
+    Tables(spark, sf, "lineitem").write.mode("overwrite").parquet(d)
+    val storeDir = java.nio.file.Files.createTempDirectory("mv_dist_view").toString
+    IvmOps.partials(spark.read.parquet(d), spec)
+      .write.mode("overwrite").parquet(storeDir)
+    val viewName = new java.io.File(storeDir).getName
+    def keyed = spark.read.parquet(d)
+      .groupBy("l_suppkey").agg(
+        count(lit(1)).as("n_lines"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_suppkey")
+    try {
+      val want = keyed.collect()
+      MvRegistry.register(spark, d, storeDir, spec)
+      val routed = keyed
+      val p1 = routed.queryExecution.executedPlan.toString
+      assert(p1.contains(viewName),
+        s"keyed count(DISTINCT declared-src) must route to the view:\n$p1")
+      assert(routed.collect().toSeq == want.toSeq,
+        "routed distinct count changed the answer")
+      // grouping-free: count(DISTINCT l_partkey) over the whole table
+      // is NOT Σ n_parts — must scan the base
+      val global = spark.read.parquet(d)
+        .agg(count_distinct(col("l_partkey")).as("n_parts"))
+      val p2 = global.queryExecution.executedPlan.toString
+      assert(!p2.contains(viewName),
+        s"global distinct count must NOT re-aggregate the view:\n$p2")
+      // regroup by a key function: same non-additivity — must scan base
+      val regrouped = spark.read.parquet(d)
+        .groupBy((col("l_suppkey") % 10).as("bucket"))
+        .agg(count_distinct(col("l_partkey")).as("n_parts"))
+      val p3 = regrouped.queryExecution.executedPlan.toString
+      assert(!p3.contains(viewName),
+        s"regrouped distinct count must NOT re-aggregate the view:\n$p3")
+      // count(DISTINCT key) stays answerable (view rows), unaffected
+      val keyCount = spark.read.parquet(d)
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"))
+      val p4 = keyCount.queryExecution.executedPlan.toString
+      assert(p4.contains(viewName),
+        s"count(DISTINCT key) must still answer from the view's rows:\n$p4")
+    } finally MvRegistry.unregister(d)
+  }
+
   test("epoch hardening: swapping two files' mtimes moves the epoch (no linear cancellation)") {
     // round-13's epoch was a commutative SUM of weak per-file products:
     // mtime terms were additive and name-independent, so two files

@@ -63,14 +63,16 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "a8b_vector_sum_typed" -> 2,
     "a9_running_sum" -> 2,
     "dd1_exact_dedup" -> 2,
-    // dd2: +4 over the pre-r13 budget of 11 — the signature-attachment
-    // joins are HINTED shuffle_hash (both sides exchange by key), where
-    // toy-scale AQE used to broadcast the reps side. Deliberate trade:
-    // the hint's two key-exchanges of a doc-count-sized table are
-    // microseconds here, while the sort-merge plan the hint forbids
-    // externally sorts |pairs| x sig_bytes (~75 GB at sf100) — the
+    // dd2: the signature-attachment joins are SIZE-GATED (round 14,
+    // verdict #6): below the session broadcast threshold the reps side
+    // broadcasts (this sf0.01 plan — the r13 unconditional shuffle_hash
+    // hint's +4 exchanges are back to the r12 shape, measured sf0.1
+    // 2.49 → 2.08 s), above it they hash-join with both sides keyed
+    // (sf10 unchanged at ~15 s, pair set bit-identical at both scales:
+    // 123,871 / 14,228,635). Sort-merge stays forbidden at every scale —
+    // it externally sorts |pairs| × sig_bytes (~75 GB at sf100), the
     // first thing to die on a single node's disk (DedupOps.repPairs).
-    "dd2_minhash_lsh" -> 15,
+    "dd2_minhash_lsh" -> 11,
     "dd3_simhash" -> 3,
     "dd3b_simhash_lsh" -> 14,
     "dd4_ngram_jaccard" -> 1,
@@ -394,7 +396,20 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     "ivm7_events_view" -> 4,
     // ivm4: delta-join partial agg (dim broadcast, no dim shuffle) +
     // merge re-agg + sort + the cut's single-partition exchange
-    "ivm4_join_view" -> 4)
+    "ivm4_join_view" -> 4,
+    // ivm3g: the avg read through the MV rewrite — one presentation
+    // sort over the view store (the division is a projection)
+    "ivm3g_mv_avg" -> 1,
+    // ivm8: the distinct-count view's CDC refresh — the ivm2 retraction
+    // skeleton (changelog agg + view merge + sort + cut exchange) PLUS
+    // the pair-store lane: pair-grain retraction agg, the per-group
+    // pair count, and its view-key join — every side changelog-, pair-,
+    // or view-sized, never fact-sized
+    "ivm8_distinct_view" -> 7,
+    // ivm8b: the distinct-count READ through the MV rewrite — one
+    // presentation sort over the view store (the fact-scan plan would
+    // carry the two-phase count-distinct expansion over lineitem)
+    "ivm8b_mv_distinct" -> 1)
 
   private val exempt = Set("dd9_incremental_dedup")
 
