@@ -72,9 +72,14 @@ object IvmStream {
     * explicitly passed schema is validated against the spec instead.
     */
   def deltaSchemaFor(v: ViewSpec): StructType = {
-    val srcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+    val numSrcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+    // distinct-count-only sources are identity-valued (the common
+    // count(DISTINCT key)-like shape) — BIGINT under the repo posture;
+    // a dist source that also feeds a sum/extremum keeps DOUBLE
+    val distOnly = v.dists.map(_.src).distinct.filterNot(numSrcs.contains)
     StructType(StructField(v.groupCol, LongType) +:
-      srcs.map(c => StructField(c, DoubleType)))
+      (numSrcs.map(c => StructField(c, DoubleType)) ++
+        distOnly.map(c => StructField(c, LongType))))
   }
 
   /** Guard for an explicitly passed delta schema: it must carry the
@@ -82,23 +87,28 @@ object IvmStream {
     * would null-fill what the fold aggregates (see [[deltaSchemaFor]]).
     */
   private def requireCoversSpec(schema: StructType, v: ViewSpec): StructType = {
-    val needed = v.groupCol +: (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+    val numSrcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
+    val distOnly = v.dists.map(_.src).distinct.filterNot(numSrcs.contains)
+    val needed = v.groupCol +: (numSrcs ++ distOnly)
     val missing = needed.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"delta schema ${schema.fieldNames.mkString("(", ",", ")")} is missing " +
         s"columns ${missing.mkString(", ")} declared by view spec $v")
     // the typing posture is a CONTRACT, not a convention: the store
-    // schema is derived as BIGINT key / DOUBLE sources (ViewSpec's
-    // repo-wide posture), so a delta schema typing a declared column
-    // differently would fold mistyped partials — fail loudly at stream
-    // start instead (the type-mismatch cousin of the null-fill drift
+    // schema is derived as BIGINT key / DOUBLE numeric sources /
+    // BIGINT-or-DOUBLE distinct-only sources (ViewSpec's repo-wide
+    // posture), so a delta schema typing a declared column differently
+    // would fold mistyped partials — fail loudly at stream start
+    // instead (the type-mismatch cousin of the null-fill drift
     // deltaSchemaFor eliminated)
     val badKey = schema(v.groupCol).dataType != LongType
-    val badSrcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
-      .filter(c => schema(c).dataType != DoubleType)
+    val badSrcs = numSrcs.filter(c => schema(c).dataType != DoubleType) ++
+      distOnly.filter(c => schema(c).dataType != LongType &&
+        schema(c).dataType != DoubleType)
     require(!badKey && badSrcs.isEmpty,
       s"view spec $v requires the repo-wide typing posture — BIGINT group " +
-        s"key, DOUBLE sum/extremum sources; got " +
+        s"key, DOUBLE sum/extremum sources, BIGINT/DOUBLE distinct " +
+        s"sources; got " +
         (if (badKey) s"${v.groupCol}: ${schema(v.groupCol).dataType.sql} " else "") +
         badSrcs.map(c => s"$c: ${schema(c).dataType.sql}").mkString(", ") +
         ". Declare differently-typed columns via a pre-cast on the delta " +
@@ -134,7 +144,8 @@ object IvmStream {
         StructField(v.countOut, LongType) +:
         v.sums.map(sc => StructField(sc.out, PartialWide))) ++
         (if (withExts) v.exts.map(e => StructField(e.out, DoubleType))
-         else Nil))
+         else Nil) ++
+        v.dists.map(dc => StructField(dc.out, LongType)))
 
   /** Canonical on-disk view cast: the sum partials pinned at
     * DECIMAL(38,4) so every version carries ONE type — an uncast chain
@@ -146,7 +157,8 @@ object IvmStream {
     view.select(col(v.groupCol) +:
       (col(v.countOut).cast("long").as(v.countOut) +:
         (v.sums.map(sc => col(sc.out).cast(PartialWide).as(sc.out)) ++
-          (if (withExts) v.exts.map(e => col(e.out)) else Nil))): _*)
+          (if (withExts) v.exts.map(e => col(e.out)) else Nil) ++
+          v.dists.map(dc => col(dc.out).cast("long").as(dc.out)))): _*)
 
   /** The Orders-spec instance (original surface, kept for callers). */
   val cdcSchema: StructType = cdcSchemaFor(ViewSpec.Orders)
@@ -174,20 +186,27 @@ object IvmStream {
     */
   private def foldVersioned(s: SparkSession, storePath: String,
       batchId: Long, v: ViewSpec, withExts: Boolean,
-      next: Option[DataFrame] => DataFrame,
+      // builder receives (live store, live version number) and returns
+      // the next view PLUS any side TABLES that must commit with it
+      // (e.g. the declared-distinct pair stores, keyed by subdir name) —
+      // all written into the staged v<N> dir strictly before its
+      // marker, so the flip publishes view + side tables + sidecars as
+      // one transaction
+      next: Option[(DataFrame, Int)] => (DataFrame, Map[String, DataFrame]),
       aux: Option[Int] => Map[String, String] = _ => Map.empty): Unit = {
     val fs = StoreFs.fs(s, storePath)
     val live = StoreFs.committedVersions(fs, storePath).lastOption
     val alreadyApplied = live.exists(n =>
       StoreFs.readMarker(fs, s"$storePath/v$n").contains(s"batch:$batchId"))
     if (!alreadyApplied) {
-      val store = live.map(n => s.read.parquet(s"$storePath/v$n/view"))
-      val newView = canonicalFor(next(store), v, withExts)
+      val store = live.map(n => (s.read.parquet(s"$storePath/v$n/view"), n))
+      val (built, sideTables) = next(store)
+      val newView = canonicalFor(built, v, withExts)
       val vn = StoreFs.claimNextVersion(fs, storePath,
         from = live.getOrElse(0) + 1, owner = StoreFs.ownerId())
       newView.write.mode("overwrite").parquet(s"$storePath/v$vn/view")
-      // sidecars ride the version: written into the staged dir strictly
-      // before its marker, so the flip publishes view + sidecars together
+      sideTables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$storePath/v$vn/$name") }
       aux(live).foreach { case (name, payload) =>
         StoreFs.writeAux(fs, s"$storePath/v$vn", name, payload) }
       StoreFs.commitMarker(fs, s"$storePath/v$vn", s"batch:$batchId")
@@ -322,8 +341,9 @@ object IvmStream {
         val preEpoch = registerBase.map(bp =>
           graft.plans.MvRegistry.currentEpoch(s, bp))
         foldVersioned(s, storePath, batchId, v, withExts = false,
-          store => IvmOps.refreshWithRetractions(
-            store.getOrElse(emptyStore(s, v, withExts = false)), batch, v))
+          store => (IvmOps.refreshWithRetractions(
+            store.map(_._1).getOrElse(emptyStore(s, v, withExts = false)),
+            batch, v), Map.empty))
         reRegister(s, registerBase, storePath, v, inDir, preEpoch)
         onBatchCommitted(batchId)
       }
@@ -453,9 +473,9 @@ object IvmStream {
                   s"source '$src' nor the normalized value column " +
                   s"'${spec.valueFor(src)}': ${snap.columns.mkString(", ")}")
             }: _*)
-          IvmOps.refreshWithRetractionsFull(
-            store.getOrElse(emptyStore(s, spec, withExts = true)),
-            batch, currentRows, spec)
+          (IvmOps.refreshWithRetractionsFull(
+            store.map(_._1).getOrElse(emptyStore(s, spec, withExts = true)),
+            batch, currentRows, spec), Map.empty)
         })
         reRegister(s, registerBase, storePath, spec, inDir, preEpoch)
         onBatchCommitted(batchId)
@@ -509,9 +529,28 @@ object IvmStream {
         foldVersioned(s, storePath, batchId, spec, withExts = true, {
           // first batch: the partials themselves seed the store (the
           // refresh over an empty store is value-identical but pays an
-          // empty-side shuffle)
-          case Some(store) => IvmOps.refreshInsertOnly(store, batch, spec)
-          case None => IvmOps.partials(batch, spec)
+          // empty-side shuffle). A spec declaring distinct counts folds
+          // its pair stores in the SAME version transaction — each
+          // version carries `pairs_<out>` beside `view`, and the dist
+          // output column re-derives from the refreshed pairs
+          // (IvmOps.refreshInsertOnlyDistinct), so a routed
+          // count(DISTINCT src) read stays exact at every version.
+          case Some((store, n)) if spec.dists.nonEmpty =>
+            val prevPairs = spec.dists.map(dc =>
+              dc -> s.read.parquet(s"$storePath/v$n/pairs_${dc.out}"))
+            val (view, newPairs) =
+              IvmOps.refreshInsertOnlyDistinct(store, prevPairs, batch, spec)
+            (view, newPairs.map { case (dc, df) =>
+              s"pairs_${dc.out}" -> df }.toMap)
+          case None if spec.dists.nonEmpty =>
+            val pairs = spec.dists.map(dc =>
+              dc -> IvmOps.pairPartials(batch, spec, dc))
+            (IvmOps.withDistincts(
+              IvmOps.partials(batch, spec.copy(dists = Nil)), pairs, spec),
+              pairs.map { case (dc, df) => s"pairs_${dc.out}" -> df }.toMap)
+          case Some((store, _)) =>
+            (IvmOps.refreshInsertOnly(store, batch, spec), Map.empty)
+          case None => (IvmOps.partials(batch, spec), Map.empty)
         }, aux = live =>
           epochStateAux(s, checkpointDir, batchId, storePath, live))
         reRegister(s, registerBase, storePath, spec, inDir, preEpoch)

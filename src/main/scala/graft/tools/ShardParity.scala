@@ -89,6 +89,15 @@ object ShardParity {
     } finally spark.stop()
   }
 
+  /** Optional comma-separated section filter (dd2, dd6, v7, g1b) via
+    * SPARK_GRAFT_PARITY_SECTIONS — the sf100 runs scope to the families
+    * the verdict asked for instead of paying every family's
+    * third-decade wall in one session.
+    */
+  private def wants(section: String): Boolean =
+    sys.env.get("SPARK_GRAFT_PARITY_SECTIONS").filter(_.nonEmpty)
+      .forall(_.split(",").map(_.trim).contains(section))
+
   def run(spark: SparkSession, sf1: String, sf10: String): Unit = {
     def span(dir: String, table: String, key: String): Long =
       Tables(spark, dir, table).agg(max(col(key))).head().getLong(0) + 1L
@@ -100,7 +109,7 @@ object ShardParity {
     println(s"[parity] spans: doc=$D cust=$C supp=$S part=$P copies=$copies")
 
     // ---- dd2: minhash+LSH near-dup pairs (a, b, est_jaccard) ----------
-    locally {
+    if (wants("dd2")) locally {
       val r1 = graft.quality.DedupOps.minhashPairs(spark, sf1, minEstJaccard = 0.8)
         .localCheckpoint(true)
       val r10 = graft.quality.DedupOps.minhashPairs(spark, sf10, minEstJaccard = 0.8)
@@ -135,7 +144,7 @@ object ShardParity {
     }
 
     // ---- dd6: dedup clusters (doc_id, cluster_rep) --------------------
-    locally {
+    if (wants("dd6")) locally {
       val r10 = graft.quality.DedupOps.dedupClusters(spark, sf10, minEstJaccard = 0.95)
         .localCheckpoint(true)
       val crossFrac = r10
@@ -153,7 +162,7 @@ object ShardParity {
     }
 
     // ---- v7: voxel instances over the (partkey, suppkey) grid ---------
-    locally {
+    if (wants("v7")) locally {
       def v7(dir: String) = graft.SparkEntry.queries("v7_voxel_instances")(spark, dir)
       val r1 = v7(sf1).localCheckpoint(true)
       val r10 = v7(sf10).localCheckpoint(true)
@@ -183,7 +192,7 @@ object ShardParity {
     }
 
     // ---- g1b: bucketed PageRank (node_id, rank_units) -----------------
-    locally {
+    if (wants("g1b")) locally {
       val r10 = graft.SparkEntry.queries("g1b_pagerank_bucketed")(spark, sf10)
         .localCheckpoint(true)
       // node encoding: even = 2·custkey, odd = 2·suppkey + 1; un-shift

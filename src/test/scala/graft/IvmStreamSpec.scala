@@ -374,6 +374,63 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("declared distinct counts stream: pair stores ride each version; routed read exact") {
+    // round-14 #5's stream leg: SupplierParts (count, sum, and
+    // count(DISTINCT l_partkey)) folds micro-batches through
+    // refreshInsertOnlyDistinct — each committed version carries its
+    // pairs_<out> table beside the view, and the dist column equals the
+    // full recompute at every step (duplicate (supp, part) rows across
+    // batches must NOT inflate it — the pair multiplicities absorb them).
+    val spec = graft.etl.ViewSpec.SupplierParts
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_dist_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_dist_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_dist_ckpt").toString
+    def rowsOf(seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      // small part space so cross-batch duplicate (supp, part) pairs are
+      // guaranteed — the case a set-based store would get wrong
+      Seq.fill(40)((rng.nextInt(5).toLong, rng.nextInt(50).toDouble + 1.0,
+        rng.nextInt(8).toLong))
+    }
+    val all = (1 to 3).flatMap { i =>
+      val d = rowsOf(700 + i)
+      d.toDF("l_suppkey", "l_quantity", "l_partkey")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      d
+    }
+    try {
+      val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+        registerBase = Some(inDir), spec = spec)
+      q.processAllAvailable(); q.stop()
+      val Some((n, view)) = IvmStream.liveView(spark, store)
+      // every committed version carries its pair table
+      (1 to n).foreach { vn =>
+        assert(new java.io.File(s"$store/v$vn/pairs_n_parts").exists(),
+          s"version $vn is missing its pair store") }
+      val want = all.toDF("l_suppkey", "l_quantity", "l_partkey")
+        .groupBy("l_suppkey").agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      assertViewEquals(view, want, "distinct-count stream")
+      // routed read: count(DISTINCT l_partkey) per suppkey answers from
+      // the streamed store under the declared vocabulary
+      val routed = spark.read.parquet(inDir)
+        .groupBy("l_suppkey").agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(store).getName),
+        s"distinct read over the registered base must route to the view:\n$plan")
+      val got = routed.orderBy("l_suppkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val truth = want.orderBy("l_suppkey").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_lines"), r.getAs[Long]("n_parts")))
+      assert(got.sameElements(truth), "routed distinct answer diverges")
+    } finally graft.plans.MvRegistry.unregister(inDir)
+  }
+
   test("TOCTOU closed: a landed-but-unfolded file disqualifies EVEN AT registration time") {
     // Two delta files land BEFORE the stream starts; maxFilesPerTrigger=1
     // folds them one batch each. At batch 0's registration the second
