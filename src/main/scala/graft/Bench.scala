@@ -109,26 +109,8 @@ object Bench {
         f.delete(): Unit
       }
       Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
-      System.gc() // enqueue dead shuffle references for the cleaner
-      def debrisBytes(): Long = {
-        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-        def du(f: java.io.File): Long =
-          if (f.isFile) f.length()
-          else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
-        Option(tmp.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("blockmgr-") ||
-            f.getName.startsWith("spark-"))
-          .map(du).sum
-      }
-      val cap = 8L << 30 // settle only when debris could sink an sf100 leg
-      var waited = 0
-      var cur = debrisBytes()
-      while (cur > cap && waited < 30000) {
-        Thread.sleep(1000); waited += 1000
-        val next = debrisBytes()
-        if (next >= cur) waited += 4000 // not draining — bound the spin
-        cur = next
-      }
+      // settle only when debris could sink an sf100 leg
+      graft.tools.Reclaim.settle(floorBytes = 8L << 30, maxWaitMs = 30000): Unit
     }
     val sfIs01 = sfDir.contains("sf0.1")
     val sentStart = if (sfIs01) timeSentinels() else Map.empty[String, Double]

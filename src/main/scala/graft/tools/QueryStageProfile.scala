@@ -35,6 +35,13 @@ object QueryStageProfile {
       def run(): Unit = graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       run() // warm-up, unrecorded
+      // reclaim the warm-up's shuffle debris BEFORE the instrumented
+      // run: at sf100 two back-to-back heavy runs stack past the
+      // sandbox disk (this tool's first v7 attempt died on ENOSPC
+      // exactly here — round 14, verdict #2)
+      spark.catalog.clearCache()
+      val left = Reclaim.settle(floorBytes = 4L << 30)
+      System.err.println(f"# post-warm-up debris: ${left / 1e9}%.1f GB")
       val stages = mutable.ArrayBuffer[(Int, Double, Double, Long, Long, Long, String)]()
       // per-stage task skew: count + max single-task runtime (a stage
       // whose wall ≈ its max task is a straggler, not a volume problem)
