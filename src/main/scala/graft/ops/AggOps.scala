@@ -396,13 +396,27 @@ object AggOps extends OpModule {
         // (ix, 1e6) would alias (ix+1, 0), silently fusing unrelated
         // instances in BOTH engines (parity could not catch it); fail
         // loudly instead, like instanceTableCC's packing guard.
-        val vox = Tables(s, dir, "lineitem")
+        // Serialized checkpoint blocks ABOVE a corpus-size gate (round
+        // 14): the deserialized default's unaccounted heap slack OOM'd
+        // v7's sf100 runs 3-of-4 at a 100 g heap, while serialization
+        // costs the cached sf10 regime +40% wall — so the level follows
+        // the scanned corpus (GraphOps.ckpt scaladoc has the measured
+        // A/B). 8 GB splits the regimes: sf10 lineitem is 1.5 GB
+        // (deser, the measured-fast plan), sf100 is 15 GB (ser — the
+        // working set cannot stay deserialized-resident anyway, and
+        // compact accounted blocks evict instead of dying).
+        val serCkpt = {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+          try p.getFileSystem(s.sessionState.newHadoopConf())
+            .getContentSummary(p).getLength > (8L << 30)
+          catch { case _: Exception => false }
+        }
+        val vox = GraphOps.ckpt(Tables(s, dir, "lineitem")
           .select(col("l_partkey").as("ix"), col("l_suppkey").as("iy"))
           .select(when(col("iy") < 0 || col("iy") >= 1000000L || col("ix") < 0,
             expr("raise_error('v7 cell coord outside packable range')").cast("long"))
             .otherwise(col("ix") * 1000000L + col("iy")).as("id"))
-          .distinct()
-          .localCheckpoint(true) // reused by both edge joins + the label join
+          .distinct(), serCkpt) // reused by both edge joins + label join
         // Adjacency never leaves id space: (ix+1, iy) is id + 1e6
         // exactly; (ix, iy+1) is id + 1 UNLESS iy = 999999, where +1
         // would wrap into (ix+1, 0) — a false adjacency the guard's
@@ -433,7 +447,7 @@ object AggOps extends OpModule {
         val comp = GraphOps.connectedComponents(
           shiftEdges(1000000L, guardWrap = false)
             .union(shiftEdges(1L, guardWrap = true)),
-          dedupe = false)
+          dedupe = false, serCkpt = serCkpt)
         // Isolated cells (the ~88% majority of this sparse grid) are
         // each their own single-cell instance — a pure per-row
         // PROJECTION, not an aggregation. Aggregating them anyway was

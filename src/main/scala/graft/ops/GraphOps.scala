@@ -14,6 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps extends OpModule {
 
+  /** Eager plan truncation for the CC path's iterate/edge tables, with
+    * a CALLER-CHOSEN storage level (round 14). The default
+    * localCheckpoint level is MEMORY_AND_DISK — deserialized row
+    * objects whose real heap footprint the storage accounting
+    * underestimates, and at sf100 (600 M distinct grid cells, a new
+    * label checkpoint per round) that slack OOM'd v7's single-node runs
+    * 3-of-4 at a 100 g heap while the same query passed under luckier
+    * task scheduling. MEMORY_AND_DISK_SER stores compact byte buffers
+    * the accountant measures exactly, so eviction happens instead of
+    * heap death — but it is NOT free: measured same-machine-state A/B
+    * at sf10 (min-of-2 after warm-up), v7 37.8 s deser vs 53.1 s ser
+    * (+40% — the cached regime pays pure ser/deser CPU on the huge grid
+    * tables every round) while dd6 read level-insensitive (21.8 vs
+    * 23.8, inside its noise band). So the level is a per-CALL choice:
+    * deserialized by default (every sf≤10 shape keeps its r13 plan and
+    * cost), serialized where the caller knows the working set threatens
+    * the heap (v7/v8 gate on the scanned corpus size — the sf100
+    * regime, where survival beats the ser tax). The carried size
+    * ESTIMATE (load-bearing for each round's broadcast decision, see
+    * the revert note below) is storage-level independent.
+    */
+  private[graft] def ckpt(df: DataFrame, ser: Boolean): DataFrame =
+    df.localCheckpoint(true,
+      if (ser) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Connected components by iterative min-label propagation: each
     * vertex repeatedly adopts the smallest component id among itself and
     * its neighbors. Converges in O(component diameter) rounds — near-dup
@@ -60,7 +86,7 @@ object GraphOps extends OpModule {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       earlyStop: Boolean = true, verify: Boolean = false,
-      dedupe: Boolean = true): DataFrame = {
+      dedupe: Boolean = true, serCkpt: Boolean = false): DataFrame = {
     // localCheckpoint (not cache): each round's plan must be TRUNCATED,
     // or the logical plan doubles every iteration and analysis time
     // explodes — the standard iterative-DataFrame trap. The INPUT pair
@@ -69,16 +95,16 @@ object GraphOps extends OpModule {
     // LSH bucket expansion, v7/v8's shifted-coordinate joins) — without
     // the cut, that subtree executes once per union branch (measured as
     // two full ~4 s pair-generation stages in dd6's sf1.0 profile).
-    val sym = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = ckpt(pairs.select(col("a"), col("b")), serCkpt)
     val symmetrized = sym
       .union(sym.select(col("b").as("a"), col("a").as("b")))
     // dedupe=false also skips the edge MATERIALIZATION: the union over
     // the sym checkpoint re-reads it twice per consumer — the same bytes
     // a deduped-checkpoint read would cost, minus one full write.
-    val edges = if (dedupe) symmetrized.distinct().localCheckpoint(true)
+    val edges = if (dedupe) ckpt(symmetrized.distinct(), serCkpt)
       else symmetrized
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    var labels = ckpt(edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")), serCkpt)
     var obsId = 0
 
     /** One propagation round. With `probe` set, the new labels'
@@ -109,11 +135,10 @@ object GraphOps extends OpModule {
       // merge them and the edge join + aggregation above — the expensive
       // half of the round — would execute twice (measured as two full
       // label-size scans per round in v7's sf10 profile)
-      val stepped = cur
+      val stepped = ckpt(cur
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")), serCkpt)
       // pointer jumping: adopt the label's own label too — chains collapse
       // in O(log diameter) rounds instead of O(diameter).
       //
@@ -148,10 +173,9 @@ object GraphOps extends OpModule {
       if (probe) {
         obsId += 1
         val obs = org.apache.spark.sql.Observation(s"cc_sum_$obsId")
-        val out = jumped.observe(obs,
+        val out = ckpt(jumped.observe(obs,
           sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("sumcomp"))
-          .localCheckpoint(true)
+            .as("sumcomp")), serCkpt)
         val s = obs.get("sumcomp") match {
           case null => null
           case d: java.math.BigDecimal => d
@@ -160,7 +184,7 @@ object GraphOps extends OpModule {
             s"unexpected observed Σcomp type: $other")
         }
         (out, s)
-      } else (jumped.localCheckpoint(true), null)
+      } else (ckpt(jumped, serCkpt), null)
     }
     // Convergence probe: labels are MONOTONE — every round maps comp to
     // least(comp, …) over a fixed id set — so for INTEGRAL ids Σcomp

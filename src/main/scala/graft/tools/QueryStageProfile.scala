@@ -34,14 +34,21 @@ object QueryStageProfile {
     try {
       def run(): Unit = graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      run() // warm-up, unrecorded
-      // reclaim the warm-up's shuffle debris BEFORE the instrumented
-      // run: at sf100 two back-to-back heavy runs stack past the
-      // sandbox disk (this tool's first v7 attempt died on ENOSPC
-      // exactly here — round 14, verdict #2)
-      spark.catalog.clearCache()
-      val left = Reclaim.settle(floorBytes = 4L << 30)
-      System.err.println(f"# post-warm-up debris: ${left / 1e9}%.1f GB")
+      // SPARK_GRAFT_QSP_WARMUP=0 profiles the COLD run: at sf100 the
+      // warm-up+instrumented double-run is memory/disk-marginal (the
+      // first v7 attempt died on ENOSPC under the warm-up's debris, a
+      // retry on Tungsten page contention), and the campaign numbers
+      // being decomposed are themselves cold-start walls — a cold
+      // stage table attributes them more faithfully than a warm one.
+      if (sys.env.getOrElse("SPARK_GRAFT_QSP_WARMUP", "1") == "1") {
+        run() // warm-up, unrecorded
+        // reclaim the warm-up's shuffle debris BEFORE the instrumented
+        // run: at sf100 two back-to-back heavy runs stack past the
+        // sandbox disk (round 14, verdict #2)
+        spark.catalog.clearCache()
+        val left = Reclaim.settle(floorBytes = 4L << 30)
+        System.err.println(f"# post-warm-up debris: ${left / 1e9}%.1f GB")
+      }
       val stages = mutable.ArrayBuffer[(Int, Double, Double, Long, Long, Long, String)]()
       // per-stage task skew: count + max single-task runtime (a stage
       // whose wall ≈ its max task is a straggler, not a volume problem)

@@ -30,16 +30,22 @@ object Reclaim {
   }
 
   /** GC, then wait (bounded) for the ContextCleaner to drain shuffle
-    * debris below `floorBytes`. Returns the debris remaining.
+    * debris below `floorBytes`. Returns the debris remaining. GC is
+    * re-issued each poll: reference processing is multi-cycle (a
+    * shuffle's cleanup reference may only become reachable-for-enqueue
+    * after an earlier cycle collected the RDD holding it), and the
+    * first v7 sf100 settle measured 39 GB UNDRAINED after a
+    * single-GC wait — the cleaner had nothing enqueued to clean.
     */
   def settle(floorBytes: Long = 8L << 30, maxWaitMs: Int = 60000): Long = {
-    System.gc()
     var waited = 0
     var cur = debrisBytes()
-    while (cur > floorBytes && waited < maxWaitMs) {
-      Thread.sleep(1000); waited += 1000
+    var stalled = 0
+    while (cur > floorBytes && waited < maxWaitMs && stalled < 5) {
+      System.gc()
+      Thread.sleep(2000); waited += 2000
       val next = debrisBytes()
-      if (next >= cur) waited += 4000 // not draining — bound the spin
+      stalled = if (next >= cur) stalled + 1 else 0
       cur = next
     }
     cur
