@@ -109,9 +109,17 @@ object Bench {
         f.delete(): Unit
       }
       Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
-      // settle only when debris could sink an sf100 leg
-      graft.tools.Reclaim.settle(floorBytes = 8L << 30, maxWaitMs = 30000): Unit
+      settleIfLarge()
     }
+    // Trigger/drain split (round-14 campaign measurement): dd2's sf100
+    // warm-up still hit ENOSPC with an 8 GB settle FLOOR — its own
+    // single-run shuffle nearly fills the free disk, so up to 8 GB of
+    // inherited debris is exactly the failure margin. Settle engages
+    // only above the 8 GB trigger (so ~200 toy-scale queries never pay
+    // GC spins) but then drains to 2 GB.
+    def settleIfLarge(): Unit =
+      if (reclaim && graft.tools.Reclaim.debrisBytes() > (8L << 30))
+        graft.tools.Reclaim.settle(floorBytes = 2L << 30, maxWaitMs = 60000): Unit
     val sfIs01 = sfDir.contains("sf0.1")
     val sentStart = if (sfIs01) timeSentinels() else Map.empty[String, Double]
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -141,6 +149,10 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
+        // the warm-up's own debris must not sink rep 1 (dd2 at sf100
+        // writes ~40 GB of shuffle per run); scratch stores are NOT
+        // wiped here — that would change the timed reps' semantics
+        settleIfLarge()
         dt
       }
       val runs = (1 to reps).map { _ =>

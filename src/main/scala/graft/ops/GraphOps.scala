@@ -234,6 +234,7 @@ object GraphOps extends OpModule {
     var converged = false
     var i = 0
     var curSum = if (earlyStop && numericIds) labelSum(labels) else null
+    var prevLabels: DataFrame = null
     while (!converged && i < maxIter) {
       val (updated, nextSum) = step(labels, probe = earlyStop && numericIds)
       if (earlyStop) {
@@ -257,9 +258,22 @@ object GraphOps extends OpModule {
           } else curSum = nextSum
         } else converged = !joinChanged(updated, labels)
       }
+      prevLabels = labels
       labels = updated
       i += 1
     }
+    // Budget exhausted "unconverged": confirm AUTHORITATIVELY before
+    // throwing (round 14). A retry-INFLATED observation mid-run poisons
+    // curSum upward, and every later round's true sum then reads as a
+    // strict decrease — convergence becomes undetectable through the
+    // observation chain alone, and a tight budget (dd6's maxIter=3)
+    // would throw on a perfectly converged answer. Measured in the
+    // wild: the sf100 campaign's disk-margin task aborts retried dd6's
+    // stages and its warm-up threw exactly here while the identical
+    // timed rep passed. One extra aggregate, paid only on the
+    // about-to-throw path; a REAL unconverged run still throws.
+    if (earlyStop && !converged && numericIds && prevLabels != null)
+      converged = !sumDiffChanged(labels, prevLabels)
     // earlyStop callers asked for convergence, with maxIter as a
     // runaway bound — exhausting it unconverged must THROW, never
     // silently emit split components (the fixed-budget best-effort
