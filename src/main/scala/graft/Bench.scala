@@ -109,6 +109,13 @@ object Bench {
         f.delete(): Unit
       }
       Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
+      // bucketed staging tables are warehouse-persisted memos (g1b's
+      // sf100 table is 6.8 GB); drop CATALOG-AWARE so entry and files
+      // go together — the next user restages in its own untimed warm-up
+      try spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_trade_edges_b"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      catch { case _: Throwable => () }
       settleIfLarge()
     }
     // Trigger/drain split (round-14 campaign measurement): dd2's sf100
