@@ -407,9 +407,20 @@ object AggOps extends OpModule {
         // compact accounted blocks evict instead of dying).
         val serCkpt = {
           val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+          // narrow catch + visible fallback (round 15, advisor low): a
+          // silent `false` on an unexpected failure reverts to the
+          // level that is KNOWN to OOM above the gate — only the
+          // expected missing-path/IO cases may take it, and they log
           try p.getFileSystem(s.sessionState.newHadoopConf())
             .getContentSummary(p).getLength > (8L << 30)
-          catch { case _: Exception => false }
+          catch {
+            case e @ (_: java.io.FileNotFoundException | _: java.io.IOException) =>
+              org.slf4j.LoggerFactory.getLogger("graft.ops.AggOps")
+                .warn(s"v7 checkpoint size gate: could not size $p " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                "falling back to the deserialized storage level")
+              false
+          }
         }
         val vox = GraphOps.ckpt(Tables(s, dir, "lineitem")
           .select(col("l_partkey").as("ix"), col("l_suppkey").as("iy"))

@@ -85,8 +85,26 @@ object IvmStream {
   /** Guard for an explicitly passed delta schema: it must carry the
     * spec's group key and every declared source column, else the scan
     * would null-fill what the fold aggregates (see [[deltaSchemaFor]]).
+    *
+    * The typing posture is a CONTRACT, not a convention: the store
+    * schema is derived as BIGINT key / DOUBLE numeric sources /
+    * BIGINT-or-DOUBLE distinct-only sources (ViewSpec's repo-wide
+    * posture), so a delta schema typing a declared column differently
+    * would fold mistyped partials. Columns whose type upcasts
+    * LOSSLESSLY to the posture (int→bigint, float→double — the
+    * schemas that worked through canonicalFor's casts before this
+    * guard existed) are accepted with the cast returned for the caller
+    * to insert; genuinely incompatible types still fail loudly at
+    * stream start (the type-mismatch cousin of the null-fill drift
+    * [[deltaSchemaFor]] eliminated). Round 15, advisor low: the
+    * initial guard rejected the upcastable schemas too — a behavior
+    * regression for existing callers, not a hardening.
+    *
+    * @return the scan schema plus the (column → posture type) casts to
+    *   apply before folding.
     */
-  private def requireCoversSpec(schema: StructType, v: ViewSpec): StructType = {
+  private def requireCoversSpec(schema: StructType,
+      v: ViewSpec): (StructType, Seq[(String, DataType)]) = {
     val numSrcs = (v.sums.map(_.src) ++ v.exts.map(_.src)).distinct
     val distOnly = v.dists.map(_.src).distinct.filterNot(numSrcs.contains)
     val needed = v.groupCol +: (numSrcs ++ distOnly)
@@ -94,26 +112,32 @@ object IvmStream {
     require(missing.isEmpty,
       s"delta schema ${schema.fieldNames.mkString("(", ",", ")")} is missing " +
         s"columns ${missing.mkString(", ")} declared by view spec $v")
-    // the typing posture is a CONTRACT, not a convention: the store
-    // schema is derived as BIGINT key / DOUBLE numeric sources /
-    // BIGINT-or-DOUBLE distinct-only sources (ViewSpec's repo-wide
-    // posture), so a delta schema typing a declared column differently
-    // would fold mistyped partials — fail loudly at stream start
-    // instead (the type-mismatch cousin of the null-fill drift
-    // deltaSchemaFor eliminated)
-    val badKey = schema(v.groupCol).dataType != LongType
-    val badSrcs = numSrcs.filter(c => schema(c).dataType != DoubleType) ++
-      distOnly.filter(c => schema(c).dataType != LongType &&
-        schema(c).dataType != DoubleType)
-    require(!badKey && badSrcs.isEmpty,
+    def upcasts(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case _ => false
+    }
+    val casts = Seq.newBuilder[(String, DataType)]
+    val bad = Seq.newBuilder[String]
+    def slot(c: String, targets: Seq[DataType]): Unit = {
+      val t = schema(c).dataType
+      if (!targets.contains(t)) targets.find(upcasts(t, _)) match {
+        case Some(tt) => casts += (c -> tt)
+        case None => bad += s"$c: ${t.sql}"
+      }
+    }
+    slot(v.groupCol, Seq(LongType))
+    numSrcs.foreach(slot(_, Seq(DoubleType)))
+    distOnly.foreach(slot(_, Seq(LongType, DoubleType)))
+    val badSrcs = bad.result()
+    require(badSrcs.isEmpty,
       s"view spec $v requires the repo-wide typing posture — BIGINT group " +
         s"key, DOUBLE sum/extremum sources, BIGINT/DOUBLE distinct " +
-        s"sources; got " +
-        (if (badKey) s"${v.groupCol}: ${schema(v.groupCol).dataType.sql} " else "") +
-        badSrcs.map(c => s"$c: ${schema(c).dataType.sql}").mkString(", ") +
+        s"sources (or types that upcast losslessly to them); got " +
+        badSrcs.mkString(", ") +
         ". Declare differently-typed columns via a pre-cast on the delta " +
         "producer, or extend ViewSpec with per-column types.")
-    schema
+    (schema, casts.result())
   }
 
   /** CDC-adjustment schema for a declared view: the group key, the
@@ -266,9 +290,42 @@ object IvmStream {
       val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
       text.linesIterator
         .filter(l => l.startsWith("{") && l.contains(s""""batchId":$batchId"""))
-        .flatMap(l => pathRe.findFirstMatchIn(l).map(_.group(1)))
+        .flatMap(l => pathRe.findFirstMatchIn(l).map(m => jsonUnescape(m.group(1))))
         .toSeq
     }
+  }
+
+  /** Decode a JSON string-literal body. The WAL stores paths
+    * JSON-escaped; hashing the ESCAPED form into `fileTerm` would
+    * disagree with the listing side for any path the writer escapes
+    * (backslash, quote, non-ASCII `\uXXXX`), silently breaking the
+    * sidecar chain — safe direction (routing disqualifies), but an
+    * invisible perf regression (round 15, advisor low).
+    */
+  private[graft] def jsonUnescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            val hex = s.substring(i + 2, i + 6)
+            scala.util.Try(Integer.parseInt(hex, 16)).toOption match {
+              case Some(cp) => out.append(cp.toChar); i += 6
+              case None => out.append(c); i += 1 // malformed: keep literal
+            }
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case other => out.append(other); i += 2 // \" \\ \/ and friends
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** Fold this micro-batch's input files into the live version's epoch
@@ -397,10 +454,22 @@ object IvmStream {
               .flatMap(parseEpochState)
               .map { case (h, cnt) =>
                 graft.plans.MvRegistry.epochFromState(h, cnt) }
-              .orElse(preEpoch) // legacy store without the sidecar
           else preEpoch
-        graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view", spec,
-          baseEpoch = epoch)
+        // When the base IS the delta dir, the sidecar is the ONLY epoch
+        // source that cannot lie: preEpoch there is a pre-fold LISTING
+        // of the live delta dir, which includes landed-but-unfolded
+        // files (a maxFilesPerTrigger backlog) — registering with it
+        // would report the view fresh while those files' rows are
+        // missing (round 15, advisor medium). A legacy store without
+        // the sidecar therefore registers NOTHING: routed reads fall
+        // back to the always-fresh base scan (a pre-existing
+        // registration's stale epoch already disqualifies itself) —
+        // correct answers at base-scan cost until the store is rebuilt
+        // from empty, where the chain starts at (0,0) and routing
+        // returns.
+        if (!baseIsDeltaDir || epoch.isDefined)
+          graft.plans.MvRegistry.register(s, bp, s"$storePath/v$n/view", spec,
+            baseEpoch = epoch)
       }
     }
 
@@ -512,13 +581,20 @@ object IvmStream {
     // null default (not `= deltaSchemaFor(spec)`) so the derived/explicit
     // split stays visible at the call site in bytecode-stable form; both
     // paths land on a spec-covering schema — the explicit one by check
-    val schema = requireCoversSpec(
+    val (schema, casts) = requireCoversSpec(
       Option(deltaSchema).getOrElse(deltaSchemaFor(spec)), spec)
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
-      .writeStream
+    // lossless posture upcasts (int→bigint, float→double) the guard
+    // accepted are inserted here, before the fold ever sees the batch
+    val src = if (casts.isEmpty) raw else {
+      val cm = casts.toMap
+      raw.select(raw.columns.toSeq.map(c =>
+        cm.get(c).map(t => raw.col(c).cast(t).as(c)).getOrElse(raw.col(c))): _*)
+    }
+    src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // pre-fold epoch capture — the fallback when the registered

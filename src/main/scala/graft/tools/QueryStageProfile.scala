@@ -20,6 +20,14 @@ object QueryStageProfile {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("testdata/sf1.0")
     val cpus = 32
+    // same startup hygiene as Bench: rm dead-session orphans directly,
+    // then scope settle's gauge to this session's own debris
+    locally {
+      val freed = Reclaim.purgeOrphans()
+      if (freed > 0)
+        System.err.println(f"# purged ${freed / 1e9}%.1f GB orphaned scratch")
+    }
+    Reclaim.markForeign()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)

