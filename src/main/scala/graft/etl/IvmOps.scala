@@ -70,8 +70,15 @@ object IvmOps extends OpModule {
         v.exts.map(e =>
           (if (e.isMin) min(col(e.src)) else max(col(e.src))).as(e.out)) ++
         // exact at snapshot grain; REFRESH reads these from the pair
-        // store instead (per-batch distinct counts don't merge)
-        v.dists.map(dc => count_distinct(col(dc.src)).as(dc.out)))
+        // store instead (per-batch distinct counts don't merge). A
+        // sketched dist estimates through the SAME sketch construction
+        // the store path uses, so snapshot-grain and refreshed reads
+        // agree by construction.
+        v.dists.map(dc => dc.rsd match {
+          case None => count_distinct(col(dc.src)).as(dc.out)
+          case Some(r) => hll_sketch_estimate(
+            hll_sketch_agg(col(dc.src), lit(lgKFor(r)))).as(dc.out)
+        }))
     snapshot.groupBy(v.groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -85,6 +92,48 @@ object IvmOps extends OpModule {
     snapshot.filter(col(dc.src).isNotNull)
       .groupBy(col(v.groupCol), col(dc.src))
       .agg(count(lit(1)).as("n_dup"))
+
+  /** Register-count exponent for a declared sketch rsd: the smallest
+    * lgK with 1.04/√(2^lgK) ≤ rsd (the standard HLL error bound),
+    * clamped to DataSketches' supported [4, 21].
+    */
+  private def lgKFor(rsd: Double): Int = {
+    val k = math.pow(1.04 / rsd, 2)
+    math.max(4, math.min(21, math.ceil(math.log(k) / math.log(2)).toInt))
+  }
+
+  /** The per-group HLL SKETCH STORE seeding one sketched
+    * `count(DISTINCT src)` ([[DistAgg.rsd]]): |groups| rows of
+    * (group, sketch-binary) — the bounded-size alternative to
+    * [[pairPartials]] for ultra-high-cardinality sources. Null source
+    * values are excluded, matching count(DISTINCT …)'s null semantics.
+    */
+  def sketchPartials(snapshot: DataFrame, v: ViewSpec, dc: DistAgg): DataFrame =
+    snapshot.filter(col(dc.src).isNotNull)
+      .groupBy(v.groupCol)
+      .agg(hll_sketch_agg(col(dc.src), lit(lgKFor(dc.rsd.get))).as("sketch"))
+
+  /** Insert-only sketch-store refresh: union + per-group HLL union.
+    * The union is associative and commutative at a fixed register
+    * count, so the folded store is independent of batch boundaries —
+    * the same merge law the pair store satisfies, which is what makes
+    * the sketch a legal DECLARED aggregate rather than a one-shot
+    * approximation (IvmSpec's ivm8c law pins fold-order independence).
+    */
+  def refreshSketchesInsertOnly(sketchStore: DataFrame, delta: DataFrame,
+      v: ViewSpec, dc: DistAgg): DataFrame =
+    sketchStore.unionByName(sketchPartials(delta, v, dc))
+      .groupBy(v.groupCol)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  /** The store one declared distinct maintains — pair multiset when
+    * exact, HLL sketch when `rsd` is declared. Stream seeding and the
+    * insert-only refresh dispatch through this so a ViewSpec mixing
+    * exact and sketched distincts runs both stores side by side.
+    */
+  def distPartials(snapshot: DataFrame, v: ViewSpec, dc: DistAgg): DataFrame =
+    if (dc.rsd.isEmpty) pairPartials(snapshot, v, dc)
+    else sketchPartials(snapshot, v, dc)
 
   /** Insert-only pair-store refresh: the [[refreshInsertOnly]] algebra
     * at pair grain — union + one keyed aggregation, SUM-of-counts
@@ -129,9 +178,12 @@ object IvmOps extends OpModule {
   def withDistincts(view: DataFrame,
       pairStores: Seq[(DistAgg, DataFrame)], v: ViewSpec): DataFrame =
     pairStores.foldLeft(view) { case (acc, (dc, pairs)) =>
-      acc.join(
-        pairs.groupBy(v.groupCol).agg(count(lit(1)).as(dc.out)),
-        Seq(v.groupCol), "left")
+      val perGroup =
+        if (dc.rsd.isEmpty)
+          pairs.groupBy(v.groupCol).agg(count(lit(1)).as(dc.out))
+        else pairs.select(col(v.groupCol),
+          hll_sketch_estimate(col("sketch")).as(dc.out))
+      acc.join(perGroup, Seq(v.groupCol), "left")
         .withColumn(dc.out, coalesce(col(dc.out), lit(0L)))
     }
 
@@ -151,7 +203,8 @@ object IvmOps extends OpModule {
     val core = refreshInsertOnly(
       store.drop(v.dists.map(_.out): _*), delta, v.copy(dists = Nil))
     val newPairs = pairStores.map { case (dc, ps) =>
-      dc -> refreshPairsInsertOnly(ps, delta, v, dc) }
+      dc -> (if (dc.rsd.isEmpty) refreshPairsInsertOnly(ps, delta, v, dc)
+        else refreshSketchesInsertOnly(ps, delta, v, dc)) }
     (withDistincts(core, newPairs, v), newPairs)
   }
 
@@ -164,20 +217,37 @@ object IvmOps extends OpModule {
     * its pairs with it, and pairs orphaned by an INCONSISTENT changelog
     * are invisible anyway (dist outputs attach by left join from the
     * view side).
+    *
+    * A view declaring extrema TOO (round 15, verdict #6 — previously a
+    * `require` punting to manual composition) routes its core through
+    * [[refreshWithRetractionsFull]], whose group-scoped recompute
+    * contract demands `currentRows` — the post-changelog base state
+    * carrying one [[ViewSpec.valueFor]] column per extremum source.
+    * The ONE changelog serves both stores: each extremum source's
+    * removed/added pair gates its recompute, each distinct source's
+    * pair (the same columns when the sources coincide) drives its
+    * multiplicity deltas.
     */
   def refreshWithRetractionsDistinct(store: DataFrame,
       pairStores: Seq[(DistAgg, DataFrame)], changes: DataFrame,
-      v: ViewSpec): (DataFrame, Seq[(DistAgg, DataFrame)]) = {
+      v: ViewSpec, currentRows: Option[DataFrame] = None)
+      : (DataFrame, Seq[(DistAgg, DataFrame)]) = {
     require(v.dists.map(_.out).toSet == pairStores.map(_._1.out).toSet,
       s"pair stores ${pairStores.map(_._1.out)} do not match the declared " +
         s"distinct aggregates ${v.dists.map(_.out)}")
-    // extrema need the currentRows recompute contract — compose
-    // refreshWithRetractionsFull + refreshPairsWithRetractions +
-    // withDistincts at the call site for a view declaring both
-    require(v.exts.isEmpty, "a view declaring extrema AND distinct counts " +
-      "composes refreshWithRetractionsFull with the pair refreshes directly")
-    val core = refreshWithRetractions(
-      store.drop(v.dists.map(_.out): _*), changes, v.copy(dists = Nil))
+    require(v.exts.isEmpty || currentRows.nonEmpty,
+      "a view declaring extrema needs currentRows (the post-changelog base " +
+        "state) for the group-scoped extremum recompute — " +
+        "refreshWithRetractionsFull's contract")
+    require(v.dists.forall(_.rsd.isEmpty),
+      "a sketched distinct count cannot retract (HLL register maxima don't " +
+        "invert) — declare it exact (rsd = None) for CDC views, or keep the " +
+        "view insert-only (refreshInsertOnlyDistinct)")
+    val stripped = v.copy(dists = Nil)
+    val coreStore = store.drop(v.dists.map(_.out): _*)
+    val core =
+      if (v.exts.isEmpty) refreshWithRetractions(coreStore, changes, stripped)
+      else refreshWithRetractionsFull(coreStore, changes, currentRows.get, stripped)
     val newPairs = pairStores.map { case (dc, ps) =>
       dc -> refreshPairsWithRetractions(ps, changes, v, dc) }
     (withDistincts(core, newPairs, v), newPairs)
@@ -913,6 +983,48 @@ object IvmOps extends OpModule {
       .orderBy("l_suppkey")
   }
 
+  private def ivm8c(s: SparkSession, dir: String): DataFrame =
+    ivm8cAt(s, dir, ScratchDirs.keyed("ivm8c_view", dir))
+
+  /** ivm8c: the SKETCHED distinct-count vocabulary (round-15 #8) —
+    * [[ViewSpec.SupplierPartsApprox]] maintained insert-only: the seed
+    * half's per-supplier HLL sketches fold the delta half's through the
+    * associative HLL union ([[refreshSketchesInsertOnly]]), and the
+    * view's n_parts re-derives from the refreshed sketch store. Store
+    * size is |suppliers| × sketch bytes — independent of partkey
+    * cardinality, the bound the exact pair store can't give at 100 TB.
+    * Bounded-oracle emission (the a2c form): sketch estimates aren't
+    * portable across engines, so the query emits the EXACT distinct
+    * twin (oracled bit-for-bit) plus a flag asserting the sketch landed
+    * within 5% of it (declared rsd 2%); the oracle states the flag as
+    * literal 1.
+    */
+  def ivm8cAt(s: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val v = ViewSpec.SupplierPartsApprox
+    val dc = v.dists.head
+    val li = Tables(s, dir, "lineitem")
+    val withCut = li.crossJoin(
+      broadcast(li.agg(expr("(max(l_orderkey) + 1) div 2").as("cut"))))
+    val seed = withCut.filter(col("l_orderkey") < col("cut"))
+    val delta = withCut.filter(col("l_orderkey") >= col("cut"))
+    partials(seed, v).write.mode("overwrite").parquet(storeDir)
+    distPartials(seed, v, dc)
+      .write.mode("overwrite").parquet(s"${storeDir}_sk")
+    val (view, _) = refreshInsertOnlyDistinct(
+      s.read.parquet(storeDir),
+      Seq(dc -> s.read.parquet(s"${storeDir}_sk")), delta, v)
+    val exact = li.groupBy("l_suppkey")
+      .agg(count_distinct(col("l_partkey")).as("n_parts_exact"))
+    view.join(exact, Seq("l_suppkey"), "left")
+      .select(col("l_suppkey"), col("n_lines"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("n_parts_exact"),
+        when(abs(col(dc.out) - col("n_parts_exact"))
+          <= col("n_parts_exact") * 0.05, lit(1)).otherwise(lit(0))
+          .as("hll_within_5pct"))
+      .orderBy("l_suppkey")
+  }
+
   /** ivm3d: MULTI-VIEW routing + an IN-list group-key read (verdict r11
     * #7) — with BOTH the orders view and the lineitem view registered,
     * a partkey-IN-list aggregate over lineitem must route to the
@@ -1184,6 +1296,17 @@ object IvmOps extends OpModule {
         |  count(DISTINCT pk) AS n_parts
         |FROM final GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
       ivm8),
+
+    // Sketched distinct (round-15 #8): insert-only fold, so the final
+    // population is the WHOLE table; the sketch's estimate is asserted
+    // in-bound, the exact twin is oracled bit-for-bit (a2c's form).
+    Q("ivm8c_sketched_distinct", Some(
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_partkey) AS n_parts_exact,
+        |  1 AS hll_within_5pct
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      ivm8c),
 
     // The distinct-count READ through the MV rewrite: Spark executes
     // the SupplierParts store substitution (MvRewriteSpec pins the

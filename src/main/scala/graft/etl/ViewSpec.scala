@@ -52,8 +52,28 @@ final case class ExtAgg(isMin: Boolean, src: String, out: String)
   * from, never the fact table. The changelog vocabulary reuses the
   * per-source value columns ([[ViewSpec.removedFor]]/[[ViewSpec.addedFor]]):
   * a dist source that is also an extremum source shares its pair.
+  *
+  * `rsd = Some(r)` opts one declared distinct INTO a sketch (round 15,
+  * verdict #8): the store holds one DataSketches HLL sketch per group
+  * instead of the pair multiset, bounding store size at
+  * |groups| × sketch bytes regardless of source cardinality — the
+  * 100 TB posture for ultra-high-cardinality sources where
+  * Σ|distinct per group| itself is fact-table-sized. The contract:
+  *   - MERGE LAW: sketch(A ∪ B) = union(sketch(A), sketch(B)) — the
+  *     HLL union is associative and commutative at a fixed register
+  *     count, so folds are batch-boundary independent EXACTLY (not
+  *     just within error), the same law the pair store satisfies
+  *     ([[IvmOps.refreshSketchesInsertOnly]]; IvmSpec pins it).
+  *   - INSERT-ONLY: a sketch cannot retract (register maxima don't
+  *     invert). [[IvmOps.refreshWithRetractionsDistinct]] rejects a
+  *     sketched dist at require-time; a view needing retractions
+  *     declares the dist exact.
+  *   - ERROR BOUND: the estimate's relative standard deviation ≤ r —
+  *     register count is derived as the smallest power of two with
+  *     1.04/√k ≤ r (the standard HLL bound); below ~k distincts the
+  *     sketch is in sparse mode and the estimate is EXACT.
   */
-final case class DistAgg(src: String, out: String)
+final case class DistAgg(src: String, out: String, rsd: Option[Double] = None)
 
 final case class ViewSpec(
     groupCol: String,
@@ -178,4 +198,11 @@ object ViewSpec {
     countOut = "n_lines",
     sums = Seq(SumAgg(src = "l_quantity", out = "sum_qty")),
     dists = Seq(DistAgg(src = "l_partkey", out = "n_parts")))
+
+  /** ivm8c's view: [[SupplierParts]] with the distinct count SKETCHED
+    * at rsd 2% ([[DistAgg.rsd]]) — the opt-in store-size bound for
+    * insert-only views over ultra-high-cardinality sources.
+    */
+  val SupplierPartsApprox: ViewSpec = SupplierParts.copy(
+    dists = Seq(DistAgg(src = "l_partkey", out = "n_parts", rsd = Some(0.02))))
 }

@@ -620,7 +620,7 @@ object IvmStream {
               s"pairs_${dc.out}" -> df }.toMap)
           case None if spec.dists.nonEmpty =>
             val pairs = spec.dists.map(dc =>
-              dc -> IvmOps.pairPartials(batch, spec, dc))
+              dc -> IvmOps.distPartials(batch, spec, dc))
             (IvmOps.withDistincts(
               IvmOps.partials(batch, spec.copy(dists = Nil)), pairs, spec),
               pairs.map { case (dc, df) => s"pairs_${dc.out}" -> df }.toMap)

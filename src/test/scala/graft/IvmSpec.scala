@@ -454,6 +454,111 @@ class IvmSpec extends AnyFunSuite with SparkSuite {
       .count() == 0, "insert-only pair fold differs from recompute")
   }
 
+  test("extrema AND distinct counts compose in ONE refresh entry point (retraction law)") {
+    import spark.implicits._
+    import graft.etl.{DistAgg, ExtAgg, SumAgg, ViewSpec}
+    // round-15 #6: the require that punted this shape to manual
+    // composition is gone — refreshWithRetractionsDistinct routes the
+    // core through refreshWithRetractionsFull when extrema are declared,
+    // driven by the SAME changelog that feeds the pair stores
+    val v = ViewSpec(groupCol = "k", countOut = "n",
+      sums = Seq(SumAgg("x", "sum_x", "dx")),
+      exts = Seq(ExtAgg(isMin = true, src = "x", out = "min_x")),
+      dists = Seq(DistAgg("p", "n_p")))
+    val base = Seq((1L, 2.0, 10L), (1L, 3.0, 10L), (1L, 4.0, 20L),
+      (2L, 5.0, 30L)).toDF("k", "x", "p")
+    val store = IvmOps.partials(base, v)
+    val pairs = IvmOps.pairPartials(base, v, v.dists.head)
+    // delete g1's stored MIN (x=2, a p=10 holder: distinct survives via
+    // multiplicity), delete g1's only p=20 line, insert into g2 (merge
+    // branch for its min) — exercising recompute, pair retract, and merge
+    val changes = Seq(
+      (1L, -1L, "-2.0000", Some(2.0), None: Option[Double], Some(10L), None: Option[Long]),
+      (1L, -1L, "-4.0000", Some(4.0), None: Option[Double], Some(20L), None: Option[Long]),
+      (2L, 1L, "7.0000", None: Option[Double], Some(7.0), None: Option[Long], Some(40L)))
+      .toDF("k", "dn", "dx", "v_removed", "v_added", "v_removed_p", "v_added_p")
+      .select(col("k"), col("dn"), col("dx").cast(DecimalType(28, 4)).as("dx"),
+        col("v_removed"), col("v_added"), col("v_removed_p"), col("v_added_p"))
+    val after = Seq((1L, 3.0, 10L), (2L, 5.0, 30L), (2L, 7.0, 40L))
+      .toDF("k", "x", "p")
+    val currentRows = after.select(col("k"), col("x").as("v"), col("p").as("v_p"))
+    val (got, newPairs) = IvmOps.refreshWithRetractionsDistinct(
+      store, Seq(v.dists.head -> pairs), changes, v, Some(currentRows))
+    val rows = got.select(col("k"), col("n"),
+      col("sum_x").cast("double").as("sx"), col("min_x"), col("n_p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(rows == Set(
+      (1L, 1L, 3.0, 3.0, 1L),   // min recomputed 2.0 → 3.0; p=10 survives
+      (2L, 2L, 12.0, 5.0, 2L)), // min merged least(5, 7); p=40 joins
+      s"composed extrema+distinct refresh diverged: $rows")
+    // the law: composed refresh == full recompute over the
+    // post-changelog base, pairs included
+    val full = IvmOps.withDistincts(
+      IvmOps.partials(after, v.copy(dists = Nil)),
+      Seq(v.dists.head -> IvmOps.pairPartials(after, v, v.dists.head)), v)
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0,
+      "composed refresh differs from the post-changelog recompute")
+    val pairsWant = IvmOps.pairPartials(after, v, v.dists.head)
+    assert(newPairs.head._2.exceptAll(pairsWant).count() == 0 &&
+      pairsWant.exceptAll(newPairs.head._2).count() == 0,
+      "refreshed pair store differs from the post-changelog recompute")
+    // the contract is still explicit: extrema without currentRows throw
+    val e = intercept[IllegalArgumentException] {
+      IvmOps.refreshWithRetractionsDistinct(
+        store, Seq(v.dists.head -> pairs), changes, v)
+    }
+    assert(e.getMessage.contains("currentRows"))
+  }
+
+  test("ivm8c law: sketched distinct folds are batch-boundary independent; retraction refuses") {
+    import spark.implicits._
+    import graft.etl.{DistAgg, SumAgg, ViewSpec}
+    // round-15 #8: the HLL union is associative at fixed lgK, so the
+    // folded sketch store — not just its estimate — is independent of
+    // how the inserts were batched, the same law the pair store
+    // satisfies. At these cardinalities the sketch is in sparse mode,
+    // so the estimates are additionally EXACT.
+    val v = ViewSpec(groupCol = "k", countOut = "n",
+      sums = Seq(SumAgg("x", "sum_x", "dx")),
+      dists = Seq(DistAgg("p", "n_p", rsd = Some(0.02))))
+    val rng = new scala.util.Random(42)
+    def chunk(g: Int, n: Int) = Seq.fill(n)(
+      (rng.nextInt(g).toLong, rng.nextInt(100).toDouble, rng.nextInt(500).toLong))
+    val base = chunk(5, 200).toDF("k", "x", "p")
+    val d1 = chunk(5, 150).toDF("k", "x", "p")
+    val d2 = chunk(5, 150).toDF("k", "x", "p")
+    val store = IvmOps.partials(base, v)
+    val sk = IvmOps.distPartials(base, v, v.dists.head)
+    val (one, _) = IvmOps.refreshInsertOnlyDistinct(
+      store, Seq(v.dists.head -> sk), d1.unionByName(d2), v)
+    val (s1, p1) = IvmOps.refreshInsertOnlyDistinct(
+      store, Seq(v.dists.head -> sk), d1, v)
+    val (two, twoPairs) = IvmOps.refreshInsertOnlyDistinct(s1, p1, d2, v)
+    assert(one.exceptAll(two).count() == 0 && two.exceptAll(one).count() == 0,
+      "one-fold and two-fold sketched views diverge — the union law is broken")
+    // sparse-mode exactness at this cardinality: estimate == exact
+    val all = base.unionByName(d1).unionByName(d2)
+    val exact = all.groupBy("k").agg(count_distinct(col("p")).as("e"))
+    val cmp = two.join(exact, Seq("k"))
+      .filter(col("n_p") =!= col("e")).count()
+    assert(cmp == 0, "sparse-mode sketch estimates must be exact here")
+    // the store is |groups| rows of bounded sketches, not a pair multiset
+    val skRows = twoPairs.head._2.count()
+    assert(skRows == 5, s"sketch store must hold one row per group, got $skRows")
+    // retraction entry point refuses a sketched dist at require-time
+    val e = intercept[IllegalArgumentException] {
+      IvmOps.refreshWithRetractionsDistinct(store,
+        Seq(v.dists.head -> sk),
+        Seq((1L, -1L, "-1.0000", Some(1L), None: Option[Long]))
+          .toDF("k", "dn", "dx", "v_removed", "v_added")
+          .select(col("k"), col("dn"),
+            col("dx").cast(DecimalType(28, 4)).as("dx"),
+            col("v_removed"), col("v_added")), v)
+    }
+    assert(e.getMessage.contains("cannot retract"))
+  }
+
   test("ivm1 merge is increment-order independent: two deltas in sequence equal one") {
     import spark.implicits._
     def snap(rows: Seq[(Long, Double)]) =

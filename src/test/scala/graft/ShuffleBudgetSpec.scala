@@ -406,6 +406,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // pair count, and its view-key join — every side changelog-, pair-,
     // or view-sized, never fact-sized
     "ivm8_distinct_view" -> 7,
+    // ivm8c: the sketched distinct (insert-only): core merge + sketch
+    // union fold + estimate join, plus the exact-twin verification agg
+    // (count_distinct's two-phase expansion) and the final sort; the
+    // production read is the view alone — the exact twin exists only
+    // for the bounded oracle
+    "ivm8c_sketched_distinct" -> 9,
     // ivm8b: the distinct-count READ through the MV rewrite — one
     // presentation sort over the view store (the fact-scan plan would
     // carry the two-phase count-distinct expansion over lineitem)
