@@ -24,7 +24,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Optional scan fan-out: `graft.scan.fanout = n` (session conf)
-    * round-robin-repartitions every table read to n partitions right after
+    * round-robin-repartitions a table read to n partitions right after
     * the scan. The driver test files are single-row-group parquet, which no
     * parquet reader can split — without this every scan-stage computation
     * (tokenize/hash/regex projections) runs in ONE task regardless of
@@ -32,19 +32,53 @@ object Tables {
     * repartition to the scan. Default off: at deployment scale the input
     * has many files/row groups and scan parallelism is free, so the extra
     * shuffle would be pure waste.
+    *
+    * SIZE-GATED (round 15, optimization guide §2.4 "remove shuffles
+    * outright"): fan-out exists to parallelize heavy per-row compute over
+    * an unsplittable file, and a table below `graft.scan.fanout.minBytes`
+    * (default 512 KB) holds less work than its round-robin exchange costs
+    * — every keyless repartition also pays a local sort of its input
+    * (spark.sql.execution.sortBeforeRepartition) plus one AQE stage
+    * boundary per read. At sf0.1 the gate exempts the five dimension
+    * tables (region 2 KB … customer 316 KB) whose downstream consumers
+    * re-establish parallelism at their first keyed exchange anyway;
+    * measured across the query surface the results are bit-identical
+    * (order is never partition-derived — R4) and the sweep total drops
+    * (OPTIMIZATION_r15.md). At sf1.0+ every table clears the gate, so
+    * scale-dir behavior is unchanged.
     */
-  private def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def fanout(spark: SparkSession, df: DataFrame, bytes: Long): DataFrame = {
     val n = try spark.conf.get("graft.scan.fanout", "0").toInt
     catch { case _: NumberFormatException => 0 }
-    if (n > 0) df.repartition(n) else df
+    val minBytes = try spark.conf.get("graft.scan.fanout.minBytes", "524288").toLong
+    catch { case _: NumberFormatException => 524288L }
+    if (n > 0 && bytes >= minBytes) df.repartition(n) else df
   }
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = fanout(spark, {
-    if (name == "events") {
-      EventTs.enableLegacyNanos(spark)
-      EventTs.normalize(spark.read.parquet(s"$dir/events.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  })
+  /** Total bytes of a table path — a plain file's length, a scale-dir's
+    * shallow child sum (GenScale part files, no nesting). Unreadable or
+    * non-local paths report Long.MaxValue so the fan-out gate fails OPEN
+    * (keeps the repartition — the pre-gate behavior).
+    */
+  private def inputBytes(path: String): Long =
+    try {
+      val f = new java.io.File(path)
+      if (f.isFile) f.length()
+      else if (f.isDirectory)
+        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+          .getOrElse(Long.MaxValue)
+      else Long.MaxValue
+    } catch { case _: Throwable => Long.MaxValue }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    fanout(spark, {
+      if (name == "events") {
+        EventTs.enableLegacyNanos(spark)
+        EventTs.normalize(spark.read.parquet(path))
+      } else spark.read.parquet(path)
+    }, inputBytes(path))
+  }
 }
 
 /** The driver has shipped `events.ts` in two physical layouts across

@@ -367,11 +367,17 @@ object DedupOps extends OpModule {
     val rp = repPairs(cliques, minEstJaccard, minBands = 2).select("a", "b")
     // pointer jumping reaches 2^3 hops in 3 fixed rounds — ample for a
     // high-threshold similarity graph (post-collapse components are
-    // near-cliques, diameter ~2); skipping the per-round convergence job
-    // halves the round cost, and verify=true resumes propagation if the
-    // budget ever falls short instead of emitting split clusters
+    // near-cliques, diameter ~2); the fixed budget + one verify round
+    // measured FASTER than adaptive early-stop at sf0.1 (round-15 A/B:
+    // 4.2 s fixed vs 4.9-5.3 s adaptive — the probe/confirm aggregates
+    // cost more than the round they save on this tiny rep graph), so
+    // the round-13 shape stays. dedupe=false (round 15): repPairs'
+    // output is DISTINCT by construction (its >=minBands filter is a
+    // groupBy(a, b)), so the edge-list distinct was a pure full-edge
+    // shuffle + hash-agg + checkpoint per query (the v7/v8 measured
+    // trade, which is why only they had it).
     val comp = graft.ops.GraphOps.connectedComponents(rp, maxIter = 3,
-      earlyStop = false, verify = true)
+      earlyStop = false, verify = true, dedupe = false)
       .withColumnRenamed("id", "rep")
     val members = cliques
       .select(element_at(col("ids"), 1).as("rep"), explode(col("ids")).as("doc_id"))
@@ -384,10 +390,32 @@ object DedupOps extends OpModule {
   }
 
   /** (doc_id, simhash) — 64-bit SimHash: bit i is the sign of the ±1 sum
-    * of hash-function-i parities over the token codes, computed as 64
-    * parallel sums in one aggregation pass.
+    * of hash-function-i parities over the token codes. One codegen
+    * [[graft.tensor.SimHashSig]] kernel evaluation per document (round
+    * 15) — no explode, no aggregation, NO EXCHANGE: the former explode →
+    * 64-parallel-sum groupBy manufactured a (doc, token) row per distinct
+    * token just to reduce it straight back down, and its doc-keyed
+    * shuffle was dd3/dd3b's only corpus-sized exchange — the same shape
+    * [[minhashSignaturesOf]] shed in round 12. Bit-identical output
+    * (same PolyHash31 codes, same affine seeds, same sign pack; DedupSpec
+    * pins the law against [[simhashesAgg]]); null-text docs are absent
+    * from the table, as on the aggregate path.
     */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
+    graft.tensor.TextFunctions.register(s)
+    Tables(s, dir, "documents").select(col("doc_id"),
+      call_function("simhash_sig",
+        array_distinct(split(trim(col("text")), "\\s+")),
+        array(SimhashSeeds.map(x => lit(x._1)): _*),
+        array(SimhashSeeds.map(x => lit(x._2)): _*)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The pre-round-15 explode → 64-sum aggregate form of [[simhashes]] —
+    * kept as the independent spelling DedupSpec pins the kernel against
+    * (the same role the explode minhash form plays for minhash_sig).
+    */
+  private[graft] def simhashesAgg(s: SparkSession, dir: String): DataFrame = {
     val toks = tokenCodes(s, dir)
     val bitSums: Seq[Column] = SimhashSeeds.zipWithIndex.map { case (ab, i) =>
       sum(affine(col("t"), ab).bitwiseAND(1) * 2 - 1).as(s"s$i")

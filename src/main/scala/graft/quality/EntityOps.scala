@@ -92,8 +92,11 @@ object EntityOps extends OpModule {
     // ONE trigram build feeds both the match stage and the name
     // universe (er1 standalone builds its own — same checkpoint shape)
     val names = nameTrigrams(s, dir).localCheckpoint(true)
+    // dedupe=false (round 15): the candidate set is `.distinct()`-ed
+    // before scoring, so the match edges are unique by construction and
+    // the CC-side edge distinct was a wasted shuffle + checkpoint
     val comp = graft.ops.GraphOps.connectedComponents(
-      fuzzyMatchesOver(names).select(col("a"), col("b")))
+      fuzzyMatchesOver(names).select(col("a"), col("b")), dedupe = false)
     names.select("name")
       .join(comp.withColumnRenamed("id", "name"), Seq("name"), "left")
       .select(col("name"), coalesce(col("comp"), col("name")).as("canonical"))

@@ -310,20 +310,67 @@ object SimilarityOps extends OpModule {
       .join(broadcast(muP), Seq("p")).join(broadcast(muQ), Seq("q"))
       .select(col("p"), col("q"),
         (col("sxy") / col("n").cast("double") - col("ma") * col("mb")).as("cv"))
-      .localCheckpoint() // one big pass; iters+1 tiny consumers below
-    var v = mu.select(col("p"), lit(0.125).as("val")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val w = cov.join(broadcast(v.select(col("p").as("q"), col("val").as("vv"))), Seq("q"))
-        .groupBy("p").agg(dec(col("cv") * col("vv")).as("wv"))
-      val nrm = w.agg(sqrt(dec(col("wv") * col("wv"))).as("nv"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("p"), (col("wv") / col("nv")).as("val"))
-        .localCheckpoint() // 64 rows; keeps the iteration lineage flat
-    }
-    val varr = broadcast(v.agg(transform(array_sort(collect_list(
-      struct(col("p"), col("val")))), x => x.getField("val")).as("varr")))
-    val marr = broadcast(mu.agg(transform(array_sort(collect_list(
-      struct(col("p"), col("m")))), x => x.getField("m")).as("marr")))
+    // The `iters` matvec+normalize steps run over a SINGLE ROW holding C
+    // row-major as `carr` (d² doubles) — round 15, optimization guide
+    // §1.2 step 1 (fewer passes/jobs): the former per-iteration
+    // DataFrame loop paid 3 driver-synchronized jobs per step (join+agg,
+    // norm broadcast, localCheckpoint) ≈ 30 jobs of pure scheduling
+    // latency for O(d²) arithmetic, serialized between stages on any
+    // cluster just the same — and the warm-up's ~30 checkpointed
+    // RDDs/broadcasts per execution made the ContextCleaner churn that
+    // inverted nn7's bench readings (sweep-1 baseline: warm-up 5.5 s,
+    // timed reps 25.9/14.0 s). The whole iteration is now ONE
+    // `aggregate(sequence(1, iters), v0, step)` fold: iterative
+    // evaluation of a fixed-size expression tree (a per-step Project
+    // chain was tried first and REVERTED — the optimizer inlined the
+    // w/nv/v′ columns into each other and the shared subtrees
+    // re-evaluated exponentially, 2^iters matvecs). Per-step
+    // intermediates bind ONCE via single-element transform arrays:
+    // w = the matvec, nv = its norm, each evaluated one time per step.
+    //
+    // Arithmetic is TERM-IDENTICAL to the loop: each matvec coordinate
+    // sums the 12-fraction-digit decimal image of c·v exactly, the norm
+    // squares in the same decimal, the division stays double — so every
+    // w/nv double, and pc1, is bit-for-bit the loop's (and the
+    // oracle's, which unrolls the same steps as CTE w_i/n_i/v_i).
+    // Accumulator typing: the loop summed in Sum's internal
+    // DECIMAL(38,12); a HOF lambda must return EXACTLY the zero's type,
+    // and Add((38,12),(38,12)) hits the precision cap and drops to
+    // scale 11 — so the fold runs at DECIMAL(30,12): the add is (31,12)
+    // (lossless — scale preserved, precision grows) and the re-cast to
+    // (30,12) is exact for any value < 10¹⁸ (unit-scale covariance sums
+    // over d ≤ 64 terms). Each TERM rounds to the same 12 fractional
+    // digits as before and decimal addition is exact.
+    val dec30 = "CAST(0 AS DECIMAL(30,12))"
+    def matvec(v: String): String =
+      s"""transform(sequence(0, d - 1), p ->
+         |  CAST(aggregate(sequence(0, d - 1), $dec30, (acc, q) ->
+         |    CAST(acc + CAST(element_at(carr, p * d + q + 1)
+         |              * element_at($v, q + 1) AS DECIMAL(30,12))
+         |      AS DECIMAL(30,12)))
+         |    AS DOUBLE))""".stripMargin
+    val normOfW =
+      s"""sqrt(CAST(aggregate(w, $dec30, (acc, x) ->
+         |  CAST(acc + CAST(x * x AS DECIMAL(30,12)) AS DECIMAL(30,12)))
+         |  AS DOUBLE))""".stripMargin
+    val step =
+      s"""element_at(transform(array(${matvec("v")}), w ->
+         |  element_at(transform(array($normOfW), nv ->
+         |    transform(w, x -> x / nv)), 1)), 1)""".stripMargin
+    val iterated = cov
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("q"), col("cv")))),
+        x => x.getField("cv")).as("carr"))
+      .crossJoin(mu.agg(transform(array_sort(collect_list(
+        struct(col("p"), col("m")))), x => x.getField("m")).as("marr")))
+      .withColumn("d", size(col("marr")))
+      .withColumn("vfin", expr(
+        s"""aggregate(sequence(1, $iters),
+           |  CAST(transform(marr, m -> CAST(0.125 AS DOUBLE)) AS ARRAY<DOUBLE>),
+           |  (v, i) -> $step)""".stripMargin))
+    // ONE broadcast carries both arrays — a second broadcast of the same
+    // one-row plan would re-execute the covariance pass (projection-
+    // different exchanges never reuse).
+    val vm = broadcast(iterated.select(col("vfin").as("varr"), col("marr")))
     // The component v is BIT-stable across engines: each iteration's
     // DECIMAL(38,12) quantization snaps sub-quantum drift, and power
     // iteration contracts input perturbations geometrically (measured:
@@ -333,7 +380,7 @@ object SimilarityOps extends OpModule {
     // flipped cast in 500 → 2e-15 on a mean), and that drift enters the
     // projection linearly. Rounding the emitted score to 9 decimals
     // absorbs it on both sides — the v5b precedent, same caveat.
-    emb.crossJoin(varr).crossJoin(marr)
+    emb.crossJoin(vm)
       .select(col("vec_id"),
         round(aggregate(zip_with(
           zip_with(col("embedding"), col("marr"), (x, m) => x.cast("double") - m),
@@ -688,8 +735,12 @@ object SimilarityOps extends OpModule {
         val edges = l.join(broadcast(r), col("a") < col("b"))
           .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.95)
           .select("a", "b")
+        // dedupe=false (round 15): the a<b join emits each edge exactly
+        // once; the distinct was a wasted shuffle (the dd6 change, same
+        // rationale — DedupOps.dedupClusters; fixed 3+verify budget
+        // kept, measured faster than adaptive at sf0.1)
         val comp = graft.ops.GraphOps.connectedComponents(edges, maxIter = 3,
-          earlyStop = false, verify = true)
+          earlyStop = false, verify = true, dedupe = false)
         base.select(col("vec_id"))
           .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
           .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_rep"))

@@ -293,8 +293,137 @@ object MinHashSig {
   }
 }
 
+/** `simhash_sig(tokens, a, b)` — the 64-bit SimHash of one token array
+  * in a single codegen pass (round 15; the [[MinHashSig]] precedent
+  * applied to dd3/dd3b): for each token, [[PolyHash31]] then k affine
+  * mixes `(t·aᵢ + bᵢ) mod M`, accumulating the k ±1 parity sums in a
+  * local array; bit i of the result is set iff sum i is > 0. Value
+  * contract: identical to the explode → 64 parallel `sum` aggregates →
+  * sign-pack form (DedupSpec pins equality on the corpus) — integer ±1
+  * sums are order-free, so the per-row fold and the aggregate agree
+  * bit-for-bit. An empty token array yields 0 (no aggregate-path group
+  * can produce one — split('') emits ['']); a NULL array yields NULL
+  * (callers filter, as with minhash_sig).
+  *
+  * Why an expression and not the aggregate: the explode manufactured a
+  * (doc, token) row per DISTINCT token just to shuffle it doc-keyed into
+  * 64 aggregation buffers — the whole reduction is a tight 64-wide loop
+  * over one in-memory array. This removes dd3/dd3b's only corpus-sized
+  * exchange.
+  *
+  * Seed validation mirrors minhash_sig, plus k ≤ 64 (the result packs
+  * into one BIGINT).
+  */
+case class SimHashSig(tokens: Expression, aExpr: Expression, bExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = tokens
+  override def second: Expression = aExpr
+  override def third: Expression = bExpr
+
+  @transient private lazy val sA: Array[Long] =
+    aExpr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+  @transient private lazy val sB: Array[Long] =
+    bExpr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def seedArray(e: Expression, name: String): Either[String, Array[Long]] =
+      if (!e.foldable) Left(s"simhash_sig $name seeds must be a foldable array literal")
+      else e.dataType match {
+        case ArrayType(LongType, _) =>
+          val v = e.eval(null)
+          if (v == null) Left(s"simhash_sig $name seeds must not be null")
+          else {
+            val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            if ((0 until arr.numElements()).exists(arr.isNullAt))
+              Left(s"simhash_sig $name seeds must not contain nulls")
+            else {
+              val longs = arr.toLongArray()
+              if (longs.exists(x => x < 0 || x >= PolyHash31.Mod))
+                Left(s"simhash_sig $name seeds must lie in [0, ${PolyHash31.Mod})")
+              else Right(longs)
+            }
+          }
+        case other => Left(
+          s"simhash_sig $name seeds must be array<bigint>, got ${other.simpleString}")
+      }
+    tokens.dataType match {
+      case ArrayType(StringType, _) =>
+        (seedArray(aExpr, "a"), seedArray(bExpr, "b")) match {
+          case (Left(m), _) => TypeCheckResult.TypeCheckFailure(m)
+          case (_, Left(m)) => TypeCheckResult.TypeCheckFailure(m)
+          case (Right(a), Right(b)) =>
+            if (a.isEmpty) TypeCheckResult.TypeCheckFailure(
+              "simhash_sig needs at least one hash function")
+            else if (a.length != b.length) TypeCheckResult.TypeCheckFailure(
+              s"simhash_sig seed arrays differ in length: ${a.length} vs ${b.length}")
+            else if (a.length > 64) TypeCheckResult.TypeCheckFailure(
+              s"simhash_sig packs into one BIGINT: at most 64 hashes, got ${a.length}")
+            else TypeCheckResult.TypeCheckSuccess
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig requires array<string> tokens, got ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(t: Any, a: Any, b: Any): Any =
+    SimHashSig.sig(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], sA, sB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("simhashA", sA, "long[]")
+    val bRef = ctx.addReferenceObj("simhashB", sB, "long[]")
+    nullSafeCodeGen(ctx, ev, (t, _, _) =>
+      s"${ev.value} = graft.tensor.SimHashSig.sig($t, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(tokens = f, aExpr = s, bExpr = t)
+}
+
+object SimHashSig {
+  /** Static kernel shared by interpreted eval and generated code: one
+    * pass over the tokens, k parity sums updated in registers/L1, then
+    * one sign-pack. Null token elements are skipped (the explode path's
+    * isNotNull filter); `(v & 1) * 2 - 1` is the aggregate form's exact
+    * ±1 term.
+    */
+  def sig(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Array[Long], b: Array[Long]): Long = {
+    val k = a.length
+    val sums = new Array[Long](k)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = PolyHash31.hash(toks.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = (t * a(j) + b(j)) % PolyHash31.Mod
+          sums(j) += ((v & 1L) << 1) - 1L
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < k) {
+      if (sums(j) > 0L) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
 object TextFunctions {
-  /** Register `poly_hash31` / `sliding_min` / `minhash_sig`; idempotent. */
+  /** Register `poly_hash31` / `sliding_min` / `minhash_sig` /
+    * `simhash_sig`; idempotent.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("poly_hash31",
@@ -303,5 +432,7 @@ object TextFunctions {
       exprs => SlidingMin(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("simhash_sig",
+      exprs => SimHashSig(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

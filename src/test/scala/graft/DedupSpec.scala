@@ -685,6 +685,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(far.sum.toDouble / far.size > 12.0)
   }
 
+  test("simhash_sig kernel matches the explode+aggregate form bit-for-bit") {
+    // round-15 law: the per-row codegen kernel (no explode, no exchange)
+    // must reproduce the 64-parallel-sum aggregate form exactly — same
+    // PolyHash31 codes, same affine seeds, same sign pack — on the
+    // planted fixture AND the corpus (empty-text and near-dup edges).
+    for (d <- Seq(plantedDir, sf)) {
+      val kernel = DedupOps.simhashes(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agg = DedupOps.simhashesAgg(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kernel === agg, s"kernel/aggregate simhash drift at $d")
+    }
+  }
+
   test("dd11: content-defined boundaries re-synchronize after a prefix insertion") {
     import spark.implicits._
     // the CDC selling point vs dd8's fixed segmentation: shift every

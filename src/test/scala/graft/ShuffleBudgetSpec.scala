@@ -73,8 +73,10 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // it externally sorts |pairs| × sig_bytes (~75 GB at sf100), the
     // first thing to die on a single node's disk (DedupOps.repPairs).
     "dd2_minhash_lsh" -> 11,
-    "dd3_simhash" -> 3,
-    "dd3b_simhash_lsh" -> 14,
+    // dd3/dd3b: round 15 — the simhash_sig kernel sheds the explode →
+    // 64-sum groupBy's doc-keyed exchange (the dd2 round-12 shape)
+    "dd3_simhash" -> 1,
+    "dd3b_simhash_lsh" -> 9,
     "dd4_ngram_jaccard" -> 1,
     "dd4b_shingle_jaccard" -> 1,
     "dd5_embedding_neardup" -> 0,
@@ -187,9 +189,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // nn6b: nn6's ADC pipeline + the rerank-cut window; the exact
     // re-rank itself is broadcast-joined (no data-side exchange)
     "nn6b_ivfpq_refine" -> 7,
-    // nn7: the iterations run EAGERLY at plan time (localCheckpoint), so
-    // the captured plan is covariance moments + the final projection
-    "nn7_pca_power" -> 4,
+    // nn7: round 15 — the power iterations fused into one single-row
+    // expression fold, so NOTHING is eager any more: this count now
+    // covers the ENTIRE query (covariance moments + the fold's one-row
+    // aggregates + final projection) where the old 4 excluded the
+    // ~30 eagerly-checkpointed iteration jobs
+    "nn7_pca_power" -> 8,
     // nn8: max-norm stats agg + sig-keyed bucket join + per-query
     // top-k window + final sort (nn2's shape plus the one-row lift agg)
     "nn8_mips_ann" -> 4,
