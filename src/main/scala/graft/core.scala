@@ -55,19 +55,21 @@ object Tables {
     if (n > 0 && bytes >= minBytes) df.repartition(n) else df
   }
 
-  /** Total bytes of a table path — a plain file's length, a scale-dir's
-    * shallow child sum (GenScale part files, no nesting). Unreadable or
-    * non-local paths report Long.MaxValue so the fan-out gate fails OPEN
-    * (keeps the repartition — the pre-gate behavior).
+  /** Total bytes of a table path, via the Hadoop FileSystem API so the
+    * fan-out gate is real on ANY scheme (local, hdfs://, s3a://, …), not
+    * just java.io-visible paths (round 16, verdict #7).
+    * `getContentSummary` recurses, so a directory of subdirectories
+    * (Hive-partitioned layouts) sums its leaves instead of reading 0 —
+    * the round-15 shallow java.io sum failed CLOSED on exactly that
+    * shape (ADVICE r15). Unreadable/missing paths report Long.MaxValue
+    * so the gate fails OPEN (keeps the repartition — the pre-gate
+    * behavior).
     */
-  private def inputBytes(path: String): Long =
+  private[graft] def inputBytes(spark: SparkSession, path: String): Long =
     try {
-      val f = new java.io.File(path)
-      if (f.isFile) f.length()
-      else if (f.isDirectory)
-        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
-          .getOrElse(Long.MaxValue)
-      else Long.MaxValue
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
     } catch { case _: Throwable => Long.MaxValue }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -77,7 +79,7 @@ object Tables {
         EventTs.enableLegacyNanos(spark)
         EventTs.normalize(spark.read.parquet(path))
       } else spark.read.parquet(path)
-    }, inputBytes(path))
+    }, inputBytes(spark, path))
   }
 }
 

@@ -309,11 +309,16 @@ object SinkOps extends OpModule {
     // partition opens a writer per month it touches — 32 × ~85 ≈ 2,700
     // near-empty files whose listing+open cost dominated the audit
     // read-back and every later touched-month read (k7 measured 3.3 s;
-    // the same audit over month-clustered files reads ~85). At 100 TB
-    // this is the standard pre-write REBALANCE — one file (or a few
-    // AQE-split ones) per partition instead of tasks × partitions.
+    // the same audit over month-clustered files reads ~85).
+    // REBALANCE, not repartition(col) (round 16, ADVICE r15): a plain
+    // repartition(o_month) hashes each month to exactly ONE task, and
+    // AQE's OptimizeSkewInRebalancePartitions only splits REBALANCE-
+    // origin partitions — so at 100 TB a hot month would funnel through
+    // a single writer. The rebalance hint keeps the ~one-file-per-month
+    // clustering (AQE coalesces small months) while letting a skewed
+    // month split across writers.
     if (!StoreFs.exists(StoreFs.fs(s, base), s"$base/_SUCCESS"))
-      orders.repartition(col("o_month"))
+      orders.hint("rebalance", col("o_month"))
         .write.mode("overwrite").partitionBy("o_month").parquet(base)
     val dateType = orders.schema("o_orderdate").dataType
     val updates = orders.filter(col("o_month") === "1995-03")
@@ -332,7 +337,7 @@ object SinkOps extends OpModule {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "dynamic")
-    try merged.repartition(col("o_month"))
+    try merged.hint("rebalance", col("o_month"))
       .write.mode("overwrite").partitionBy("o_month").parquet(base)
     finally prev match {
       case Some(v) => s.conf.set(key, v)

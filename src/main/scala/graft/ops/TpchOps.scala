@@ -472,13 +472,25 @@ object TpchOps extends OpModule {
 
     // Q2 minimum-cost-supplier shape (no partsupp table in this schema,
     // so lineitem plays the supply catalog): the CORRELATED SCALAR MIN —
-    // each part's cheapest shipment line. Completes the correlated-scalar
-    // family's aggregate coverage (q17 = count+sum, here = min):
-    // RewriteCorrelatedScalarSubquery turns it into a per-partkey MIN
-    // aggregate joined back on the key. The equality compares a RAW
-    // parquet double against a MIN of the same column — pure selection,
-    // no arithmetic — so it is bit-exact on both engines; min(l_suppkey)
-    // collapses price ties deterministically.
+    // each part's cheapest shipment line. The ORACLE keeps the correlated
+    // form; the Spark side computes the identical result as a SINGLE-SCAN
+    // lexicographic argmin (round 16, guide §6 "scan once" / §3):
+    // Spark's own RewriteCorrelatedScalarSubquery decorrelates the WHERE
+    // into a per-partkey MIN aggregate joined back to a SECOND lineitem
+    // scan — two full fact scans at any SF (plans/r16/
+    // tpch_q2_shape_before.txt lines 14/22). But the whole query only
+    // ever needs, per partkey, the min price and the min suppkey among
+    // the rows achieving it — exactly `min(struct(price, suppkey))`:
+    // struct ordering compares price first (same total order as
+    // min(price)), suppkey breaks price ties (same value as
+    // min(suppkey) over the tied rows). IEEE equality on the raw
+    // double and the struct ordering agree because lineitem prices are
+    // positive non-null monies (no NaN/±0.0 pairs; verified count ==
+    // count(l_extendedprice) == count(l_suppkey) on the driver data) —
+    // the argmin is row-for-row the correlated filter's output. The
+    // final re-aggregation runs over one row per part (not the fact
+    // table) and exists only to reproduce the GROUP BY's collapse if
+    // p_partkey ever carried duplicates.
     Q("tpch_q2_shape", Some(
       """SELECT p.p_brand, l.l_partkey, min(l.l_suppkey) AS supp_key,
         |  CAST(l.l_extendedprice AS DOUBLE) AS min_price
@@ -489,17 +501,19 @@ object TpchOps extends OpModule {
         |GROUP BY p.p_brand, l.l_partkey, l.l_extendedprice
         |ORDER BY l.l_partkey""".stripMargin),
       (s, dir) => {
-        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q2_lineitem")
-        Tables(s, dir, "part").createOrReplaceTempView("graft_q2_part")
-        s.sql(
-          """SELECT p.p_brand, l.l_partkey, min(l.l_suppkey) AS supp_key,
-            |  CAST(l.l_extendedprice AS DOUBLE) AS min_price
-            |FROM graft_q2_lineitem l JOIN graft_q2_part p ON l.l_partkey = p.p_partkey
-            |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
-            |                           FROM graft_q2_lineitem l2
-            |                           WHERE l2.l_partkey = l.l_partkey)
-            |GROUP BY p.p_brand, l.l_partkey, l.l_extendedprice
-            |ORDER BY l.l_partkey""".stripMargin)
+        val best = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+        best.join(Tables(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_partkey"),
+            col("m.l_suppkey").as("supp_key"),
+            col("m.l_extendedprice").cast("double").as("min_price"))
+          .groupBy("p_brand", "l_partkey", "min_price")
+          .agg(min(col("supp_key")).as("supp_key"))
+          .select(col("p_brand"), col("l_partkey"), col("supp_key"),
+            col("min_price"))
+          .orderBy("l_partkey")
       }),
 
     // Q11 important-stock shape: HAVING against a GLOBAL scalar subquery

@@ -274,9 +274,11 @@ object SimilarityOps extends OpModule {
   /** Top principal component by POWER ITERATION (nn7) — the dimension-
     * reduction pass an embedding pipeline runs before whitening or
     * low-dim indexing. Shape at 100 TB: ONE distributed pass builds the
-    * d×d covariance — each row expands to its d² outer-product terms
-    * map-side (no self-join, no row shuffle) and partial aggregation
-    * reduces them to d² groups with DECIMAL-exact sums, so the matrix is
+    * d×d covariance — the [[CovMomentsAggImpl]] kernel accumulates the
+    * row count, per-position decimal sums and all d² outer-product
+    * decimal sums per task buffer (round 16; it replaced a count scan, a
+    * posexplode μ pass and a d²-per-row explode + (p,q) shuffle — see
+    * the kernel scaladoc for the bit-exactness law), so the matrix is
     * bit-identical under any partitioning. The `iters` fixed iterations
     * that follow touch ONLY the d²-row C and a d-row v (O(d²) work,
     * independent of N, each matvec dot and norm summed in DECIMAL →
@@ -288,28 +290,20 @@ object SimilarityOps extends OpModule {
     * `iters` steps.
     */
   def powerPca(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def dec(c: Column): Column = sum(c.cast(DecimalType(38, 12))).cast("double")
+    // sequence(1, 0) auto-DESCENDS ([1, 0] — two steps, not zero), so an
+    // iters < 1 fold would silently run the wrong trajectory (ADVICE r15)
+    require(iters >= 1, s"powerPca: iters must be >= 1, got $iters")
     val emb = Tables(s, dir, "embeddings")
-    val cnt = emb.agg(count(lit(1)).cast("long").as("n"))
-    val pv = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
-      .select(col("vec_id"), col("p"), col("v").cast("double").as("v"))
-    val mu = pv.groupBy("p").agg((dec(col("v")) / count(lit(1))).as("m"))
-    // outer-product expansion: d² struct terms per row, exploded map-side
-    // and partially aggregated — the ONLY pass whose cost scales with N
-    val xy = emb
-      .select(explode_outer(flatten(transform(col("embedding"), (vp, p) =>
-        transform(col("embedding"), (vq, q) => struct(p.as("p"), q.as("q"),
-          (vp.cast("double") * vq.cast("double")).as("xy")))))).as("t"))
-      .filter(col("t").isNotNull)
-      .groupBy(col("t.p").as("p"), col("t.q").as("q"))
-      .agg(dec(col("t.xy")).as("sxy"))
-    val muP = mu.select(col("p"), col("m").as("ma"))
-    val muQ = mu.select(col("p").as("q"), col("m").as("mb"))
-    val cov = xy.crossJoin(broadcast(cnt))
-      .join(broadcast(muP), Seq("p")).join(broadcast(muQ), Seq("q"))
-      .select(col("p"), col("q"),
-        (col("sxy") / col("n").cast("double") - col("ma") * col("mb")).as("cv"))
+    // ONE kernel pass: n (all rows), nvec (non-null rows = the per-
+    // position posexplode count on the uniform-d corpus — the kernel
+    // throws on ragged input, so the equality is enforced, not assumed),
+    // msum = per-position DECIMAL(38,12) sums as double, psum = row-major
+    // d² outer-product DECIMAL(38,12) sums as double. Derivations below
+    // are term-identical to the old plan: m = msum/nvec is the same
+    // double division sum/count, cv = psum/n − ma·mb the same double
+    // expression over the same decimal-exact sums.
+    val cm = emb.agg(udaf(CovMomentsAggImpl)
+      .apply(col("embedding").cast("array<double>")).as("cm"))
     // The `iters` matvec+normalize steps run over a SINGLE ROW holding C
     // row-major as `carr` (d² doubles) — round 15, optimization guide
     // §1.2 step 1 (fewer passes/jobs): the former per-iteration
@@ -357,16 +351,36 @@ object SimilarityOps extends OpModule {
       s"""element_at(transform(array(${matvec("v")}), w ->
          |  element_at(transform(array($normOfW), nv ->
          |    transform(w, x -> x / nv)), 1)), 1)""".stripMargin
-    val iterated = cov
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("q"), col("cv")))),
-        x => x.getField("cv")).as("carr"))
-      .crossJoin(mu.agg(transform(array_sort(collect_list(
-        struct(col("p"), col("m")))), x => x.getField("m")).as("marr")))
-      .withColumn("d", size(col("marr")))
-      .withColumn("vfin", expr(
-        s"""aggregate(sequence(1, $iters),
-           |  CAST(transform(marr, m -> CAST(0.125 AS DOUBLE)) AS ARRAY<DOUBLE>),
-           |  (v, i) -> $step)""".stripMargin))
+    // carr density is guaranteed by the kernel (uniform d or it throws),
+    // so the row-major element_at indexing in the fold cannot shift.
+    //
+    // marr/d/carr BIND ONCE as one-element-transform lambda variables —
+    // the same binding trick the fold's per-step w/nv already use. A
+    // withColumn chain here was tried first and REVERTED (round-16 A/B:
+    // 79 s vs 2.2 s at sf0.1): CollapseProject inlines marr into carr
+    // into the fold, so each of the fold's ~iters·d² element_at(carr, …)
+    // calls re-evaluates the ENTIRE d² carr expression (and its marr
+    // subtree) — ~2·10¹⁰ ops of silent re-evaluation, the exact
+    // shared-subtree pathology the round-15 failure journal records for
+    // the per-step Project chain. The old code dodged it by accident:
+    // carr/marr were Aggregate outputs, and Aggregate is a hard
+    // inlining boundary; kernel-derived Project columns are not.
+    val marrSql = "transform(msum, x -> x / CAST(nvec AS DOUBLE))"
+    val carrOf = // marr, d in scope from the enclosing lambdas
+      """transform(psum, (x, i) -> x / CAST(n AS DOUBLE)
+        |  - element_at(marr, CAST(i div d AS INT) + 1)
+        |  * element_at(marr, (i % d) + 1))""".stripMargin
+    val vfinSql =
+      s"""element_at(transform(array($marrSql), marr ->
+         |  element_at(transform(array(size(marr)), d ->
+         |    element_at(transform(array($carrOf), carr ->
+         |      aggregate(sequence(1, $iters),
+         |        CAST(transform(marr, m -> CAST(0.125 AS DOUBLE)) AS ARRAY<DOUBLE>),
+         |        (v, i) -> $step)), 1)), 1)), 1)""".stripMargin
+    val iterated = cm.select(
+        col("cm.n").as("n"), col("cm.nvec").as("nvec"),
+        col("cm.msum").as("msum"), col("cm.psum").as("psum"))
+      .select(expr(marrSql).as("marr"), expr(vfinSql).as("vfin"))
     // ONE broadcast carries both arrays — a second broadcast of the same
     // one-row plan would re-execute the covariance pass (projection-
     // different exchanges never reuse).
@@ -387,6 +401,41 @@ object SimilarityOps extends OpModule {
           col("varr"), (c, vv) => c * vv),
           lit(0.0), (acc, x) => acc + x), 9).as("pc1"))
       .orderBy("vec_id")
+  }
+
+  /** RETAINED round-15 covariance-moments plan — the count scan, the
+    * posexplode μ pass and the d²-per-row outer-product explode with
+    * (p,q)-keyed shuffled DECIMAL(38,12) sums that [[CovMomentsAggImpl]]
+    * replaced in round 16. Kept (unused by any query) as the reference
+    * side of the bit-for-bit kernel law in SimilaritySpec: same output
+    * shape as the kernel (n, per-p counts, msum, psum row-major), so the
+    * spec compares rows directly. The per-p posexplode counts are
+    * returned as an array (`cnts`) — on uniform-d input every entry
+    * equals the kernel's single `nvec`.
+    */
+  private[graft] def covMomentsByExplode(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column): Column = sum(c.cast(DecimalType(38, 12))).cast("double")
+    val cnt = emb.agg(count(lit(1)).cast("long").as("n"))
+    val mu = emb.select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("p"), col("v").cast("double").as("v"))
+      .groupBy("p").agg(dec(col("v")).as("ms"), count(lit(1)).as("c"))
+    val xy = emb
+      .select(explode_outer(flatten(transform(col("embedding"), (vp, p) =>
+        transform(col("embedding"), (vq, q) => struct(p.as("p"), q.as("q"),
+          (vp.cast("double") * vq.cast("double")).as("xy")))))).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t.p").as("p"), col("t.q").as("q"))
+      .agg(dec(col("t.xy")).as("sxy"))
+    cnt
+      .crossJoin(mu.agg(
+        transform(array_sort(collect_list(struct(col("p"), col("c")))),
+          x => x.getField("c")).as("cnts"),
+        transform(array_sort(collect_list(struct(col("p"), col("ms")))),
+          x => x.getField("ms")).as("msum")))
+      .crossJoin(xy.agg(
+        transform(array_sort(collect_list(struct(col("p"), col("q"), col("sxy")))),
+          x => x.getField("sxy")).as("psum")))
   }
 
   /** DuckDB twin of [[powerPca]]: the same covariance (per-term double

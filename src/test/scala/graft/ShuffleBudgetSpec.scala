@@ -189,12 +189,12 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkSuite {
     // nn6b: nn6's ADC pipeline + the rerank-cut window; the exact
     // re-rank itself is broadcast-joined (no data-side exchange)
     "nn6b_ivfpq_refine" -> 7,
-    // nn7: round 15 — the power iterations fused into one single-row
-    // expression fold, so NOTHING is eager any more: this count now
-    // covers the ENTIRE query (covariance moments + the fold's one-row
-    // aggregates + final projection) where the old 4 excluded the
-    // ~30 eagerly-checkpointed iteration jobs
-    "nn7_pca_power" -> 8,
+    // nn7: round 15 fused the power iterations into one single-row
+    // expression fold (count covers the ENTIRE query since then); round
+    // 16 collapsed the count+μ+outer-product passes into the one-pass
+    // CovMomentsAgg kernel — 8 → 4 (two scan fan-outs, the kernel's
+    // buffer exchange, the presentation sort)
+    "nn7_pca_power" -> 4,
     // nn8: max-norm stats agg + sig-keyed bucket join + per-query
     // top-k window + final sort (nn2's shape plus the one-row lift agg)
     "nn8_mips_ann" -> 4,

@@ -250,4 +250,64 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       "operator verdict disagrees with the independent pairwise-max rule")
     assert(expectedDups.nonEmpty, "fixture produced no duplicates at τ=0.35")
   }
+
+  // Round-16 law: the one-pass covariance-moments kernel (CovMomentsAgg)
+  // must be BIT-FOR-BIT the retained round-15 explode+decimal-sum plan —
+  // n, every per-position count, μ sums and all d² outer-product sums.
+  // Exact == on doubles deliberately: the kernel's whole claim is that
+  // its scaled-long arithmetic IS Spark's cast(DECIMAL(38,12)) sum.
+  private def covKernel(df: org.apache.spark.sql.DataFrame) = df
+    .agg(org.apache.spark.sql.functions.udaf(graft.quality.CovMomentsAggImpl)
+      .apply(col("embedding").cast("array<double>")).as("cm"))
+    .select(col("cm.n"), col("cm.nvec"), col("cm.msum"), col("cm.psum"))
+    .collect()(0)
+
+  private def assertMomentsLaw(df: org.apache.spark.sql.DataFrame): Unit = {
+    val k = covKernel(df)
+    val e = SimilarityOps.covMomentsByExplode(df).collect()(0)
+    assert(k.getLong(0) == e.getLong(0), "total row count differs")
+    val cnts = e.getSeq[Long](1)
+    assert(cnts.forall(_ == k.getLong(1)),
+      s"per-position counts $cnts != kernel nvec ${k.getLong(1)}")
+    assert(k.getSeq[Double](2) == e.getSeq[Double](2), "mu sums differ")
+    assert(k.getSeq[Double](3) == e.getSeq[Double](3), "outer-product sums differ")
+    assert(k.getSeq[Double](3).length ==
+      k.getSeq[Double](2).length * k.getSeq[Double](2).length)
+  }
+
+  test("covariance kernel == retained explode form, bit-for-bit, on the corpus") {
+    assertMomentsLaw(Tables(spark, sf, "embeddings"))
+  }
+
+  test("covariance kernel == retained explode form on a null-row fixture; ragged throws") {
+    import spark.implicits._
+    // floats whose double images have long decimal expansions (0.1f →
+    // 0.10000000149011612) exercise the HALF_UP rounding path, and the
+    // null array row must count toward n but contribute nothing
+    val fx = Seq(
+      (1L, Option(Seq(0.1f, -0.3f, 0.125f))),
+      (2L, Option(Seq(0.7f, 0.2f, -0.55f))),
+      (3L, Option.empty[Seq[Float]]),
+      (4L, Option(Seq(-0.42f, 0.61f, 0.33f)))
+    ).toDF("vec_id", "embedding")
+    assertMomentsLaw(fx)
+    val k = covKernel(fx)
+    assert(k.getLong(0) == 4L && k.getLong(1) == 3L)
+    // ragged dimensions corrupt row-major d² indexing downstream — the
+    // kernel must fail LOUDLY, not degrade (ADVICE r15)
+    val ragged = Seq(
+      (1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { covKernel(ragged) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e2 => Option(e2.getMessage).toSeq ++ messages(e2.getCause))
+    assert(messages(ex).exists(_.contains("uniform embedding dimension")),
+      s"unexpected failure: $ex")
+  }
+
+  test("powerPca rejects iters < 1 (sequence(1, 0) would run two steps)") {
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.powerPca(spark, sf, iters = 0)
+    }
+    assert(ex.getMessage.contains("iters must be >= 1"))
+  }
 }
