@@ -278,11 +278,18 @@ object DedupOps extends OpModule {
     // bin can accumulate; the rows being spread are ~8 KB bucket lists,
     // so the extra exchange fan-out is noise.
     val shufN = cliques.sparkSession.sessionState.conf.numShufflePartitions * 4
+    // pair_explode (round 16, guide §1.2 step 2): the expansion was the
+    // single largest executor-time stage of dd6/pipe1 (sf1.0 profile:
+    // 56–66 s of ~200, 4.5× task skew from per-pair constants) — the
+    // HOF form allocated a sliced tail copy per anchor (O(n²) copies
+    // per bucket), a struct per pair, and a flatten copy, all just to
+    // feed explode. The generator emits each (a, b) row directly; the
+    // pair MULTISET is identical by construction and pinned by
+    // DedupSpec's law test against the retained transform form.
+    graft.tensor.TextFunctions.register(cliques.sparkSession)
     val small = buckets.filter(size(col("ids")) <= expandCap)
       .repartition(shufN, col("band"), col("bkey"))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
-      )).as("p"))
+      .selectExpr("pair_explode(ids, CAST(NULL AS ARRAY<BIGINT>)) AS (a, b)")
     val nch = s"int(ceil(size(ids) / ${chunk}.0))"
     val big = buckets.filter(size(col("ids")) > expandCap)
       .select(col("band"), col("bkey"), explode(expr(
@@ -292,12 +299,11 @@ object DedupOps extends OpModule {
            |           slice(ids, i * $chunk + 1, $chunk) AS la,
            |           slice(ids, j * $chunk + 1, $chunk) AS lb))))""".stripMargin)).as("cp"))
       .repartition(shufN, col("band"), col("bkey"), col("cp.ci"), col("cp.cj"))
-      .select(explode(expr(
-        """IF(cp.ci = cp.cj,
-          |  flatten(transform(cp.la, (x, i) -> transform(slice(cp.la, i + 2, size(cp.la)), y -> struct(x AS a, y AS b)))),
-          |  flatten(transform(cp.la, x -> transform(cp.lb, y -> struct(x AS a, y AS b)))))""".stripMargin)).as("p"))
+      .selectExpr(
+        """pair_explode(cp.la,
+          |  IF(cp.ci = cp.cj, CAST(NULL AS ARRAY<BIGINT>), cp.lb)) AS (a, b)""".stripMargin)
     small.unionByName(big)
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= minBands)
       .select("a", "b")

@@ -420,9 +420,78 @@ object SimHashSig {
   }
 }
 
+/** `pair_explode(la, lb)` — the LSH bucket-expansion kernel (round 16,
+  * optimization guide §1.2 step 2): emit candidate pairs directly as
+  * generator rows instead of manufacturing them as nested
+  * transform/slice/struct arrays that are then flattened and exploded.
+  *
+  *  - `lb` NULL  → unordered within-`la` pairs: (la[i], la[j]) for i < j
+  *    — exactly `transform(la, (x, i) -> transform(slice(la, i + 2,
+  *    size(la)), y -> struct(x, y)))` flattened (the retained form
+  *    DedupSpec's law test compares against).
+  *  - `lb` non-null → the full cross product (la[i], lb[j]) — the
+  *    chunked big-bucket branch's cross term.
+  *
+  * The HOF form allocated a sliced copy of the tail per anchor element
+  * (O(n²) array copies per bucket) plus a struct row and a flatten copy
+  * per pair; the generator emits each pair once with no intermediate
+  * arrays. Output multiset is identical by construction — pair content
+  * never changes, only its materialization.
+  */
+case class PairExplode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right)
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+        if DataType.equalsIgnoreNullability(a, b) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pair_explode requires two arrays of one element type, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", elemType, nullable = true),
+    StructField("b", elemType, nullable = true)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val la = left.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (la == null) return Iterator.empty
+    val lb = right.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val xs = la.toObjectArray(elemType)
+    if (lb == null) {
+      val n = xs.length
+      (0 until n).iterator.flatMap { i =>
+        (i + 1 until n).iterator.map { j =>
+          org.apache.spark.sql.catalyst.InternalRow(xs(i), xs(j))
+        }
+      }
+    } else {
+      val ys = lb.toObjectArray(elemType)
+      xs.iterator.flatMap { x =>
+        ys.iterator.map(y => org.apache.spark.sql.catalyst.InternalRow(x, y))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 object TextFunctions {
   /** Register `poly_hash31` / `sliding_min` / `minhash_sig` /
-    * `simhash_sig`; idempotent.
+    * `simhash_sig` / `pair_explode`; idempotent.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -434,5 +503,7 @@ object TextFunctions {
       exprs => MinHashSig(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("simhash_sig",
       exprs => SimHashSig(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("pair_explode",
+      exprs => PairExplode(exprs(0), exprs(1)), "built-in")
   }
 }

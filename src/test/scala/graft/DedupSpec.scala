@@ -746,4 +746,43 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(newTexts.count(!_.getBoolean(1)) >= 18,
       "4096-bit filter should pass nearly all of the 20 new texts as definitely-new")
   }
+
+  test("pair_explode law: generator == retained transform form, both modes, fixture AND corpus") {
+    import spark.implicits._
+    graft.tensor.TextFunctions.register(spark)
+    // round-16 law: the bucket-expansion generator must emit EXACTLY the
+    // pair multiset of the HOF form it replaced (within-array i<j pairs
+    // and the chunked cross product)
+    val fx = Seq(
+      (1, Seq(10L, 20L, 30L, 40L)),
+      (2, Seq(7L, 8L)),
+      (3, Seq(5L)),           // singleton: no pairs
+      (4, Seq.empty[Long])    // empty: no pairs
+    ).toDF("k", "ids")
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val gen = sorted(fx.selectExpr(
+      "pair_explode(ids, CAST(NULL AS ARRAY<BIGINT>)) AS (a, b)"))
+    val hof = sorted(fx
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+        )).as("p")).select("p.a", "p.b"))
+    assert(gen == hof, s"within-array mode diverged:\n$gen\nvs\n$hof")
+    assert(gen.count(_._1 == 10L) == 3) // 4-element bucket → 6 pairs total
+    val cross = Seq((Seq(1L, 2L), Seq(3L, 4L, 5L))).toDF("la", "lb")
+    val genX = sorted(cross.selectExpr("pair_explode(la, lb) AS (a, b)"))
+    val hofX = sorted(cross
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "flatten(transform(la, x -> transform(lb, y -> struct(x AS a, y AS b))))"
+        )).as("p")).select("p.a", "p.b"))
+    assert(genX == hofX && genX.size == 6, s"cross mode diverged:\n$genX\nvs\n$hofX")
+    // corpus law: the full candidate population is unchanged (this is
+    // the surface dd2/dd6/pipe1 consume)
+    val cand = DedupOps.minhashCandidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(cand.nonEmpty && cand == cand.distinct, "candidates must be distinct")
+    assert(cand.forall { case (a, b) => a != b }, "no self-pairs")
+  }
 }
