@@ -44,33 +44,53 @@ object Tables {
     * re-establish parallelism at their first keyed exchange anyway;
     * measured across the query surface the results are bit-identical
     * (order is never partition-derived — R4) and the sweep total drops
-    * (OPTIMIZATION_r15.md). At sf1.0+ every table clears the gate, so
-    * scale-dir behavior is unchanged.
+    * (OPTIMIZATION_r15.md).
+    *
+    * FILE-COUNT-GATED too (round 16, same guide section): fan-out exists
+    * for the ONE-file unsplittable case, but a multi-part directory
+    * (GenScale's 32-part scale dirs, any real warehouse table) already
+    * scans one task per file or better — and the round-robin exchange
+    * there is a FULL extra pass over the table's bytes, immediately
+    * re-shuffled by the first keyed exchange. Measured at sf10:
+    * v4_triplet_join shuffled 943 MB through the fan-out exchange and
+    * then 943 MB again through the join hash exchange — 30.07 s at 32
+    * cores AND 31.79 s at 8 (the serial floor was the double shuffle,
+    * not compute). With `fileCount >= n` skipping the fan-out the scan
+    * parallelism is already ≥ n. Single driver files (fileCount 1) keep
+    * the repartition, so the sf0.1 bench plans are unchanged.
     */
-  private def fanout(spark: SparkSession, df: DataFrame, bytes: Long): DataFrame = {
+  private def fanout(spark: SparkSession, df: DataFrame,
+      stat: (Long, Long)): DataFrame = {
     val n = try spark.conf.get("graft.scan.fanout", "0").toInt
     catch { case _: NumberFormatException => 0 }
     val minBytes = try spark.conf.get("graft.scan.fanout.minBytes", "524288").toLong
     catch { case _: NumberFormatException => 524288L }
-    if (n > 0 && bytes >= minBytes) df.repartition(n) else df
+    val (bytes, files) = stat
+    if (n > 0 && bytes >= minBytes && files < n) df.repartition(n) else df
   }
 
-  /** Total bytes of a table path, via the Hadoop FileSystem API so the
-    * fan-out gate is real on ANY scheme (local, hdfs://, s3a://, …), not
-    * just java.io-visible paths (round 16, verdict #7).
-    * `getContentSummary` recurses, so a directory of subdirectories
-    * (Hive-partitioned layouts) sums its leaves instead of reading 0 —
-    * the round-15 shallow java.io sum failed CLOSED on exactly that
-    * shape (ADVICE r15). Unreadable/missing paths report Long.MaxValue
-    * so the gate fails OPEN (keeps the repartition — the pre-gate
-    * behavior).
+  /** (total bytes, file count) of a table path, via the Hadoop
+    * FileSystem API so the fan-out gate is real on ANY scheme (local,
+    * hdfs://, s3a://, …), not just java.io-visible paths (round 16,
+    * verdict #7). `getContentSummary` recurses, so a directory of
+    * subdirectories (Hive-partitioned layouts) sums its leaves instead
+    * of reading 0 — the round-15 shallow java.io sum failed CLOSED on
+    * exactly that shape (ADVICE r15). Unreadable/missing paths report
+    * (Long.MaxValue, 1) so the size gate fails OPEN (keeps the
+    * repartition — the pre-gate behavior).
     */
-  private[graft] def inputBytes(spark: SparkSession, path: String): Long =
+  private[graft] def inputStat(spark: SparkSession, path: String): (Long, Long) =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
-    } catch { case _: Throwable => Long.MaxValue }
+      if (fs.exists(p)) {
+        val cs = fs.getContentSummary(p)
+        (cs.getLength, cs.getFileCount)
+      } else (Long.MaxValue, 1L)
+    } catch { case _: Throwable => (Long.MaxValue, 1L) }
+
+  private[graft] def inputBytes(spark: SparkSession, path: String): Long =
+    inputStat(spark, path)._1
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -79,7 +99,7 @@ object Tables {
         EventTs.enableLegacyNanos(spark)
         EventTs.normalize(spark.read.parquet(path))
       } else spark.read.parquet(path)
-    }, inputBytes(spark, path))
+    }, inputStat(spark, path))
   }
 }
 

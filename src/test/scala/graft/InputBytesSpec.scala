@@ -34,6 +34,17 @@ class InputBytesSpec extends AnyFunSuite with SparkSuite {
     assert(Tables.inputBytes(spark, plain.getAbsolutePath) == 234L)
   }
 
+  test("inputStat reports file counts (the round-16 fan-out splittability gate)") {
+    val (root, bytes) = mkTree()
+    assert(Tables.inputStat(spark, root.getAbsolutePath) == ((bytes, 2L)))
+    assert(Tables.inputStat(spark,
+      new java.io.File(root, "b.parquet").getAbsolutePath) == ((234L, 1L)))
+    // missing path fails open: size MaxValue, ONE file (so a positive
+    // fan-out conf keeps the repartition, the pre-gate behavior)
+    assert(Tables.inputStat(spark,
+      new java.io.File(root, "nope").getAbsolutePath) == ((Long.MaxValue, 1L)))
+  }
+
   test("resolves an hdfs-style scheme through the Hadoop FS registry") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.mockdfs.impl", classOf[MockDfs].getName)
